@@ -1,0 +1,47 @@
+"""Window dedup: keep the latest row per key.
+
+≙ the reference's ``DedupedSource`` CTE (``rqtradein_etl.py:166-171``):
+``ROW_NUMBER() OVER (PARTITION BY SaleInvoiceID ORDER BY TradeInDate DESC)``
+filtered to ``rn = 1``. The reference's ordering is nondeterministic on
+``TradeInDate`` ties; this implementation requires explicit tiebreakers so
+output is reproducible (SURVEY.md §2 O15 note).
+
+Physical shape: one hash exchange on the keys + per-partition sort + a
+single-pass window — the minimal plan for top-1-per-key. At scale, if the
+downstream merge joins on the same key, Catalyst reuses this exchange (the
+join's required distribution is already satisfied), so dedup+merge costs one
+shuffle of the source, not two.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str | Column],
+    descending: bool = True,
+) -> DataFrame:
+    """Keep exactly one row per ``keys``: the first under ``order_by``.
+
+    ``order_by`` entries given as strings are ordered descending-nulls-last
+    when ``descending`` (the "latest wins" policy); pass Columns for custom
+    ordering. Supply at least one unique column (e.g. a transaction id) for
+    deterministic ties.
+    """
+    ordering = [
+        (F.col(c).desc_nulls_last() if descending else F.col(c).asc_nulls_first())
+        if isinstance(c, str) else c
+        for c in order_by
+    ]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*ordering)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,105 @@
+"""Keyed merge/upsert (MERGE INTO) as a pure-Spark full-outer-join rewrite.
+
+≙ the reference's T-SQL ``MERGE api.RQTradeinReport`` (rqtradein_etl.py:160-184):
+  - MATCHED      → take every source column, stamp the updated-audit column
+  - NOT MATCHED  → insert the source row, stamp the inserted-audit column
+  - target-only  → keep the target row untouched
+
+Vanilla Spark has no MERGE against Parquet, so this is the join rewrite from
+SURVEY.md §4.1(b): a full-outer join on the key plus per-column
+``when(source present, source).otherwise(target)``. Physically a single
+shuffle on the key (sort-merge join, or broadcast-hash when one side is
+small — AQE decides at runtime); the result is written atomically by the
+pipeline layer. Idempotence: re-merging an identical batch yields an
+identical table (update branch rewrites equal values).
+
+The merge key must be unique on BOTH sides — run ``dedup.latest_per_key``
+on the source first, exactly as the reference dedups its staging CTE before
+MERGE (a duplicate-key source makes T-SQL MERGE fail too).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker column recording what the merge did to each row; droppable.
+MERGE_ACTION = "__merge_action"
+_S_MARK = "__src_present"
+_T_MARK = "__tgt_present"
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    audit_inserted: str | None = None,
+    audit_updated: str | None = None,
+    now: Column | None = None,
+    keep_action: bool = False,
+) -> DataFrame:
+    """Upsert ``source`` into ``target`` on equi-key ``key``.
+
+    Output columns = target's data columns (+ audit columns if named,
+    + ``__merge_action`` if ``keep_action``). ``now`` is the audit
+    timestamp — injectable for deterministic tests; defaults to
+    ``current_timestamp()`` (the reference's ``GETDATE()``).
+    """
+    if now is None:
+        now = F.current_timestamp()
+
+    audit_cols = {c for c in (audit_inserted, audit_updated) if c}
+    data_cols = [c for c in source.columns if c != key and c not in audit_cols]
+
+    t = target.withColumn(_T_MARK, F.lit(True)).alias("t")
+    s = source.withColumn(_S_MARK, F.lit(True)).alias("s")
+    # String-key join => Spark emits one coalesced key column in full outer.
+    joined = t.join(s, on=key, how="full_outer")
+
+    s_present = F.col(_S_MARK).isNotNull()
+    t_present = F.col(_T_MARK).isNotNull()
+
+    out: list[Column] = [F.col(key)]
+    for c in data_cols:
+        out.append(F.when(s_present, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c))
+
+    if audit_inserted:
+        existing = (
+            F.col(f"t.{audit_inserted}")
+            if audit_inserted in target.columns
+            else F.lit(None).cast("timestamp")
+        )
+        out.append(F.when(t_present, existing).otherwise(now).alias(audit_inserted))
+    if audit_updated:
+        existing = (
+            F.col(f"t.{audit_updated}")
+            if audit_updated in target.columns
+            else F.lit(None).cast("timestamp")
+        )
+        out.append(
+            F.when(t_present & s_present, now).otherwise(existing).alias(audit_updated)
+        )
+    if keep_action:
+        out.append(
+            F.when(t_present & s_present, F.lit("update"))
+            .when(s_present, F.lit("insert"))
+            .otherwise(F.lit("keep"))
+            .alias(MERGE_ACTION)
+        )
+    return joined.select(*out)
+
+
+def merge_counts(merged_with_action: DataFrame) -> dict[str, int]:
+    """Inserted/updated tallies from a ``keep_action=True`` merge result.
+
+    ≙ the reference's post-merge audit counts (rqtradein_etl.py:188-189) —
+    computed from the merge itself rather than re-scanning the target with
+    the reference's midnight-equality quirk (SURVEY.md §2 O18).
+    """
+    row = (
+        merged_with_action.agg(
+            F.count(F.when(F.col(MERGE_ACTION) == "insert", 1)).alias("inserted"),
+            F.count(F.when(F.col(MERGE_ACTION) == "update", 1)).alias("updated"),
+        )
+    ).collect()[0]
+    return {"inserted": row["inserted"], "updated": row["updated"]}

@@ -1,0 +1,108 @@
+"""End-to-end ETL orchestration — the reference's ``run_etl`` shape
+(rqtradein_etl.py:13-24) as one lazy DataFrame graph per stage:
+
+    fetch (driver) → normalize (casts + timestamps + EST) → stage (append)
+    → dedup (latest per key) → merge upsert → audit counts → retention
+
+Each relational stage is declarative; Catalyst fuses normalize+dedup+merge
+into ~2 jobs (stage break at the dedup/merge shuffle). The merge shuffle is
+keyed on ``SaleInvoiceID``, the same key the dedup window partitions by, so
+the exchange is reused — one shuffle of the source batch total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import STAGING_TABLE, TARGET_TABLE, Warehouse, ensure_tables
+from .functions.casts import apply_type_map
+from .functions.timestamps import parse_timestamp_multi, utc_to_est, with_fallback_now
+from .operators.dedup import latest_per_key
+from .operators.merge import MERGE_ACTION, merge_upsert
+from .schemas import (
+    AUDIT_INSERTED,
+    AUDIT_UPDATED,
+    DEDUP_ORDER_COLUMN,
+    DEDUP_TIEBREAKER,
+    EST_DERIVED_PAIRS,
+    MERGE_KEY,
+    RAW_TIMESTAMP_COLUMNS,
+    TARGET_TYPE_MAP,
+    TRADEIN_COLUMNS,
+)
+
+
+def normalize_batch(df: DataFrame, now: Column | None = None) -> DataFrame:
+    """Timestamp normalization + EST derivation on a raw (all-string) batch.
+
+    ≙ the reference's per-row Python loop (rqtradein_etl.py:313-338):
+    - parse the 3 raw timestamp columns with the lenient multi-format chain;
+      present-but-unparseable values fall back to "now" (:319-322);
+    - derive the 3 ``*EST`` shadows via UTC→US/Eastern at second precision
+      (:325-337);
+    - render everything back to strings (staging stays uniformly VARCHAR).
+    """
+    out = df
+    for c in RAW_TIMESTAMP_COLUMNS:
+        parsed = with_fallback_now(parse_timestamp_multi(F.col(c)), F.col(c), now)
+        out = out.withColumn(c, F.date_format(parsed, "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    for est_col, src_col in EST_DERIVED_PAIRS:
+        est = utc_to_est(F.to_timestamp(F.col(src_col)))
+        out = out.withColumn(est_col, F.date_format(est, "yyyy-MM-dd HH:mm:ss"))
+    return out.select(*TRADEIN_COLUMNS)
+
+
+def merge_to_target(
+    spark: SparkSession,
+    wh: Warehouse,
+    now: Column | None = None,
+) -> dict[str, int]:
+    """Dedup staging, lenient-cast to target types, upsert into target,
+    return {"inserted": n, "updated": n} (rqtradein_etl.py:150-194)."""
+    staging = wh.read(spark, STAGING_TABLE)
+    typed = apply_type_map(staging, TARGET_TYPE_MAP)
+    deduped = latest_per_key(
+        typed, [MERGE_KEY], [DEDUP_ORDER_COLUMN, DEDUP_TIEBREAKER]
+    )
+    target = wh.read(spark, TARGET_TABLE)
+    merged = merge_upsert(
+        target,
+        deduped,
+        MERGE_KEY,
+        audit_inserted=AUDIT_INSERTED,
+        audit_updated=AUDIT_UPDATED,
+        now=now,
+        keep_action=True,
+    )
+    # One pass: compute the audit tallies while materializing the new target.
+    merged = merged.cache()
+    counts_row = merged.agg(
+        F.count(F.when(F.col(MERGE_ACTION) == "insert", 1)).alias("inserted"),
+        F.count(F.when(F.col(MERGE_ACTION) == "update", 1)).alias("updated"),
+    ).collect()[0]
+    wh.overwrite_atomic(merged.drop(MERGE_ACTION), TARGET_TABLE)
+    merged.unpersist()
+
+    # Staging retention (rqtradein_etl.py:192): keep only rows whose
+    # TradeInDate casts to the current date. Intent reproduced with an
+    # explicit to_date comparison (the reference's CONVERT(date, ...)).
+    staging = wh.read(spark, STAGING_TABLE)
+    today = F.to_date(now) if now is not None else F.current_date()
+    kept = staging.filter(F.to_date(F.col(DEDUP_ORDER_COLUMN)) == today)
+    wh.overwrite_atomic(kept, STAGING_TABLE)
+
+    return {"inserted": counts_row["inserted"], "updated": counts_row["updated"]}
+
+
+def run_etl(
+    spark: SparkSession,
+    wh: Warehouse,
+    batch: DataFrame,
+    now: Column | None = None,
+) -> dict[str, int]:
+    """Full pipeline for one (already-fetched) batch: bootstrap tables,
+    normalize, append to staging, merge, retention, return audit counts."""
+    ensure_tables(spark, wh)
+    wh.append(normalize_batch(batch, now), STAGING_TABLE)
+    return merge_to_target(spark, wh, now)

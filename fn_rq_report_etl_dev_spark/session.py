@@ -1,0 +1,59 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local test/bench runs use ``local[$SPARK_GRAFT_CPUS]``; on a real cluster the
+same configs apply (AQE, UTC session timezone, Arrow). Shuffle partitions
+default to the core count locally — on a 1000-executor cluster raise it (or
+rely on AQE coalescing, which is enabled here).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "fn_rq_report_etl_dev_spark"
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    Defaults chosen for scale:
+    - AQE on (runtime coalescing, skew-join splitting, dynamic join strategy).
+    - Session timezone pinned to UTC (matches the reference's treat-naive-
+      timestamps-as-UTC semantics, rqtradein_etl.py:309-310, and the DuckDB
+      oracle's naive timestamps).
+    - Arrow enabled for the few pandas-UDF paths (vector/multimodal ops).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The fixture corpus stores events.ts as parquet TIMESTAMP(NANOS),
+        # which Spark's reader rejects; read as long (ns since epoch) and
+        # convert at load (workloads.load / sources.readers).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,260 @@
+"""Reference-parity workloads — one oracle-checked query per operator in
+SURVEY.md §2 (O3, O7-O12, O15-O19), exercised over the fixture corpus.
+
+The flagship (``flagship_dedup_merge``) is the reference's relational core
+(SURVEY.md §3.2): window dedup + keyed merge-upsert, with ``events`` playing
+the staging feed. Everything is deterministic: injected "now" literals, a
+unique tiebreaker in every window, no float arithmetic outside DECIMAL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.timestamps import parse_timestamp_multi, utc_to_est, with_fallback_now
+from ..operators.dedup import latest_per_key
+from ..operators.merge import MERGE_ACTION, merge_upsert
+from . import load, workload
+
+# Events span 2024-01-01 .. 2024-01-30 at every sf; this splits them into an
+# "already loaded" old batch and an "incoming" new batch.
+CUTOFF = "2024-01-15 00:00:00"
+EVENT_COLS = ["user_id", "event_id", "ts", "event_type", "value"]
+
+
+def _dedup_latest_event(df: DataFrame) -> DataFrame:
+    """Latest event per user, event_id as the deterministic tiebreaker —
+    the O15 window dedup (rqtradein_etl.py:166-171 analog)."""
+    return latest_per_key(df, ["user_id"], ["ts", "event_id"]).select(*EVENT_COLS)
+
+
+_DEDUP_SQL = """
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events {where}
+    ) WHERE rn = 1
+"""
+
+
+@workload(
+    "flagship_dedup_merge",
+    oracle=f"""
+    WITH old_batch AS ({_DEDUP_SQL.format(where=f"WHERE ts < TIMESTAMP '{CUTOFF}'")}),
+         new_batch AS ({_DEDUP_SQL.format(where=f"WHERE ts >= TIMESTAMP '{CUTOFF}'")})
+    SELECT
+        COALESCE(n.user_id, o.user_id) AS user_id,
+        CASE WHEN n.user_id IS NOT NULL THEN n.event_id ELSE o.event_id END AS event_id,
+        CASE WHEN n.user_id IS NOT NULL THEN n.ts ELSE o.ts END AS ts,
+        CASE WHEN n.user_id IS NOT NULL THEN n.event_type ELSE o.event_type END AS event_type,
+        CASE WHEN n.user_id IS NOT NULL THEN n.value ELSE o.value END AS value,
+        CASE WHEN n.user_id IS NOT NULL AND o.user_id IS NOT NULL THEN 'update'
+             WHEN n.user_id IS NOT NULL THEN 'insert'
+             ELSE 'keep' END AS merge_action
+    FROM old_batch o FULL OUTER JOIN new_batch n ON o.user_id = n.user_id
+    """,
+)
+def flagship_dedup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O15+O16+O14: dedup the incoming batch, merge-upsert into the target
+    keyed on user_id, report the per-row merge action."""
+    events = load(spark, sf_dir, "events")
+    target = _dedup_latest_event(events.filter(F.col("ts") < F.lit(CUTOFF)))
+    source = _dedup_latest_event(events.filter(F.col("ts") >= F.lit(CUTOFF)))
+    merged = merge_upsert(target, source, "user_id", keep_action=True)
+    return merged.withColumnRenamed(MERGE_ACTION, "merge_action")
+
+
+@workload(
+    "o15_window_dedup",
+    oracle=_DEDUP_SQL.format(where=""),
+)
+def o15_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O15: top-1-per-key window dedup with deterministic tiebreak."""
+    return _dedup_latest_event(load(spark, sf_dir, "events"))
+
+
+@workload(
+    "o3_incremental_window",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 DAY
+    """,
+)
+def o3_incremental_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: the incremental [max-1d, max] scan window — the reference's daily
+    micro-batch parameterization as a predicate (partition-prunable on a
+    date-partitioned table)."""
+    events = load(spark, sf_dir, "events")
+    max_ts = events.agg(F.max("ts").alias("max_ts"))
+    return (
+        events.crossJoin(F.broadcast(max_ts))
+        .filter(F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 1 DAY"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+@workload(
+    "o7_fixed_projection",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(NULL AS VARCHAR) AS missing_col,
+           CAST(NULL AS BIGINT) AS missing_num
+    FROM events
+    """,
+)
+def o7_fixed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7: projection onto a fixed column contract — absent columns become
+    typed NULLs (rqtradein_etl.py:338's row.get(col, None))."""
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.lit(None).cast("string").alias("missing_col"),
+        F.lit(None).cast("bigint").alias("missing_num"),
+    )
+
+
+def _format_zoo(events: DataFrame) -> DataFrame:
+    """Render ts as strings in the reference's five formats (+ garbage),
+    chosen by event_id % 6 — the FIXTURES.md §4.4 timestamp zoo."""
+    m = F.col("event_id") % 6
+    raw = (
+        F.when(m == 0, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
+        .when(m == 1, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+        .when(m == 2, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"))
+        .when(m == 3, F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .when(m == 4, F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSS"))  # ragged 3-digit fraction
+        .otherwise(F.concat(F.lit("not-a-timestamp-"), F.col("event_id")))
+    )
+    return events.withColumn("raw", raw)
+
+
+@workload(
+    "o8_multiformat_parse",
+    # Oracle = ground truth derived from the original ts (what a correct
+    # parse must recover), not a reimplementation of the parser.
+    oracle="""
+    SELECT event_id,
+           CASE
+             WHEN event_id % 6 = 0 THEN ts
+             WHEN event_id % 6 IN (1, 2, 3) THEN date_trunc('second', ts)
+             WHEN event_id % 6 = 4 THEN date_trunc('millisecond', ts)
+             ELSE NULL
+           END AS parsed
+    FROM events
+    """,
+)
+def o8_multiformat_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8+O9: lenient multi-format parse (incl. ragged fractional seconds
+    and unparseable garbage → NULL) recovers the original instant."""
+    zoo = _format_zoo(load(spark, sf_dir, "events"))
+    return zoo.select(
+        "event_id", parse_timestamp_multi(F.col("raw")).alias("parsed")
+    )
+
+
+@workload(
+    "o10_fallback_now",
+    oracle=f"""
+    SELECT event_id,
+           CASE
+             WHEN event_id % 6 = 5 THEN TIMESTAMP '2024-06-01 00:00:00'
+             WHEN event_id % 6 = 0 THEN ts
+             WHEN event_id % 6 IN (1, 2, 3) THEN date_trunc('second', ts)
+             ELSE date_trunc('millisecond', ts)
+           END AS parsed
+    FROM events
+    """,
+)
+def o10_fallback_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10: present-but-unparseable timestamps fall back to "now" (injected
+    literal here; current_timestamp in production)."""
+    zoo = _format_zoo(load(spark, sf_dir, "events"))
+    now = F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+    parsed = with_fallback_now(parse_timestamp_multi(F.col("raw")), F.col("raw"), now)
+    return zoo.select("event_id", parsed.alias("parsed"))
+
+
+@workload(
+    "o11_o12_est_derivation",
+    oracle="""
+    SELECT event_id, ts,
+           date_trunc('second', timezone('America/New_York', timezone('UTC', ts))) AS ts_est,
+           date_trunc('second', timezone('America/New_York', timezone('UTC', ts + INTERVAL 6 HOUR))) AS post_ts_est
+    FROM events
+    """,
+)
+def o11_o12_est_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11+O12: UTC→US-Eastern derived shadow columns at second precision
+    (from_utc_timestamp ≙ pytz US/Eastern; DST-aware)."""
+    events = load(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        "ts",
+        utc_to_est(F.col("ts")).alias("ts_est"),
+        utc_to_est(F.col("ts") + F.expr("INTERVAL 6 HOUR")).alias("post_ts_est"),
+    )
+
+
+@workload(
+    "o17_lenient_cast",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           TRY_CAST(event_type AS BIGINT) AS bad_int,
+           CAST(value AS DECIMAL(18,2)) AS value_dec
+    FROM events
+    """,
+)
+def o17_lenient_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O17: lenient string→typed casts — garbage becomes NULL, the row
+    survives (the reference's implicit VARCHAR coercion, made explicit)."""
+    events = load(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").alias("k_int"),
+        F.expr("try_cast(event_type AS BIGINT)").alias("bad_int"),
+        F.col("value").cast("decimal(18,2)").alias("value_dec"),
+    )
+
+
+@workload(
+    "o18_filtered_count",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS d,
+           count(*) AS n_rows,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    """,
+)
+def o18_filtered_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O18: date-bucketed audit counts — the intent of the reference's
+    inserted/updated-today metrics (SURVEY.md §2 O18 quirk note)."""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@workload(
+    "o19_retention_predicate",
+    oracle="""
+    SELECT event_id, ts, user_id
+    FROM events
+    WHERE CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM events)
+    """,
+)
+def o19_retention_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O19: staging retention — keep only rows whose date equals the current
+    (here: latest) date; everything else is purged."""
+    events = load(spark, sf_dir, "events")
+    latest = events.agg(F.max(F.to_date("ts")).alias("latest_d"))
+    return (
+        events.crossJoin(F.broadcast(latest))
+        .filter(F.to_date("ts") == F.col("latest_d"))
+        .select("event_id", "ts", "user_id")
+    )

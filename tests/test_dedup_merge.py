@@ -1,0 +1,86 @@
+"""Window dedup (O15) + merge upsert (O16/O14) unit tests."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from fn_rq_report_etl_dev_spark.operators.dedup import latest_per_key
+from fn_rq_report_etl_dev_spark.operators.merge import MERGE_ACTION, merge_counts, merge_upsert
+
+
+def _ts(s: str) -> datetime:
+    return datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+
+
+def test_latest_per_key_keeps_max_order_col(spark):
+    df = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:00"), "a"),
+            (1, _ts("2024-01-03 00:00:00"), "b"),
+            (1, _ts("2024-01-02 00:00:00"), "c"),
+            (2, _ts("2024-01-01 00:00:00"), "d"),
+        ],
+        "k long, ts timestamp, v string",
+    )
+    out = {r["k"]: r["v"] for r in latest_per_key(df, ["k"], ["ts"]).collect()}
+    assert out == {1: "b", 2: "d"}
+
+
+def test_latest_per_key_deterministic_tiebreak(spark):
+    # Equal ts → highest tiebreaker wins, every time.
+    rows = [(1, _ts("2024-01-01 00:00:00"), i, f"v{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, tid long, v string")
+    for _ in range(3):
+        out = latest_per_key(df, ["k"], ["ts", "tid"]).collect()
+        assert len(out) == 1 and out[0]["v"] == "v19"
+
+
+def test_latest_per_key_nulls_sort_last(spark):
+    df = spark.createDataFrame(
+        [(1, None, 0, "null-ts"), (1, _ts("2020-01-01 00:00:00"), 1, "real-ts")],
+        "k long, ts timestamp, tid long, v string",
+    )
+    out = latest_per_key(df, ["k"], ["ts", "tid"]).collect()
+    assert out[0]["v"] == "real-ts"
+
+
+def test_merge_upsert_insert_update_keep(spark):
+    now = F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+    t0 = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    target = spark.createDataFrame(
+        [(1, "old-1"), (2, "old-2")], "k long, v string"
+    ).withColumn("ins", t0).withColumn("upd", F.lit(None).cast("timestamp"))
+    source = spark.createDataFrame([(2, "new-2"), (3, "new-3")], "k long, v string")
+
+    merged = merge_upsert(
+        target, source, "k",
+        audit_inserted="ins", audit_updated="upd", now=now, keep_action=True,
+    )
+    rows = {r["k"]: r for r in merged.collect()}
+    assert rows[1]["v"] == "old-1" and rows[1][MERGE_ACTION] == "keep"
+    assert rows[2]["v"] == "new-2" and rows[2][MERGE_ACTION] == "update"
+    assert rows[3]["v"] == "new-3" and rows[3][MERGE_ACTION] == "insert"
+    # audit semantics (rqtradein_etl.py:161,164)
+    assert rows[1]["ins"] == _ts("2024-01-01 00:00:00") and rows[1]["upd"] is None
+    assert rows[2]["ins"] == _ts("2024-01-01 00:00:00") and rows[2]["upd"] == _ts("2024-06-01 00:00:00")
+    assert rows[3]["ins"] == _ts("2024-06-01 00:00:00") and rows[3]["upd"] is None
+
+    assert merge_counts(merged) == {"inserted": 1, "updated": 1}
+
+
+def test_merge_preserves_key_uniqueness(spark):
+    target = spark.createDataFrame([(i, "t") for i in range(50)], "k long, v string")
+    source = spark.createDataFrame([(i, "s") for i in range(25, 75)], "k long, v string")
+    merged = merge_upsert(target, source, "k")
+    assert merged.count() == 75
+    assert merged.select("k").distinct().count() == 75
+
+
+def test_merge_idempotent(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    source = spark.createDataFrame([(2, "b2"), (3, "c")], "k long, v string")
+    once = merge_upsert(target, source, "k")
+    twice = merge_upsert(once, source, "k")
+    assert sorted(once.collect()) == sorted(twice.collect())

@@ -1,0 +1,84 @@
+"""Pre-verification of the driver's correctness gate: run every registered
+workload on sf0.001 Spark-side AND DuckDB-side and compare row count, column
+names, and an order-insensitive value comparison — a local mirror of
+CORRECTNESS_r{N}.json so mismatches surface before the driver runs."""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+import pytest
+
+from fn_rq_report_etl_dev_spark.workloads import ORACLES, QUERIES
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    """Engine-neutral value rendering (mirrors an order-insensitive hash)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, datetime):
+        return v.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    return str(v)
+
+
+def _canon(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted("|".join(_norm(row[i]) for i in order) for row in rows)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_duckdb_oracle(name, spark, sf_dir):
+    sdf = QUERIES[name](spark, sf_dir)
+    spark_cols = [c.lower() for c in sdf.columns]
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck(sf_dir)
+    res = con.execute(ORACLES[name])
+    duck_cols = [c[0].lower() for c in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column names differ"
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count differs"
+    spark_canon = _canon(spark_rows, spark_cols)
+    duck_canon = _canon(duck_rows, duck_cols)
+    mismatches = [
+        (s, d) for s, d in zip(spark_canon, duck_canon) if s != d
+    ]
+    assert not mismatches, f"{name}: first value mismatches: {mismatches[:5]}"
+
+
+def test_every_query_runs_and_entry_smokes(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
