@@ -1,0 +1,466 @@
+"""General relational surface over the TPC-H-ish corpus: multi-way joins,
+grouped/rolled-up aggregation, window functions (rank / running / lag /
+as-of), semi/anti joins, set operations, pivot, sessionization, JSON and
+scalar functions.
+
+The reference only exercises these operators through one MERGE statement
+(SURVEY.md §2.1); this module is the "comes free with df.join/groupBy"
+surface, exercised properly so the engine's coverage is demonstrated and
+oracle-checked.
+
+Float determinism: every SUM over money flows through DECIMAL(18,2/4/6)
+intermediates with explicit casts after each multiply (identical exact
+values in Spark and DuckDB regardless of precision-promotion rules), and is
+cast to DOUBLE only at the end; AVG is exact-sum ÷ count in double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import load, workload
+
+_D2 = "decimal(18,2)"
+_ONE = "CAST(1 AS DECIMAL(18,2))"
+
+
+def _dec2(c: str) -> F.Column:
+    return F.col(c).cast(_D2)
+
+
+@workload(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * ({_ONE} - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * ({_ONE} - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * ({_ONE} + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with 8 aggregates. The filter
+    pushes to the parquet scan; partial aggregation is map-side."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00")
+    )
+    one = F.expr(_ONE)
+    qty, price, disc, tax = (_dec2(c) for c in
+                             ("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    disc_price = (price * (one - disc)).cast("decimal(18,4)")
+    charge = (disc_price * (one + tax)).cast("decimal(18,6)")
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(qty).cast("double") / n).alias("avg_qty"),
+        (F.sum(price).cast("double") / n).alias("avg_price"),
+        (F.sum(disc).cast("double") / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+_REVENUE_SQL = f"CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * ({_ONE} - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
+
+
+def _revenue() -> F.Column:
+    one = F.expr(_ONE)
+    return (_dec2("l_extendedprice") * (one - _dec2("l_discount"))).cast("decimal(18,4)")
+
+
+@workload(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+           CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY sum({_REVENUE_SQL}) DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + group + exact-decimal top-10 (ties
+    broken by key, so the row SET is deterministic). customer is small →
+    broadcast; lineitem⋈orders shuffles on the order key."""
+    cutoff = F.lit("1998-01-01 00:00:00")
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    agg = joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(_revenue()).alias("rev_exact")
+    )
+    return (
+        agg.orderBy(F.col("rev_exact").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority",
+                F.col("rev_exact").cast("double").alias("revenue"))
+    )
+
+
+@workload(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT r_name, n_name, CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY r_name, n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join. All dimensions (region, nation,
+    customer, supplier) broadcast; only the orders⋈lineitem edge shuffles."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    sup = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(sup),
+            (li.l_suppkey == sup.s_suppkey) & (sup.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        F.sum(_revenue()).cast("double").alias("revenue")
+    )
+
+
+@workload(
+    "join_semi_urgent_customers",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers with ≥1 urgent order."""
+    cust = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@workload(
+    "join_anti_no_big_order",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+)
+def join_anti_no_big_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no order above 300k."""
+    cust = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@workload(
+    "agg_rollup_returnflag",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: per-(flag,status), per-flag subtotals, grand
+    total — one pass, no self-union."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec2("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+@workload(
+    "window_running_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           rank() OVER w AS rnk,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+           CAST(lag(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS prev_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames + analytics: rank, running sum over an explicit ROWS
+    frame, lag — per-customer order history."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    price = _dec2("o_totalprice")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.sum(price).over(frame).cast("double").alias("running_spend"),
+        F.lag(price).over(w).cast("double").alias("prev_price"),
+    )
+
+
+@workload(
+    "topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group: the scalable pattern (partition-local sort, no
+    global sort), deterministic via the key tiebreak."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@workload(
+    "set_ops_nations",
+    oracle="""
+    SELECT n.nationkey, 'both' AS side
+    FROM (SELECT c_nationkey AS nationkey FROM customer
+          INTERSECT
+          SELECT s_nationkey FROM supplier) n
+    UNION ALL
+    SELECT n.nationkey, 'customer_only' AS side
+    FROM (SELECT c_nationkey AS nationkey FROM customer
+          EXCEPT
+          SELECT s_nationkey FROM supplier) n
+    """,
+)
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: INTERSECT / EXCEPT (distinct semantics) + UNION ALL."""
+    cn = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    sn = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = cn.intersect(sn).withColumn("side", F.lit("both"))
+    cust_only = cn.subtract(sn).withColumn("side", F.lit("customer_only"))
+    return both.unionAll(cust_only)
+
+
+@workload(
+    "json_extract_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column querying: extract a field from the props JSON string and
+    aggregate it (exact integer arithmetic)."""
+    events = load(spark, sf_dir, "events")
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(k).alias("sum_k"),
+    )
+
+
+@workload(
+    "pivot_user_event_counts",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: event-type counts as columns per user. Explicit value list =
+    one pass, no distinct-values pre-query (the scalable form)."""
+    events = load(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    piv = events.groupBy("user_id").pivot("event_type", kinds).count()
+    return piv.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    )
+
+
+@workload(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
+    FROM flagged GROUP BY user_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute-gap session starts via lag + conditional
+    count — the batch form of session_window."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60),
+        1,
+    ).otherwise(0)
+    return (
+        events.select("user_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(F.sum("new_session").cast("bigint").alias("n_sessions"))
+    )
+
+
+@workload(
+    "asof_prior_purchase",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           max(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_purchase_ts
+    FROM events
+    """,
+)
+def asof_prior_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (point-in-time lookup) expressed as a running-max window:
+    for every event, the timestamp of that user's most recent PRIOR
+    purchase. Spark lacks a native as-of join; this composition is the
+    shuffle-minimal equivalent for self-asof (one exchange on user_id)."""
+    events = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    return events.select(
+        "event_id", "user_id", "ts",
+        F.max(purchase_ts).over(w).alias("last_purchase_ts"),
+    )
+
+
+@workload(
+    "scalar_functions_showcase",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           lower(p_type) AS type_l,
+           substring(p_name, 1, 8) AS name8,
+           length(p_name) AS name_len,
+           concat(p_brand, ':', p_type) AS brand_type,
+           abs(p_size - 25) AS size_dev,
+           p_partkey % 7 AS pk_mod,
+           greatest(p_size, 10) AS size_floor10,
+           CAST(round(CAST(p_retailprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_r1,
+           CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) * p_size AS ext_value
+    FROM part
+    """,
+)
+def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/math scalar function surface (all JVM built-ins, codegen'd)."""
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        (F.col("p_partkey") % 7).alias("pk_mod"),
+        F.greatest(F.col("p_size"), F.lit(10)).alias("size_floor10"),
+        F.round(_dec2("p_retailprice"), 1).cast("double").alias("price_r1"),
+        (_dec2("p_retailprice").cast("double") * F.col("p_size")).alias("ext_value"),
+    )
+
+
+@workload(
+    "datetime_functions_showcase",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS y,
+           month(o_orderdate) AS m,
+           dayofmonth(o_orderdate) AS d,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           o_orderdate + INTERVAL 7 DAY AS plus_week,
+           date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_95
+    FROM orders
+    """,
+)
+def datetime_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar function surface (O-series date ops generalized)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("plus_week"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        .cast("bigint").alias("days_since_95"),
+    )
