@@ -1,0 +1,153 @@
+"""Vector similarity search over embedding columns (``array<float>``).
+
+- ``cosine``                — pure column expression (zip_with + fold in
+                              DOUBLE; JVM-side, no Python);
+- ``brute_force_topk``      — exact top-k: query×corpus equi-free join with
+                              a per-query window cut. The correctness
+                              baseline; O(|Q|·|C|·d).
+- ``signlsh_topk``          — random-hyperplane-style LSH using sign bits of
+                              fixed dimensions as the bucket key; queries
+                              only scan their bucket. The scale path: the
+                              join becomes an equi-join on the bucket key
+                              (hash-partitioned, no cross product).
+- ``embedding_near_dup_pairs`` — near-dup detection blocked by a coarse
+                              partition key (label/IVF cell): quadratic only
+                              within a block.
+
+At 100 TB the corpus side is the big table: both LSH bucketing and label
+blocking turn the O(n²) pair space into per-bucket work distributed by the
+shuffle, and the query side is broadcast when small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def as_double(vec: Column) -> Column:
+    return vec.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in DOUBLE (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
+    """LSH bucket key: sign bits of the first ``n_bits`` dimensions
+    (axis-aligned random-hyperplane LSH — portable and deterministic)."""
+    return F.concat(
+        *[
+            F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(n_bits)
+        ]
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k for each query over the corpus.
+
+    Queries are broadcast (they're the small side); the corpus streams
+    through one pass; the window cut keeps k rows per query.
+    Returns (query_id, neighbor_id, rank, cos).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = F.broadcast(q).crossJoin(c)
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def signlsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_bits: int = 8,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign-LSH
+    bucket — the cross join becomes an equi-join on the bucket key."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    scored = q.join(c, "bucket")
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    block_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.35,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine, blocked on ``block_col`` (a label,
+    cluster id, or IVF cell): the pair space is quadratic only within a
+    block, and blocks distribute across the cluster via the equi-join."""
+    a = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id_a"),
+        as_double(F.col(vec_col)).alias("va"),
+    )
+    b = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id_b"),
+        as_double(F.col(vec_col)).alias("vb"),
+    )
+    pairs = a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "block", "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+    ).filter(F.col("cos") >= min_cosine)

@@ -1,0 +1,181 @@
+"""Document deduplication family for training-data pipelines:
+
+- exact dedup           — hash-groupBy on content digest (one shuffle);
+- MinHash + LSH         — shingle → K min-hashes → banded bucket join:
+                          candidate pairs without the O(n²) self-join;
+- SimHash               — 16-bit frequency-weighted bit-vote signature,
+                          equality buckets for near-dup candidates;
+- n-gram Jaccard        — exact similarity, computed ONLY on LSH candidate
+                          pairs (the scale-correct verify step).
+
+Design for 100 TB: every stage is an aggregation or an equi-join on a
+derived key — no cross joins, no driver-side loops. The MinHash signature
+is computed with K parallel ``min()`` aggregates in ONE groupBy pass over
+the exploded shingles (no K-way salt explosion). The only quadratic work is
+inside an LSH bucket, which the band width (r) keeps small; skewed buckets
+are AQE-splittable since the pair-generation is a plain self-equi-join.
+
+Portability: the hash is ``md5(salt || shingle)`` — identical strings in
+any engine — so the DuckDB oracles can reproduce signatures exactly.
+(Spark's hash()/xxhash64 would be engine-private.) min() over hex strings
+is a lexicographic min-hash: uniform enough for banding, reproducible
+everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import word_shingles
+
+DEFAULT_K = 12  # minhash signature length
+DEFAULT_BANDS = 3  # LSH bands (r = K / bands hashes per band)
+
+
+def content_digest_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: group by content digest; keep the lowest id as canonical.
+    One hash-partition shuffle on the digest; survivors = n_groups rows."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.col(id_col)).alias("keep_id"),
+        )
+    )
+
+
+def _exploded_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per (doc, DISTINCT shingle)."""
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col)))).alias("sh"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = DEFAULT_K
+) -> DataFrame:
+    """K-wide MinHash signature per document, one aggregation pass:
+    ``mh_j = min(md5(j || shingle))``."""
+    sh = _exploded_shingles(df, id_col, text_col)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(str(j)), F.col("sh")))).alias(f"mh_{j}")
+        for j in range(k)
+    ]
+    return sh.groupBy("__id").agg(*mins)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Near-dup candidate pairs: documents agreeing on at least one LSH band
+    (all r = k/bands min-hashes in that band equal).
+
+    Returns distinct (id_a, id_b) with id_a < id_b. Cost: signatures
+    (1 shuffle) + per-band self-equi-join on the band hash.
+    """
+    assert k % bands == 0, "k must divide evenly into bands"
+    r = k // bands
+    sig = minhash_signatures(df, id_col, text_col, k)
+    band_hashes = F.array(
+        *[
+            F.md5(F.concat_ws("|", *[F.col(f"mh_{b * r + i}") for i in range(r)]))
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col("__id"), F.posexplode(band_hashes).alias("band", "band_hash")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_on_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_jaccard: float = 0.5,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Exact word-3-gram Jaccard, verified ONLY on LSH candidate pairs —
+    LSH recalls, Jaccard verifies. Returns (id_a, id_b, jaccard≥threshold).
+    """
+    cands = lsh_candidate_pairs(df, id_col, text_col, k, bands)
+    sh = _exploded_shingles(df, id_col, text_col)
+    counts = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    sh_a = sh.select(F.col("__id").alias("id_a"), "sh")
+    sh_b = sh.select(F.col("__id").alias("id_b2"), F.col("sh").alias("sh_b"))
+    common = (
+        cands.join(sh_a, "id_a")
+        .join(sh_b, (F.col("id_b") == F.col("id_b2")) & (F.col("sh") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("__id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("__id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        common.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= min_jaccard)
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash: per word, bit j votes +1 if hex nibble j of md5(word)
+    has its high bit set, else -1; signature bit = sign of the vote sum.
+    Frequency-weighted (duplicated words vote repeatedly). One explode +
+    one aggregation; the signature is a portable '0'/'1' string."""
+    w = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
+    ).withColumn("h", F.md5(F.col("w")))
+    high = set("89abcdef")
+    votes = [
+        F.sum(
+            F.when(F.substring("h", j + 1, 1).isin(*high), 1).otherwise(-1)
+        ).alias(f"v_{j}")
+        for j in range(16)
+    ]
+    agg = w.groupBy("__id").agg(*votes)
+    bits = F.concat(
+        *[F.when(F.col(f"v_{j}") > 0, "1").otherwise("0") for j in range(16)]
+    )
+    return agg.select(F.col("__id"), bits.alias("simhash"))
+
+
+def simhash_collision_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Candidate near-dup pairs: identical 16-bit SimHash (bucket join)."""
+    sig = simhash16(df, id_col, text_col)
+    a, b = sig.alias("a"), sig.alias("b")
+    return a.join(
+        b,
+        (F.col("a.simhash") == F.col("b.simhash")) & (F.col("a.__id") < F.col("b.__id")),
+    ).select(
+        F.col("a.__id").alias("id_a"),
+        F.col("b.__id").alias("id_b"),
+        F.col("a.simhash").alias("simhash"),
+    )

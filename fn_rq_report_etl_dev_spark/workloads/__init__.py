@@ -61,4 +61,4 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 # Importing the submodules populates the registry.
-from . import parity, relational  # noqa: E402,F401
+from . import llmops, parity, relational  # noqa: E402,F401

@@ -1,0 +1,388 @@
+"""LLM training-data pipeline workloads over ``documents`` and
+``embeddings``: the dedup family (exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine), similarity search (brute-force + sign-LSH
+top-k), text analysis (lang-ID, quality, tokens, fingerprint), and
+multimodal binary plumbing.
+
+Every op is oracle-checked: signatures use portable md5-based hashing so
+DuckDB reproduces them exactly; cosine scores are rounded to 6 dp in the
+output (both engines compute in double; last-ulp divergence is absorbed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+from ..operators.multimodal import to_asset_table
+from ..operators.similarity import brute_force_topk, embedding_near_dup_pairs, signlsh_topk
+from ..operators.text_dedup import (
+    DEFAULT_BANDS,
+    DEFAULT_K,
+    content_digest_groups,
+    lsh_candidate_pairs,
+    ngram_jaccard_on_candidates,
+    simhash_collision_pairs,
+)
+from . import load, workload
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB fragments (mirror operators/text_dedup.py exactly)
+# ---------------------------------------------------------------------------
+
+_SHINGLES_CTE = r"""
+words AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+    FROM documents
+),
+shingles AS (
+    SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+    FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+    WHERE len(ws) >= 3
+)"""
+
+_K, _B = DEFAULT_K, DEFAULT_BANDS
+_R = _K // _B
+_SIG_COLS = ", ".join(f"min(md5('{j}' || sh)) AS mh_{j}" for j in range(_K))
+_BAND_CASES = " ".join(
+    "WHEN {b} THEN md5({expr})".format(
+        b=b, expr=" || '|' || ".join(f"mh_{b * _R + i}" for i in range(_R))
+    )
+    for b in range(_B)
+)
+_LSH_CTE = f"""
+sig AS (
+    SELECT doc_id, {_SIG_COLS}
+    FROM shingles GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id, bb.band,
+           CASE bb.band {_BAND_CASES} END AS band_hash
+    FROM sig, (VALUES (0), (1), (2)) AS bb(band)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id
+)"""
+
+
+@workload(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one hash-groupBy on the content digest; survivor = min id."""
+    return content_digest_groups(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@workload(
+    "dedup_minhash_lsh",
+    oracle=f"WITH {_SHINGLES_CTE}, {_LSH_CTE} SELECT id_a, id_b FROM cand",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=12) + LSH(3 bands × 4): near-dup candidate pairs without
+    the O(n²) self-join — signature agg + banded bucket equi-join."""
+    return lsh_candidate_pairs(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@workload(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}, {_LSH_CTE},
+    counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    common AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_common
+        FROM cand c
+        JOIN shingles sa ON sa.doc_id = c.id_a
+        JOIN shingles sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b,
+           n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN counts ca ON ca.doc_id = id_a
+    JOIN counts cb ON cb.doc_id = id_b
+    WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard ≥ 0.5, verified only on LSH candidates
+    (LSH recalls, Jaccard verifies — the scale-correct two-phase shape)."""
+    return ngram_jaccard_on_candidates(
+        load(spark, sf_dir, "documents"), "doc_id", "text", min_jaccard=0.5
+    )
+
+
+_SIMHASH_VOTES = ", ".join(
+    "sum(CASE WHEN substr(h, {p}, 1) IN ('8','9','a','b','c','d','e','f') "
+    "THEN 1 ELSE -1 END) AS v_{j}".format(p=j + 1, j=j)
+    for j in range(16)
+)
+_SIMHASH_BITS = " || ".join(
+    f"CASE WHEN v_{j} > 0 THEN '1' ELSE '0' END" for j in range(16)
+)
+
+
+@workload(
+    "dedup_simhash",
+    oracle=rf"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents
+    ),
+    h AS (SELECT doc_id, md5(w) AS h FROM w),
+    votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM votes)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS simhash
+    FROM sig a JOIN sig b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash collision pairs: frequency-weighted bit votes from
+    md5 nibbles; near-dups (and ~n²/2^16 random pairs) share a bucket."""
+    return simhash_collision_pairs(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@workload(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
+    SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_r
+    FROM e a
+    JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.35, blocked by label so the
+    quadratic pair space is per-block and shuffle-distributed."""
+    pairs = embedding_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), "label", min_cosine=0.35
+    )
+    return pairs.select("block", "id_a", "id_b", F.round("cos", 6).alias("cos_r"))
+
+
+@workload(
+    "ann_bruteforce_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 8),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.v, c.v) AS cos
+        FROM q, e c
+        WHERE c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos_r
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 8 query vectors over the whole corpus —
+    the ANN correctness baseline (broadcast queries, one corpus pass)."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = brute_force_topk(
+        emb.filter(F.col("vec_id") < 8), emb, k=5, exclude_self=True
+    )
+    return out.select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_r"))
+
+
+_BUCKET_SQL = " || ".join(
+    f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(8)
+)
+
+
+@workload(
+    "ann_signlsh_topk",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, {_BUCKET_SQL} AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM e WHERE vec_id < 8),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.v, c.v) AS cos
+        FROM q JOIN e c ON q.bucket = c.bucket
+        WHERE c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos_r
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def ann_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3: sign-bit LSH bucket (8 planes) — the cross join
+    becomes a bucket equi-join; the 100 TB scale path."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = signlsh_topk(
+        emb.filter(F.col("vec_id") < 8), emb, k=3, n_bits=8, exclude_self=True
+    )
+    return out.select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_r"))
+
+
+_LANG_PATTERNS_SQL = {
+    lang: pat.replace("\\", "\\\\") for lang, pat in TXT.LANG_STOPWORD_PATTERNS.items()
+}
+
+
+@workload(
+    "text_lang_id",
+    oracle=rf"""
+    WITH hits AS (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(lower(text), '{TXT.LANG_STOPWORD_PATTERNS["en"]}')) AS en_hits,
+               len(regexp_extract_all(lower(text), '{TXT.LANG_STOPWORD_PATTERNS["de"]}')) AS de_hits,
+               len(regexp_extract_all(lower(text), '{TXT.LANG_STOPWORD_PATTERNS["fr"]}')) AS fr_hits,
+               len(regexp_extract_all(lower(text), '{TXT.LANG_STOPWORD_PATTERNS["es"]}')) AS es_hits,
+               len(regexp_extract_all(text, '{TXT.CJK_PATTERN}')) AS zh_hits
+        FROM documents
+    )
+    SELECT doc_id, lang, en_hits, de_hits, fr_hits, es_hits, zh_hits,
+           CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits
+                     AND en_hits >= es_hits AND en_hits >= zh_hits THEN 'en'
+                WHEN de_hits >= fr_hits AND de_hits >= es_hits
+                     AND de_hits >= zh_hits THEN 'de'
+                WHEN fr_hits >= es_hits AND fr_hits >= zh_hits THEN 'fr'
+                WHEN es_hits >= zh_hits THEN 'es'
+                ELSE 'zh' END AS predicted_lang
+    FROM hits
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (n-gram heuristic): per-language hit
+    counts + deterministic argmax."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    hits = {lang: TXT.stopword_hits(t, lang) for lang in ("en", "de", "fr", "es")}
+    zh = TXT.cjk_chars(t)
+    return docs.select(
+        "doc_id",
+        "lang",
+        hits["en"].alias("en_hits"),
+        hits["de"].alias("de_hits"),
+        hits["fr"].alias("fr_hits"),
+        hits["es"].alias("es_hits"),
+        zh.alias("zh_hits"),
+        TXT.predicted_lang(hits["en"], hits["de"], hits["fr"], hits["es"], zh)
+        .alias("predicted_lang"),
+    )
+
+
+@workload(
+    "text_quality_score",
+    oracle=r"""
+    WITH m AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(lower(text)), '\s+')) AS n_words,
+               len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+               length(text) AS n_chars_m,
+               len(regexp_extract_all(lower(text),
+                   '\b(the|and|of|to|in|is|for|with|on|that)\b')) AS stop_hits
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_punct,
+           alpha_chars * 1.0 / n_chars_m AS alpha_ratio,
+           stop_hits * 1.0 / n_words AS stop_ratio,
+           round((alpha_chars * 1.0 / n_chars_m
+                  + least(stop_hits * 4.0 / n_words, 1.0)) / 2.0, 6) AS quality
+    FROM m
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: word/punct counts, alpha ratio, stopword ratio,
+    and a blended 0-1 quality score (all integer-derived double math)."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_words = TXT.whitespace_token_count(t)
+    n_punct = TXT.punct_count(t)
+    alpha = TXT.alpha_char_count(t)
+    n_chars = F.length(t)
+    stop_hits = TXT.stopword_hits(t, "en")
+    alpha_ratio = alpha * F.lit(1.0) / n_chars
+    stop_ratio = stop_hits * F.lit(1.0) / n_words
+    quality = F.round(
+        (alpha_ratio + F.least(stop_hits * F.lit(4.0) / n_words, F.lit(1.0))) / 2.0, 6
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_punct.alias("n_punct"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality"),
+    )
+
+
+@workload(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split_regex(trim(lower(text)), '\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS subword_tokens,
+           length(text) * 1.0
+               / len(string_split_regex(trim(lower(text)), '\s+')) AS chars_per_token
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish pre-tokenizer regex."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    ws = TXT.whitespace_token_count(t)
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        TXT.subword_token_count(t).alias("subword_tokens"),
+        (F.length(t) * F.lit(1.0) / ws).alias("chars_per_token"),
+    )
+
+
+@workload(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(array_to_string(
+               list_sort(list_distinct(string_split_regex(trim(lower(text)), '\s+'))),
+               ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprint (sorted distinct word set →
+    md5): groups word-order permutations of the same content."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", TXT.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@workload(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           'text/plain' AS mime,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal asset plumbing: opaque binary payload + typed metadata
+    (byte length, digest) as a pure projection. The decode stage is the
+    pandas-UDF path in operators.multimodal (codec stubbed; tested with a
+    deterministic fake)."""
+    docs = load(spark, sf_dir, "documents")
+    assets = to_asset_table(docs, "doc_id", "text", "text/plain")
+    return assets.select("asset_id", "mime", "n_bytes", "content_md5")

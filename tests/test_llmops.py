@@ -1,0 +1,99 @@
+"""Behavior tests for the LLM-pipeline operators: near-dup recall on planted
+duplicates, ANN sanity, and the multimodal Arrow/mapInPandas plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fn_rq_report_etl_dev_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_features,
+    to_asset_table,
+)
+from fn_rq_report_etl_dev_spark.operators.similarity import brute_force_topk, signlsh_topk
+from fn_rq_report_etl_dev_spark.operators.text_dedup import (
+    content_digest_groups,
+    lsh_candidate_pairs,
+    ngram_jaccard_on_candidates,
+    simhash_collision_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base.replace("today", "tonight")  # one-word edit → high jaccard
+    far = "completely different content about spark shuffles and parquet readers"
+    rows = [(0, base), (1, near), (2, far), (3, base), (4, "tiny doc")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark, docs):
+    groups = {r["keep_id"]: r["n_docs"] for r in content_digest_groups(docs, "doc_id", "text").collect()}
+    assert groups[0] == 2  # docs 0 and 3 identical, keep 0
+    assert groups[1] == 1 and groups[2] == 1
+
+
+def test_lsh_recalls_planted_near_dup(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(docs, "doc_id", "text").collect()}
+    assert (0, 3) in pairs  # exact dup always collides
+    assert (0, 1) in pairs or (1, 3) in pairs  # one-word edit recalled
+    assert (0, 2) not in pairs and (1, 2) not in pairs  # unrelated doc not
+
+
+def test_jaccard_verifies_candidates(spark, docs):
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_on_candidates(docs, "doc_id", "text", 0.5).collect()}
+    assert out[(0, 3)] == 1.0
+    assert any(p in out and 0.5 <= out[p] < 1.0 for p in [(0, 1), (1, 3)])
+
+
+def test_simhash_exact_dup_collides(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_collision_pairs(docs, "doc_id", "text").collect()}
+    assert (0, 3) in pairs
+
+
+def test_bruteforce_topk_finds_self_and_respects_k(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    rows.append((4, [1.0, 0.0, 0.0, 0.001]))  # near-parallel to vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = brute_force_topk(df.filter("vec_id = 0"), df, k=2, exclude_self=True).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])][0] == 4
+    assert len(out) == 2
+
+
+def test_signlsh_only_scans_own_bucket(spark):
+    rows = [
+        (0, [1.0, 1.0, 1.0, 1.0]),
+        (1, [0.9, 1.1, 0.8, 1.0]),   # same sign bucket as 0
+        (2, [-1.0, 1.0, 1.0, 1.0]),  # different bucket
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = signlsh_topk(df.filter("vec_id = 0"), df, k=5, n_bits=4, exclude_self=True).collect()
+    assert [r["neighbor_id"] for r in out] == [1]
+
+
+def test_multimodal_asset_and_fake_decode(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None)], "doc_id long, text string"
+    )
+    assets = to_asset_table(df, "doc_id", "text", "text/plain")
+    meta = {r["asset_id"]: r for r in assets.collect()}
+    assert meta[1]["n_bytes"] == 11
+    assert meta[1]["content_md5"] == "5eb63bbbe01eeed093cb22bb8f5acdc3"  # md5('hello world')
+    assert meta[2]["payload"] is None and meta[2]["n_bytes"] is None
+
+    feats = {r["asset_id"]: r for r in
+             decode_features(assets, deterministic_fake=True).collect()}
+    assert len(feats[1]["features"]) == FEATURE_DIM
+    assert abs(sum(feats[1]["features"]) - 1.0) < 1e-6  # normalized histogram
+    assert feats[1]["decode_ok"] is True
+    assert feats[2]["features"] is None
+
+
+def test_multimodal_stub_raises_without_codec(spark):
+    df = spark.createDataFrame([(1, "payload")], "doc_id long, text string")
+    assets = to_asset_table(df, "doc_id", "text", "image/jpeg")
+    with pytest.raises(Exception, match="NotImplementedError|no media codec"):
+        decode_features(assets).collect()
