@@ -27,8 +27,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import word_shingles
-
 DEFAULT_K = 12  # minhash signature length
 DEFAULT_BANDS = 3  # LSH bands (r = K / bands hashes per band)
 
@@ -45,20 +43,79 @@ def content_digest_groups(df: DataFrame, id_col: str, text_col: str) -> DataFram
     )
 
 
-def _exploded_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """One row per (doc, DISTINCT shingle)."""
-    return df.select(
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition a small/single-file input across all cores before a
+    CPU-bound stage (a big corpus arrives in many splits already). Keyed by
+    id so the downstream per-doc window/groupBy reuses the exchange."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism, F.col(id_col))
+    return df
+
+
+def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, distinct: bool = True) -> DataFrame:
+    """One row per (doc, shingle): word 3-grams via posexplode + window
+    lead — the whole path stays in whole-stage codegen (an array
+    higher-order-function formulation would be interpreted and re-evaluate
+    the regex split per element). The word sort/shift shares the per-doc
+    partitioning with every downstream groupBy/window on the doc id.
+
+    ``distinct=False`` skips the dedup shuffle — min-hash is unaffected by
+    repeated shingles; only Jaccard set arithmetic needs distinct.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import words
+
+    ws = _spread(df, id_col).select(
         F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col)))).alias("sh"),
+        F.posexplode(words(F.col(text_col))).alias("pos", "w"),
     )
+    w = Window.partitionBy("__id").orderBy("pos")
+    sh = ws.select(
+        F.col("__id"),
+        F.concat_ws(" ", "w", F.lead("w", 1).over(w), F.lead("w", 2).over(w)).alias("sh"),
+        F.lead("w", 2).over(w).alias("__w2"),
+    ).filter(F.col("__w2").isNotNull()).drop("__w2")
+    return sh.distinct() if distinct else sh
+
+
+def _bucket_pairs(df: DataFrame, key_cols: list[str], keep: list[str] | None = None) -> DataFrame:
+    """All (id_a < id_b) pairs of ``__id``s sharing the same bucket key —
+    computed by collecting each bucket's sorted id array and expanding
+    combinations with array functions.
+
+    One pass over the input (the upstream pipeline is NOT recomputed, unlike
+    a self-join whose two sides each re-execute it). Bucket size is bounded
+    by design (LSH band width / hash width); a pathologically hot bucket
+    would need salted splitting — documented trade-off.
+    """
+    ids = F.sort_array(F.collect_list("__id")).alias("ids")
+    keep = keep or []
+    buckets = (
+        df.groupBy(*key_cols).agg(ids).filter(F.size("ids") >= 2)
+    )
+    pair_arrays = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return buckets.select(
+        *[F.col(c) for c in keep], F.explode(pair_arrays).alias("p")
+    ).select(*keep, F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = DEFAULT_K
 ) -> DataFrame:
     """K-wide MinHash signature per document, one aggregation pass:
-    ``mh_j = min(md5(j || shingle))``."""
-    sh = _exploded_shingles(df, id_col, text_col)
+    ``mh_j = min(md5(j || shingle))``. Repeated shingles don't change the
+    min, so the distinct shuffle is skipped."""
+    sh = _exploded_shingles(df, id_col, text_col, distinct=False)
     mins = [
         F.min(F.md5(F.concat(F.lit(str(j)), F.col("sh")))).alias(f"mh_{j}")
         for j in range(k)
@@ -91,17 +148,8 @@ def lsh_candidate_pairs(
     banded = sig.select(
         F.col("__id"), F.posexplode(band_hashes).alias("band", "band_hash")
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .distinct()
-    )
+    # A pair may collide in several bands → distinct.
+    return _bucket_pairs(banded, ["band", "band_hash"]).distinct()
 
 
 def ngram_jaccard_on_candidates(
@@ -115,8 +163,10 @@ def ngram_jaccard_on_candidates(
     """Exact word-3-gram Jaccard, verified ONLY on LSH candidate pairs —
     LSH recalls, Jaccard verifies. Returns (id_a, id_b, jaccard≥threshold).
     """
-    cands = lsh_candidate_pairs(df, id_col, text_col, k, bands)
-    sh = _exploded_shingles(df, id_col, text_col)
+    # Candidates and shingles are each reused by two downstream joins —
+    # persist so the shingle/signature pipeline runs once, not three times.
+    cands = lsh_candidate_pairs(df, id_col, text_col, k, bands).persist()
+    sh = _exploded_shingles(df, id_col, text_col).persist()
     counts = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     sh_a = sh.select(F.col("__id").alias("id_a"), "sh")
@@ -149,7 +199,7 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     has its high bit set, else -1; signature bit = sign of the vote sum.
     Frequency-weighted (duplicated words vote repeatedly). One explode +
     one aggregation; the signature is a portable '0'/'1' string."""
-    w = df.select(
+    w = _spread(df, id_col).select(
         F.col(id_col).alias("__id"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
     ).withColumn("h", F.md5(F.col("w")))
@@ -168,14 +218,6 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_collision_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Candidate near-dup pairs: identical 16-bit SimHash (bucket join)."""
+    """Candidate near-dup pairs: identical 16-bit SimHash (bucket expand)."""
     sig = simhash16(df, id_col, text_col)
-    a, b = sig.alias("a"), sig.alias("b")
-    return a.join(
-        b,
-        (F.col("a.simhash") == F.col("b.simhash")) & (F.col("a.__id") < F.col("b.__id")),
-    ).select(
-        F.col("a.__id").alias("id_a"),
-        F.col("b.__id").alias("id_b"),
-        F.col("a.simhash").alias("simhash"),
-    )
+    return _bucket_pairs(sig, ["simhash"], keep=["simhash"])

@@ -43,6 +43,9 @@ def uses_broadcast_join(df: DataFrame) -> bool:
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the physical plan (lower = better)."""
-    plan = formatted_plan(df)
-    return sum(1 for line in plan.splitlines() if "Exchange hashpartitioning" in line)
+    """Number of shuffle exchanges in the physical plan (lower = better).
+    Formatted explain lists operators as '(n) Exchange' with arguments in
+    the footer, so match the operator line."""
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange", formatted_plan(df)))

@@ -1,0 +1,52 @@
+"""Physical-plan regression tests: pin the plan properties the 100 TB
+design depends on (SURVEY.md §4) so they can't silently regress —
+predicate pushdown, column pruning, dimension broadcast, and exchange
+reuse between the dedup window and the merge join."""
+
+from __future__ import annotations
+
+from fn_rq_report_etl_dev_spark.plans.inspect import (
+    exchange_count,
+    formatted_plan,
+    has_pushed_filters,
+    read_schema_columns,
+    uses_broadcast_join,
+)
+from fn_rq_report_etl_dev_spark.workloads import QUERIES
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    assert has_pushed_filters(df)  # l_shipdate predicate reaches the scan
+    cols = set(read_schema_columns(df))
+    assert "l_orderkey" not in cols and "l_partkey" not in cols  # pruned
+    assert len(cols) == 7
+    # one shuffle for the group-by (partial agg is map-side)
+    assert exchange_count(df) == 1
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir):
+    df = QUERIES["q3_shipping_priority"](spark, sf_dir)
+    assert uses_broadcast_join(df)
+    assert has_pushed_filters(df)
+
+
+def test_q5_broadcasts_all_dimensions(spark, sf_dir):
+    plan = formatted_plan(QUERIES["q5_local_supplier_volume"](spark, sf_dir))
+    # 4 dimension joins broadcast; only orders⋈lineitem may shuffle
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_flagship_reuses_dedup_exchange_for_merge(spark, sf_dir):
+    df = QUERIES["flagship_dedup_merge"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # dedup window partitioning satisfies the merge join distribution:
+    # exactly one exchange per merge side, none between window and join.
+    assert exchange_count(df) == 2
+    # top-1-per-key window is group-limit optimized (no full sort rank)
+    assert "WindowGroupLimit" in plan
+
+
+def test_window_dedup_single_exchange(spark, sf_dir):
+    df = QUERIES["o15_window_dedup"](spark, sf_dir)
+    assert exchange_count(df) == 1
