@@ -25,6 +25,14 @@ STAGING_TABLE = "rq_tradein_report_staging"
 TARGET_TABLE = "rq_tradein_report"
 LEGACY_STAGING_TABLE = "rq_tradein_report__staging"  # pre-migration name
 
+# Staging is hive-partitioned by event date: incremental merges prune to
+# the affected dates and retention drops whole directories.
+STAGING_PARTITION_COL = "dt"
+STAGING_PARTITIONED_SCHEMA = T.StructType(
+    list(STAGING_SCHEMA.fields)
+    + [T.StructField(STAGING_PARTITION_COL, T.DateType(), True)]
+)
+
 
 class Warehouse:
     """Parquet-directory warehouse with atomic overwrite semantics."""
@@ -61,6 +69,33 @@ class Warehouse:
         os.rename(tmp, final)
         shutil.rmtree(old, ignore_errors=True)
 
+    def append_partitioned(self, df: DataFrame, table: str, partition_col: str) -> None:
+        """Append with hive-style directory partitioning — the layout that
+        makes incremental reads partition-prunable and retention a
+        metadata-only operation at 100 TB."""
+        df.write.mode("append").partitionBy(partition_col).parquet(self.path(table))
+
+    def partition_values(self, table: str, partition_col: str) -> list[str | None]:
+        """Partition values present on disk (None = the null partition)."""
+        prefix = f"{partition_col}="
+        out: list[str | None] = []
+        root = self.path(table)
+        if not os.path.isdir(root):
+            return out
+        for entry in os.listdir(root):
+            if entry.startswith(prefix):
+                value = entry[len(prefix):]
+                out.append(None if value == "__HIVE_DEFAULT_PARTITION__" else value)
+        return out
+
+    def drop_partitions(self, table: str, partition_col: str, values: list[str | None]) -> None:
+        """Remove whole partition directories — O(partitions) metadata work,
+        no data rewrite (the scale-correct form of a partition-aligned
+        DELETE)."""
+        for value in values:
+            dirname = f"{partition_col}={'__HIVE_DEFAULT_PARTITION__' if value is None else value}"
+            shutil.rmtree(os.path.join(self.path(table), dirname), ignore_errors=True)
+
     def rename(self, old: str, new: str) -> None:
         os.rename(self.path(old), self.path(new))
 
@@ -77,11 +112,47 @@ def migrate_legacy_staging(wh: Warehouse) -> bool:
     return False
 
 
+def _is_flat(wh: Warehouse, table: str, partition_col: str) -> bool:
+    """True if the table dir holds data files at the root (pre-partitioning
+    layout) rather than hive partition subdirectories."""
+    root = wh.path(table)
+    entries = os.listdir(root) if os.path.isdir(root) else []
+    has_data = any(e.endswith(".parquet") for e in entries)
+    has_parts = any(e.startswith(f"{partition_col}=") for e in entries)
+    return has_data and not has_parts
+
+
+def upgrade_staging_layout(spark: SparkSession, wh: Warehouse) -> bool:
+    """One-time layout migration: a legacy flat staging table is rewritten
+    date-partitioned (mixed layouts break partition discovery)."""
+    if not wh.exists(STAGING_TABLE) or not _is_flat(wh, STAGING_TABLE, STAGING_PARTITION_COL):
+        return False
+    from pyspark.sql import functions as F
+
+    flat = spark.read.schema(STAGING_SCHEMA).parquet(wh.path(STAGING_TABLE))
+    # Legacy rows may hold arbitrary strings — lenient cast (garbage → the
+    # null partition), matching the engine-wide null-on-error policy.
+    partitioned = flat.withColumn(
+        STAGING_PARTITION_COL, F.expr("try_cast(TradeInDate AS DATE)")
+    )
+    tmp = wh.path(STAGING_TABLE) + ".upgrade"
+    partitioned.write.mode("overwrite").partitionBy(STAGING_PARTITION_COL).parquet(tmp)
+    wh.drop(STAGING_TABLE)
+    os.rename(tmp, wh.path(STAGING_TABLE))
+    return True
+
+
 def ensure_tables(spark: SparkSession, wh: Warehouse) -> None:
-    """Idempotent bootstrap: migrate the legacy name, then create any
-    missing table as an empty Parquet dataset with the declared schema."""
+    """Idempotent bootstrap: migrate the legacy name, upgrade a flat
+    staging layout, then create any missing table as an empty Parquet
+    dataset with the declared schema."""
     migrate_legacy_staging(wh)
-    for table, schema in ((STAGING_TABLE, STAGING_SCHEMA), (TARGET_TABLE, TARGET_SCHEMA)):
-        if not wh.exists(table):
-            empty = spark.createDataFrame([], schema)
-            empty.write.mode("overwrite").parquet(wh.path(table))
+    upgrade_staging_layout(spark, wh)
+    if not wh.exists(STAGING_TABLE):
+        empty = spark.createDataFrame([], STAGING_PARTITIONED_SCHEMA)
+        empty.write.mode("overwrite").partitionBy(STAGING_PARTITION_COL).parquet(
+            wh.path(STAGING_TABLE)
+        )
+    if not wh.exists(TARGET_TABLE):
+        empty = spark.createDataFrame([], TARGET_SCHEMA)
+        empty.write.mode("overwrite").parquet(wh.path(TARGET_TABLE))

@@ -15,7 +15,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import STAGING_TABLE, TARGET_TABLE, Warehouse, ensure_tables
+from .catalog import (
+    STAGING_PARTITION_COL,
+    STAGING_PARTITIONED_SCHEMA,
+    STAGING_TABLE,
+    TARGET_TABLE,
+    Warehouse,
+    ensure_tables,
+)
 from .functions.casts import apply_type_map
 from .functions.timestamps import parse_timestamp_multi, utc_to_est, with_fallback_now
 from .operators.dedup import latest_per_key
@@ -53,14 +60,29 @@ def normalize_batch(df: DataFrame, now: Column | None = None) -> DataFrame:
     return out.select(*TRADEIN_COLUMNS)
 
 
+def _today_value(spark: SparkSession, now: Column | None) -> str:
+    """Render the pipeline's 'today' as the partition value string."""
+    expr = F.to_date(now) if now is not None else F.current_date()
+    return str(spark.range(1).select(expr.alias("d")).collect()[0]["d"])
+
+
 def merge_to_target(
     spark: SparkSession,
     wh: Warehouse,
     now: Column | None = None,
 ) -> dict[str, int]:
     """Dedup staging, lenient-cast to target types, upsert into target,
-    return {"inserted": n, "updated": n} (rqtradein_etl.py:150-194)."""
-    staging = wh.read(spark, STAGING_TABLE)
+    return {"inserted": n, "updated": n} (rqtradein_etl.py:150-194).
+
+    Staging is date-partitioned; at scale, pass a date window filter before
+    the dedup so the scan prunes to the affected partitions (the
+    reference's own 1-day-window trick, SURVEY.md §7 item 10 — here the
+    retention policy already keeps staging to ~1 day, so the merge reads
+    everything present).
+    """
+    staging = wh.read(spark, STAGING_TABLE, STAGING_PARTITIONED_SCHEMA).drop(
+        STAGING_PARTITION_COL
+    )
     typed = apply_type_map(staging, TARGET_TYPE_MAP)
     deduped = latest_per_key(
         typed, [MERGE_KEY], [DEDUP_ORDER_COLUMN, DEDUP_TIEBREAKER]
@@ -84,13 +106,19 @@ def merge_to_target(
     wh.overwrite_atomic(merged.drop(MERGE_ACTION), TARGET_TABLE)
     merged.unpersist()
 
-    # Staging retention (rqtradein_etl.py:192): keep only rows whose
-    # TradeInDate casts to the current date. Intent reproduced with an
-    # explicit to_date comparison (the reference's CONVERT(date, ...)).
-    staging = wh.read(spark, STAGING_TABLE)
-    today = F.to_date(now) if now is not None else F.current_date()
-    kept = staging.filter(F.to_date(F.col(DEDUP_ORDER_COLUMN)) == today)
-    wh.overwrite_atomic(kept, STAGING_TABLE)
+    # Staging retention (rqtradein_etl.py:192): drop every partition whose
+    # date differs from today — a metadata-only directory drop, no data
+    # rewrite (the 100 TB-correct form of the reference's DELETE). NULL
+    # dates are kept: in the reference, `CONVERT(date, TradeInDate) <>
+    # CONVERT(date, GETDATE())` is UNKNOWN for NULL, so those rows survive
+    # the DELETE.
+    today = _today_value(spark, now)
+    stale = [
+        v
+        for v in wh.partition_values(STAGING_TABLE, STAGING_PARTITION_COL)
+        if v is not None and v != today
+    ]
+    wh.drop_partitions(STAGING_TABLE, STAGING_PARTITION_COL, stale)
 
     return {"inserted": counts_row["inserted"], "updated": counts_row["updated"]}
 
@@ -102,7 +130,11 @@ def run_etl(
     now: Column | None = None,
 ) -> dict[str, int]:
     """Full pipeline for one (already-fetched) batch: bootstrap tables,
-    normalize, append to staging, merge, retention, return audit counts."""
+    normalize, append to date-partitioned staging, merge, retention,
+    return audit counts."""
     ensure_tables(spark, wh)
-    wh.append(normalize_batch(batch, now), STAGING_TABLE)
+    staged = normalize_batch(batch, now).withColumn(
+        STAGING_PARTITION_COL, F.to_date(F.col(DEDUP_ORDER_COLUMN))
+    )
+    wh.append_partitioned(staged, STAGING_TABLE, STAGING_PARTITION_COL)
     return merge_to_target(spark, wh, now)

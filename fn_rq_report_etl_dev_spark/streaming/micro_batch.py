@@ -19,9 +19,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-from ..catalog import STAGING_TABLE, Warehouse, ensure_tables
+from ..catalog import STAGING_PARTITION_COL, STAGING_TABLE, Warehouse, ensure_tables
 from ..pipeline import merge_to_target, normalize_batch
-from ..schemas import STAGING_SCHEMA
+from ..schemas import DEDUP_ORDER_COLUMN, STAGING_SCHEMA
 
 
 def stream_merge_pipeline(
@@ -40,7 +40,10 @@ def stream_merge_pipeline(
 
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
         ensure_tables(spark, wh)
-        wh.append(normalize_batch(batch_df, now), STAGING_TABLE)
+        staged = normalize_batch(batch_df, now).withColumn(
+            STAGING_PARTITION_COL, F.to_date(F.col(DEDUP_ORDER_COLUMN))
+        )
+        wh.append_partitioned(staged, STAGING_TABLE, STAGING_PARTITION_COL)
         merge_to_target(spark, wh, now)
 
     return (

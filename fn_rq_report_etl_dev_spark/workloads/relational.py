@@ -464,3 +464,135 @@ def datetime_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp"))
         .cast("bigint").alias("days_since_95"),
     )
+
+
+@workload(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.5)  AS median_qty,
+           quantile_cont(l_quantity, 0.9)  AS q90,
+           max(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (Spark ``percentile`` ≙
+    DuckDB ``quantile_cont``). At 100 TB swap to ``percentile_approx``
+    (t-digest, mergeable map-side) — kept exact here for the oracle."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("q90"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@workload(
+    "agg_cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all 4 grouping combinations in one pass."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec2("o_totalprice")).cast("double").alias("total"),
+    )
+
+
+@workload(
+    "unpivot_money_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'extendedprice' AS measure, l_extendedprice AS amount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    """,
+)
+def unpivot_money_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT via stack(): wide money columns → long (measure, amount)
+    rows in one scan (the UNION-ALL formulation would scan 3×)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'extendedprice', l_extendedprice,"
+            " 'discount', l_discount, 'tax', l_tax) AS (measure, amount)"
+        ),
+    )
+
+
+@workload(
+    "range_join_ship_week",
+    oracle="""
+    SELECT o.o_orderkey,
+           count(l.l_orderkey) AS n_shipped,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_shipped
+    FROM orders o
+    LEFT JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+    WHERE o.o_orderkey % 100 = 0
+    GROUP BY o.o_orderkey
+    """,
+)
+def range_join_ship_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join, bucketized: lineitems shipped within 7 days
+    of each (sampled) order.
+
+    Spark has no native range-join optimization, and a raw theta join is a
+    broadcast-nested-loop over the full corpus. The scalable composition:
+    bucketize both sides to the 7-day grain, equi-join on the bucket (each
+    probe checks its own and the next bucket), then apply the exact range
+    filter. The cross product shrinks from |O|×|L| to per-bucket work —
+    at 100 TB the equi-join shuffles by bucket like any other key.
+    """
+    bucket_secs = 7 * 86400
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            (F.unix_timestamp("o_orderdate") / bucket_secs).cast("long").alias("o_bucket"),
+        )
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_quantity",
+        "l_shipdate",
+        (F.unix_timestamp("l_shipdate") / bucket_secs).cast("long").alias("l_bucket"),
+    )
+    # A 7-day window starting anywhere inside bucket b ends in b or b+1.
+    probes = orders.withColumn(
+        "l_bucket", F.explode(F.array(F.col("o_bucket"), F.col("o_bucket") + 1))
+    )
+    matched = probes.join(li, "l_bucket").filter(
+        (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 7 DAY"))
+    )
+    per_order = matched.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_shipped"),
+        F.sum(_dec2("l_quantity")).cast("double").alias("qty_shipped"),
+    )
+    # LEFT semantics: orders with zero shipments keep a 0-count row.
+    return (
+        orders.select("o_orderkey")
+        .join(per_order, "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("n_shipped"), F.lit(0)).alias("n_shipped"),
+            "qty_shipped",
+        )
+    )
