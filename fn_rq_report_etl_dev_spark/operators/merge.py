@@ -103,3 +103,43 @@ def merge_counts(merged_with_action: DataFrame) -> dict[str, int]:
         )
     ).collect()[0]
     return {"inserted": row["inserted"], "updated": row["updated"]}
+
+
+def merge_upsert_delta(
+    spark,
+    target_path: str,
+    source: DataFrame,
+    key: str,
+    audit_inserted: str | None = None,
+    audit_updated: str | None = None,
+) -> None:
+    """Delta Lake backend for the same merge contract (SURVEY.md §4.1(a)):
+    ``DeltaTable.merge`` gives transactional MERGE INTO with file-level
+    conflict detection — the production choice when the delta-spark jars
+    are on the classpath. Import-gated: this environment ships plain
+    parquet only, so calling it without delta installed raises with a
+    pointer to the join-rewrite backend above.
+    """
+    try:
+        from delta.tables import DeltaTable  # noqa: PLC0415
+    except ImportError as exc:
+        raise ImportError(
+            "delta-spark is not installed; use merge_upsert() (the pure-Spark "
+            "full-outer-join rewrite) or add delta jars to the session"
+        ) from exc
+
+    target = DeltaTable.forPath(spark, target_path)
+    cond = f"t.{key} = s.{key}"
+    update_set = {c: f"s.{c}" for c in source.columns if c != key}
+    insert_set = dict(update_set) | {key: f"s.{key}"}
+    if audit_updated:
+        update_set[audit_updated] = "current_timestamp()"
+    if audit_inserted:
+        insert_set[audit_inserted] = "current_timestamp()"
+    (
+        target.alias("t")
+        .merge(source.alias("s"), cond)
+        .whenMatchedUpdate(set=update_set)
+        .whenNotMatchedInsert(values=insert_set)
+        .execute()
+    )

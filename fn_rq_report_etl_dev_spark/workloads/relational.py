@@ -596,3 +596,32 @@ def range_join_ship_week(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_shipped",
         )
     )
+
+
+# -- Approximate aggregates: the 100 TB path for distinct counts and
+# quantiles (HyperLogLog / KLL are mergeable map-side, no global sort).
+# Estimates are engine-specific, so there is no DuckDB oracle — the driver
+# records the weaker rows-only check; the exact counterparts above
+# (o18_filtered_count, agg_percentiles) carry the value correctness.
+
+
+@workload("approx_distinct_parts")
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++, rsd 1%) next to the exact count —
+    at scale the exact distinct shuffles every key, the sketch doesn't."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@workload("approx_quantiles_price")
+def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx: mergeable quantile sketch per order status."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.95], 10_000).alias("p50_p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
