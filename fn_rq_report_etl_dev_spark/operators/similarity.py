@@ -151,3 +151,74 @@ def embedding_near_dup_pairs(
     return pairs.select(
         "block", "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
     ).filter(F.col("cos") >= min_cosine)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means partitions the corpus
+    into cells; each query probes only its ``n_probe`` nearest cells.
+
+    The scale shape: cell assignment is one ML transform over the corpus
+    (trained once, reusable), the candidate join is an equi-join on the
+    cell id, and centroids are tiny (broadcast). Recall/cost is tuned by
+    (n_cells, n_probe) — the standard IVF trade-off.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("fv", array_to_vector("cv"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell").fit(c)
+    assigned = model.transform(c).select("neighbor_id", "cv", "cell")
+
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    # Rank cells per query by centroid distance; probe the best n_probe.
+    qcells = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "cdist",
+            F.aggregate(
+                F.zip_with(F.col("qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("cdist"), F.col("cell"))
+            ),
+        )
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = qcells.join(assigned, "cell")
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

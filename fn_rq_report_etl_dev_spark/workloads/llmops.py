@@ -386,3 +386,19 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     assets = to_asset_table(docs, "doc_id", "text", "text/plain")
     return assets.select("asset_id", "mime", "n_bytes", "content_md5")
+
+
+@workload("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-3: k-means cells (seed=42), 2-cell probe — the
+    inverted-file scale path next to the LSH variant. No SQL oracle
+    (k-means isn't DuckDB-expressible); the driver records a rows-only
+    check, and recall-vs-bruteforce is asserted in tests/test_llmops.py."""
+    from ..operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb.filter(F.col("vec_id") < 8), emb, k=3, n_cells=8, n_probe=2,
+        exclude_self=True,
+    )
+    return out.select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_r"))

@@ -97,3 +97,20 @@ def test_multimodal_stub_raises_without_codec(spark):
     assets = to_asset_table(df, "doc_id", "text", "image/jpeg")
     with pytest.raises(Exception, match="NotImplementedError|no media codec"):
         decode_features(assets).collect()
+
+
+def test_ivf_topk_probes_nearest_cells(spark, sf_dir):
+    from fn_rq_report_etl_dev_spark.operators.similarity import brute_force_topk, ivf_topk
+    from fn_rq_report_etl_dev_spark.workloads import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 5")
+    ivf = ivf_topk(queries, emb, k=3, n_cells=8, n_probe=4, exclude_self=True)
+    exact = brute_force_topk(queries, emb, k=3, exclude_self=True)
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in ivf.collect()}
+    best = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in exact.collect()}
+    assert len({q for q, _ in got}) == 5  # every query answered with k results
+    # probing half the cells recovers a decent share of the exact top-3
+    overlap = sum(1 for key, n in got.items() if best.get(key) == n or n in
+                  [v for (q, _), v in best.items() if q == key[0]])
+    assert overlap >= 5
