@@ -1,0 +1,126 @@
+"""Incremental merge into a hash-bucket-partitioned target.
+
+The plain merge (operators/merge.py) full-outer-joins the WHOLE target with
+the batch and rewrites the whole table — fine at report scale, wrong at
+100 TB where a daily batch touches a sliver of the keyspace. Here the
+target is hive-partitioned by a stable hash bucket of the merge key
+(``kb = pmod(key, n_buckets)``), and a merge:
+
+1. derives the batch's affected buckets (≤ n_buckets values, collected);
+2. reads ONLY those target partitions (partition pruning — the scan never
+   touches the rest of the table);
+3. merges and rewrites just those partition directories via an atomic
+   per-directory swap.
+
+Work scales with the batch's keyspace footprint, not the table size. The
+same layout co-locates future merges: both sides hash the same key space,
+so AQE gets a narrow, evenly-bucketed join. NULL merge keys land in the
+null partition and always insert (NULL never equi-matches — the
+reference's T-SQL MERGE behaves identically).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Warehouse
+from .merge import MERGE_ACTION, merge_upsert
+
+BUCKET_COL = "kb"
+
+
+def bucket_of(key: Column, n_buckets: int) -> Column:
+    return F.pmod(key, F.lit(n_buckets)).cast("int")
+
+
+def ensure_bucketed_target(
+    spark: SparkSession,
+    wh: Warehouse,
+    table: str,
+    schema,
+    n_buckets: int = 64,
+) -> None:
+    """Idempotent bootstrap of an empty bucket-partitioned target."""
+    if not wh.exists(table):
+        from pyspark.sql import types as T
+
+        part_schema = T.StructType(
+            list(schema.fields) + [T.StructField(BUCKET_COL, T.IntegerType(), True)]
+        )
+        empty = spark.createDataFrame([], part_schema)
+        empty.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(wh.path(table))
+
+
+def merge_into_bucketed_target(
+    spark: SparkSession,
+    wh: Warehouse,
+    table: str,
+    source: DataFrame,
+    key: str,
+    n_buckets: int = 64,
+    audit_inserted: str | None = None,
+    audit_updated: str | None = None,
+    now: Column | None = None,
+) -> dict[str, int]:
+    """Merge ``source`` (key-unique) into the bucketed target; rewrite only
+    the buckets the batch touches. Returns {"inserted", "updated"}."""
+    from pyspark.sql import types as T
+
+    src = source.withColumn(BUCKET_COL, bucket_of(F.col(key), n_buckets))
+    affected = [r[0] for r in src.select(BUCKET_COL).distinct().collect()]
+
+    # Explicit read schema (source data columns + audit + kb): required for
+    # the empty bootstrap table, harmless once partitions exist.
+    fields = list(source.schema.fields)
+    for audit in (audit_inserted, audit_updated):
+        if audit and audit not in source.columns:
+            fields.append(T.StructField(audit, T.TimestampType(), True))
+    part_schema = T.StructType(fields + [T.StructField(BUCKET_COL, T.IntegerType(), True)])
+    full_target = wh.read(spark, table, part_schema)
+    pruned = full_target.filter(
+        F.col(BUCKET_COL).isin([b for b in affected if b is not None])
+        | (F.col(BUCKET_COL).isNull() & F.lit(None in affected))
+    )
+
+    merged = merge_upsert(
+        pruned.drop(BUCKET_COL) if BUCKET_COL in pruned.columns else pruned,
+        src.drop(BUCKET_COL),
+        key,
+        audit_inserted=audit_inserted,
+        audit_updated=audit_updated,
+        now=now,
+        keep_action=True,
+    )
+    obs = Observation(f"merge_{table}")
+    merged = merged.observe(
+        obs,
+        F.count(F.when(F.col(MERGE_ACTION) == "insert", 1)).alias("inserted"),
+        F.count(F.when(F.col(MERGE_ACTION) == "update", 1)).alias("updated"),
+    )
+    out = merged.drop(MERGE_ACTION).withColumn(BUCKET_COL, bucket_of(F.col(key), n_buckets))
+
+    tmp = wh.path(table) + ".merge-tmp"
+    out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+    _swap_partitions(wh, table, tmp, affected)
+    return obs.get
+
+
+def _swap_partitions(wh: Warehouse, table: str, tmp: str, buckets: list[int | None]) -> None:
+    """Atomically replace only the affected ``kb=`` directories."""
+    import shutil
+
+    for b in buckets:
+        dirname = f"{BUCKET_COL}={'__HIVE_DEFAULT_PARTITION__' if b is None else b}"
+        src_dir = os.path.join(tmp, dirname)
+        dst_dir = os.path.join(wh.path(table), dirname)
+        if not os.path.isdir(src_dir):
+            continue
+        old = dst_dir + ".old"
+        if os.path.isdir(dst_dir):
+            os.rename(dst_dir, old)
+        os.rename(src_dir, dst_dir)
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)

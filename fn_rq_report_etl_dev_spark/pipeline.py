@@ -97,14 +97,18 @@ def merge_to_target(
         now=now,
         keep_action=True,
     )
-    # One pass: compute the audit tallies while materializing the new target.
-    merged = merged.cache()
-    counts_row = merged.agg(
+    # Audit tallies ride along the write via observed metrics — ONE pass
+    # over the merge, no cache, no second aggregation job.
+    from pyspark.sql import Observation
+
+    obs = Observation("merge_counts")
+    merged = merged.observe(
+        obs,
         F.count(F.when(F.col(MERGE_ACTION) == "insert", 1)).alias("inserted"),
         F.count(F.when(F.col(MERGE_ACTION) == "update", 1)).alias("updated"),
-    ).collect()[0]
+    )
     wh.overwrite_atomic(merged.drop(MERGE_ACTION), TARGET_TABLE)
-    merged.unpersist()
+    counts_row = obs.get
 
     # Staging retention (rqtradein_etl.py:192): drop every partition whose
     # date differs from today — a metadata-only directory drop, no data

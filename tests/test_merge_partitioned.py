@@ -1,0 +1,103 @@
+"""Bucketed incremental merge: only affected partitions are rewritten,
+results match the full-table merge, NULL keys insert into the null bucket."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fn_rq_report_etl_dev_spark.catalog import Warehouse
+from fn_rq_report_etl_dev_spark.operators.merge import merge_upsert
+from fn_rq_report_etl_dev_spark.operators.merge_partitioned import (
+    BUCKET_COL,
+    ensure_bucketed_target,
+    merge_into_bucketed_target,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("k", T.LongType(), True),
+    T.StructField("v", T.StringType(), True),
+])
+
+N_BUCKETS = 8
+
+
+def _files(wh, table):
+    out = {}
+    root = wh.path(table)
+    for d in os.listdir(root):
+        if d.startswith(f"{BUCKET_COL}="):
+            out[d] = sorted(os.listdir(os.path.join(root, d)))
+    return out
+
+
+def test_bucketed_merge_rewrites_only_affected_buckets(spark, tmp_path):
+    wh = Warehouse(str(tmp_path / "wh"))
+    table = "tgt"
+    ensure_bucketed_target(spark, wh, table, SCHEMA, N_BUCKETS)
+
+    # Seed: keys 0..31 → all 8 buckets populated.
+    seed = spark.createDataFrame([(i, f"t{i}") for i in range(32)], SCHEMA)
+    counts = merge_into_bucketed_target(spark, wh, table, seed, "k", N_BUCKETS)
+    assert counts == {"inserted": 32, "updated": 0}
+    before = _files(wh, table)
+    assert len(before) == N_BUCKETS
+
+    # Batch touches only buckets {0, 1}: keys ≡ 0/1 (mod 8).
+    batch = spark.createDataFrame([(0, "s0"), (8, "s8"), (1, "s1"), (33, "s33")], SCHEMA)
+    counts = merge_into_bucketed_target(spark, wh, table, batch, "k", N_BUCKETS)
+    assert counts == {"inserted": 1, "updated": 3}
+
+    after = _files(wh, table)
+    changed = {d for d in before if before[d] != after[d]}
+    assert changed == {f"{BUCKET_COL}=0", f"{BUCKET_COL}=1"}  # 6 buckets untouched
+
+    got = {r["k"]: r["v"] for r in wh.read(spark, table).collect()}
+    assert got[0] == "s0" and got[8] == "s8" and got[1] == "s1" and got[33] == "s33"
+    assert got[2] == "t2" and len(got) == 33
+
+
+def test_bucketed_merge_matches_plain_merge(spark, tmp_path):
+    wh = Warehouse(str(tmp_path / "wh"))
+    ensure_bucketed_target(spark, wh, "tgt", SCHEMA, N_BUCKETS)
+    target = spark.createDataFrame([(i, f"t{i}") for i in range(0, 20, 2)], SCHEMA)
+    source = spark.createDataFrame([(i, f"s{i}") for i in range(0, 15, 3)], SCHEMA)
+    merge_into_bucketed_target(spark, wh, "tgt", target, "k", N_BUCKETS)
+    merge_into_bucketed_target(spark, wh, "tgt", source, "k", N_BUCKETS)
+
+    expected = {
+        (r["k"], r["v"])
+        for r in merge_upsert(target, source, "k").collect()
+    }
+    got = {(r["k"], r["v"]) for r in wh.read(spark, "tgt").drop(BUCKET_COL).collect()}
+    assert got == expected
+
+
+def test_null_keys_insert_into_null_bucket(spark, tmp_path):
+    wh = Warehouse(str(tmp_path / "wh"))
+    ensure_bucketed_target(spark, wh, "tgt", SCHEMA, N_BUCKETS)
+    b1 = spark.createDataFrame([(None, "n1"), (1, "a")], SCHEMA)
+    counts = merge_into_bucketed_target(spark, wh, "tgt", b1, "k", N_BUCKETS)
+    assert counts == {"inserted": 2, "updated": 0}
+    # NULL never equi-matches: a second null-key row inserts again
+    b2 = spark.createDataFrame([(None, "n2")], SCHEMA)
+    counts = merge_into_bucketed_target(spark, wh, "tgt", b2, "k", N_BUCKETS)
+    assert counts["inserted"] == 1
+    rows = wh.read(spark, "tgt").collect()
+    assert sorted(r["v"] for r in rows if r["k"] is None) == ["n1", "n2"]
+
+
+def test_merge_scan_is_partition_pruned(spark, tmp_path):
+    from fn_rq_report_etl_dev_spark.plans.inspect import formatted_plan
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    ensure_bucketed_target(spark, wh, "tgt", SCHEMA, N_BUCKETS)
+    seed = spark.createDataFrame([(i, f"t{i}") for i in range(32)], SCHEMA)
+    merge_into_bucketed_target(spark, wh, "tgt", seed, "k", N_BUCKETS)
+
+    pruned = wh.read(spark, "tgt").filter(F.col(BUCKET_COL).isin([0, 1]))
+    plan = formatted_plan(pruned)
+    assert "PartitionFilters" in plan and BUCKET_COL in plan
+    assert pruned.count() == 8  # 2 of 8 buckets → 8 of 32 rows
