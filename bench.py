@@ -31,6 +31,40 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def time_pipeline_daily_batch(spark, sf_dir: str) -> float:
+    """The reference-envelope SLO number (BASELINE.md): one synthetic daily
+    batch through the FULL pipeline — normalize → partitioned stage →
+    dedup → merge → counts → retention — against a fresh warehouse. The
+    reference's budget for this is 90 minutes."""
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from fn_rq_report_etl_dev_spark.catalog import Warehouse
+    from fn_rq_report_etl_dev_spark.pipeline import run_etl
+    from fn_rq_report_etl_dev_spark.schemas import TRADEIN_COLUMNS
+    from fn_rq_report_etl_dev_spark.workloads import load
+
+    events = load(spark, sf_dir, "events")
+    provided = {
+        "SaleInvoiceID": F.col("event_id").cast("string"),
+        "TradeInTransactionID": (F.col("event_id") + 1_000_000).cast("string"),
+        "TradeInStatus": F.col("event_type"),
+        "TradeInDate": F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+        "PostTime": F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        "TradeInAmount": F.col("value").cast("string"),
+    }
+    batch = events.select(
+        *[provided.get(c, F.lit(None).cast("string")).alias(c) for c in TRADEIN_COLUMNS]
+    )
+    wh = Warehouse(tempfile.mkdtemp(prefix="bench-wh-"))
+    now = F.to_timestamp(F.lit("2024-01-30 12:00:00"))
+    start = time.perf_counter()
+    run_etl(spark, wh, batch, now=now)
+    return round(time.perf_counter() - start, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -47,6 +81,9 @@ def main() -> None:
         start = time.perf_counter()
         force(QUERIES[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - start, 3)
+
+    # End-to-end daily-batch pipeline (reference envelope: 90 min budget).
+    timings["pipeline_daily_batch"] = time_pipeline_daily_batch(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(

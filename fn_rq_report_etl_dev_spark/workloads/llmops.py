@@ -402,3 +402,36 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         exclude_self=True,
     )
     return out.select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_r"))
+
+
+@workload(
+    "text_vocab_topk",
+    oracle=r"""
+    WITH w AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        FROM documents
+    ),
+    counts AS (SELECT word, count(*) AS n FROM w GROUP BY word)
+    SELECT word, n, rank
+    FROM (SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS rank
+          FROM counts)
+    WHERE rank <= 50
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: corpus-wide word frequencies, top-50 — the
+    explode + count + top-k shape every tokenizer-training pipeline runs.
+    Map-side partial counts keep the shuffle at |vocab|, not |tokens|."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+    )
+    counts = w.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    win = Window.orderBy(F.col("n").desc(), F.col("word"))
+    return (
+        counts.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 50)
+        .select("word", "n", "rank")
+    )

@@ -258,3 +258,38 @@ def o19_retention_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.to_date("ts") == F.col("latest_d"))
         .select("event_id", "ts", "user_id")
     )
+
+
+@workload(
+    "sql_api_flagship",
+    oracle=f"""
+    WITH old_batch AS ({_DEDUP_SQL.format(where=f"WHERE ts < TIMESTAMP '{CUTOFF}'")}),
+         new_batch AS ({_DEDUP_SQL.format(where=f"WHERE ts >= TIMESTAMP '{CUTOFF}'")})
+    SELECT
+        COALESCE(n.user_id, o.user_id) AS user_id,
+        CASE WHEN n.user_id IS NOT NULL THEN n.event_id ELSE o.event_id END AS event_id,
+        CASE WHEN n.user_id IS NOT NULL THEN n.value ELSE o.value END AS value
+    FROM old_batch o FULL OUTER JOIN new_batch n ON o.user_id = n.user_id
+    """,
+)
+def sql_api_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship dedup+merge expressed through the SQL API (temp view +
+    spark.sql) — Catalyst produces the same plan as the DataFrame form;
+    this pins the engine's SQL entry point."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    dedup = """
+        SELECT user_id, event_id, ts, value
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events_v {where})
+        WHERE rn = 1
+    """
+    return spark.sql(f"""
+        WITH old_batch AS ({dedup.format(where=f"WHERE ts < TIMESTAMP '{CUTOFF}'")}),
+             new_batch AS ({dedup.format(where=f"WHERE ts >= TIMESTAMP '{CUTOFF}'")})
+        SELECT
+            COALESCE(n.user_id, o.user_id) AS user_id,
+            CASE WHEN n.user_id IS NOT NULL THEN n.event_id ELSE o.event_id END AS event_id,
+            CASE WHEN n.user_id IS NOT NULL THEN n.value ELSE o.value END AS value
+        FROM old_batch o FULL OUTER JOIN new_batch n ON o.user_id = n.user_id
+    """)
