@@ -435,3 +435,32 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 50)
         .select("word", "n", "rank")
     )
+
+
+@workload(
+    "dedup_edit_distance",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}, {_LSH_CTE}
+    SELECT c.id_a, c.id_b,
+           levenshtein(substring(da.text, 1, 120), substring(db.text, 1, 120)) AS edit_dist
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.id_a
+    JOIN documents db ON db.doc_id = c.id_b
+    WHERE levenshtein(substring(da.text, 1, 120), substring(db.text, 1, 120)) <= 40
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification on LSH candidates: levenshtein over a
+    120-char prefix (bounded cost per pair — full-text edit distance is
+    O(len²) and never worth it when candidates are already blocked)."""
+    docs = load(spark, sf_dir, "documents")
+    cands = lsh_candidate_pairs(docs, "doc_id", "text")
+    prefix = docs.select("doc_id", F.substring("text", 1, 120).alias("p"))
+    a = prefix.select(F.col("doc_id").alias("id_a"), F.col("p").alias("pa"))
+    b = prefix.select(F.col("doc_id").alias("id_b"), F.col("p").alias("pb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.levenshtein("pa", "pb").alias("edit_dist"))
+        .filter(F.col("edit_dist") <= 40)
+    )

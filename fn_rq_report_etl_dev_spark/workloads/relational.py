@@ -625,3 +625,34 @@ def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", [0.5, 0.95], 10_000).alias("p50_p95"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@workload(
+    "correlated_subquery_rich_customers",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT 1.2 * (CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                     / count(*))
+                       FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def correlated_subquery_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (decorrelated by Catalyst into the same
+    aggregate-join the DataFrame form spells out): customers 20% above
+    their nation's average balance. Comparison happens on both engines'
+    identical double averages of the same doubles — per-nation sums are
+    accumulated in decimal first, divided in double."""
+    cust = load(spark, sf_dir, "customer")
+    per_nation = cust.groupBy("c_nationkey").agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("nation_avg")
+    )
+    return (
+        cust.join(F.broadcast(per_nation), "c_nationkey")
+        .filter(F.col("c_acctbal") > 1.2 * F.col("nation_avg"))
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
