@@ -15,7 +15,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+if __package__ in (None, ""):
+    # spark-submit runs this file as __main__ with no parent package;
+    # bootstrap the repo root so absolute imports resolve.
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str] | None = None) -> dict[str, int]:
@@ -30,10 +36,10 @@ def main(argv: list[str] | None = None) -> dict[str, int]:
 
     from pyspark.sql import functions as F
 
-    from .catalog import Warehouse
-    from .pipeline import run_etl
-    from .session import get_spark
-    from .sources.json_api import read_json_landing
+    from fn_rq_report_etl_dev_spark.catalog import Warehouse
+    from fn_rq_report_etl_dev_spark.pipeline import run_etl
+    from fn_rq_report_etl_dev_spark.session import get_spark
+    from fn_rq_report_etl_dev_spark.sources.json_api import read_json_landing
 
     spark = get_spark(app_name="daily_tradein_etl")
     now = (

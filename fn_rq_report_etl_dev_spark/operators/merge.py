@@ -50,6 +50,13 @@ def merge_upsert(
 
     audit_cols = {c for c in (audit_inserted, audit_updated) if c}
     data_cols = [c for c in source.columns if c != key and c not in audit_cols]
+    # Target-only columns survive the merge: kept on matched/target rows,
+    # NULL on inserts (the T-SQL MERGE's UPDATE only touches listed
+    # columns). Without this they'd vanish from the rewritten table.
+    target_only = [
+        c for c in target.columns
+        if c != key and c not in audit_cols and c not in source.columns
+    ]
 
     t = target.withColumn(_T_MARK, F.lit(True)).alias("t")
     s = source.withColumn(_S_MARK, F.lit(True)).alias("s")
@@ -61,7 +68,11 @@ def merge_upsert(
 
     out: list[Column] = [F.col(key)]
     for c in data_cols:
-        out.append(F.when(s_present, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c))
+        # Source-only columns have no target side to fall back to.
+        fallback = F.col(f"t.{c}") if c in target.columns else F.lit(None)
+        out.append(F.when(s_present, F.col(f"s.{c}")).otherwise(fallback).alias(c))
+    for c in target_only:
+        out.append(F.when(t_present, F.col(f"t.{c}")).otherwise(F.lit(None)).alias(c))
 
     if audit_inserted:
         existing = (

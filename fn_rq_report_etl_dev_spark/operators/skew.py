@@ -46,7 +46,17 @@ def salted_join(
     salt; the (smaller) right side is replicated once per salt value, so
     every salted partition can satisfy the join locally. Output equals the
     plain join on ``key``; right-side rows are replicated ``n_salts``×, so
-    keep the right side the smaller input."""
+    keep the right side the smaller input.
+
+    Only inner/left_semi/left/cross preserve plain-join semantics: for
+    right/full outer joins an unmatched right row would surface once per
+    replica, so those are rejected.
+    """
+    if how not in ("inner", "left", "left_outer", "left_semi", "cross"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched right rows "
+            "are replicated n_salts times under right/full outer semantics"
+        )
     salted_left = left.withColumn(SALT_COL, (F.rand(seed=0) * n_salts).cast("int"))
     replicated_right = right.withColumn(
         SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

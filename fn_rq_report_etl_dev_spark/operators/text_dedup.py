@@ -163,9 +163,10 @@ def ngram_jaccard_on_candidates(
     """Exact word-3-gram Jaccard, verified ONLY on LSH candidate pairs —
     LSH recalls, Jaccard verifies. Returns (id_a, id_b, jaccard≥threshold).
     """
-    # Candidates and shingles are each reused by two downstream joins —
-    # persist so the shingle/signature pipeline runs once, not three times.
-    cands = lsh_candidate_pairs(df, id_col, text_col, k, bands).persist()
+    # Shingles feed three consumers (counts + both pair-join sides) —
+    # persist so that pipeline runs once. Candidates are consumed once; no
+    # persist (Spark's LRU store evicts the shingle cache under pressure).
+    cands = lsh_candidate_pairs(df, id_col, text_col, k, bands)
     sh = _exploded_shingles(df, id_col, text_col).persist()
     counts = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
 

@@ -72,14 +72,8 @@ def windowed_event_counts(
     )
 
 
-EVENTS_STREAM_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType(), True),
-    T.StructField("ts", T.TimestampType(), True),
-    T.StructField("user_id", T.LongType(), True),
-    T.StructField("event_type", T.StringType(), True),
-    T.StructField("value", T.DoubleType(), True),
-    T.StructField("props", T.StringType(), True),
-])
+# Single source of truth for the events shape (schemas.EVENTS_SCHEMA).
+from ..schemas import EVENTS_SCHEMA as EVENTS_STREAM_SCHEMA  # noqa: E402
 
 
 def stream_windowed_counts(

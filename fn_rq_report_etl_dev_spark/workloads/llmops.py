@@ -233,11 +233,6 @@ def ann_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_r"))
 
 
-_LANG_PATTERNS_SQL = {
-    lang: pat.replace("\\", "\\\\") for lang, pat in TXT.LANG_STOPWORD_PATTERNS.items()
-}
-
-
 @workload(
     "text_lang_id",
     oracle=rf"""

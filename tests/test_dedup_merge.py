@@ -84,3 +84,25 @@ def test_merge_idempotent(spark):
     once = merge_upsert(target, source, "k")
     twice = merge_upsert(once, source, "k")
     assert sorted(once.collect()) == sorted(twice.collect())
+
+
+def test_merge_preserves_target_only_columns(spark):
+    # Target has a column the batch lacks: kept on matched/target rows,
+    # NULL on inserts, never dropped from the table.
+    target = spark.createDataFrame(
+        [(1, "a", "legacy1"), (2, "b", "legacy2")], "k long, v string, legacy string"
+    )
+    source = spark.createDataFrame([(2, "b2"), (3, "c")], "k long, v string")
+    rows = {r["k"]: r for r in merge_upsert(target, source, "k").collect()}
+    assert set(rows[1].asDict()) == {"k", "v", "legacy"}
+    assert rows[1]["legacy"] == "legacy1"  # untouched target row
+    assert rows[2]["legacy"] == "legacy2"  # update keeps unlisted column
+    assert rows[3]["legacy"] is None  # insert has no value for it
+
+
+def test_merge_source_only_column_null_for_target_rows(spark):
+    target = spark.createDataFrame([(1, "a")], "k long, v string")
+    source = spark.createDataFrame([(2, "b", "extra")], "k long, v string, s_only string")
+    rows = {r["k"]: r for r in merge_upsert(target, source, "k").collect()}
+    assert rows[2]["s_only"] == "extra"
+    assert rows[1]["s_only"] is None

@@ -27,3 +27,17 @@ def test_jobs_main_runs_pipeline(spark, tmp_path, capsys):
     ])
     assert counts == {"inserted": 2, "updated": 0}
     assert json.loads(capsys.readouterr().out.strip().splitlines()[-1]) == counts
+
+
+def test_jobs_runs_as_plain_script():
+    """spark-submit executes the file as __main__ (no parent package);
+    the import bootstrap must make --help work from a bare interpreter."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/fn_rq_report_etl_dev_spark/jobs.py", "--help"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "--warehouse" in proc.stdout

@@ -82,3 +82,28 @@ def test_every_query_runs_and_entry_smokes(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_sessionize_gap_is_microsecond_exact(spark):
+    """Regression: a 1800.8s gap (> 30 min by 0.8s) must open a new
+    session — second-truncated arithmetic would call it 1800s and miss."""
+    from datetime import datetime, timedelta
+
+    from fn_rq_report_etl_dev_spark.workloads.relational import sessionize_events
+
+    base = datetime(2024, 1, 1, 0, 0, 0, 100000)
+    rows = [
+        (1, base, 1, "click", 0.0, "{}"),
+        (1, base + timedelta(seconds=1800, microseconds=800000), 2, "click", 0.0, "{}"),
+        (2, base, 3, "click", 0.0, "{}"),
+        (2, base + timedelta(seconds=1800), 4, "click", 0.0, "{}"),  # exactly 30 min: same session
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string, value double, props string"
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.parquet(f"{d}/events.parquet")
+    out = {r["user_id"]: r["n_sessions"] for r in sessionize_events(spark, d).collect()}
+    assert out == {1: 2, 2: 1}

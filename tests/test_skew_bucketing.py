@@ -63,3 +63,11 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_target")
+
+
+def test_salted_join_rejects_outer_semantics(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    with pytest.raises(ValueError, match="full"):
+        salted_join(df, df, "k", how="full_outer")
