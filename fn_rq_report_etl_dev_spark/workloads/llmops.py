@@ -459,3 +459,31 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.levenshtein("pa", "pb").alias("edit_dist"))
         .filter(F.col("edit_dist") <= 40)
     )
+
+
+@workload(
+    "multimodal_frame_plan",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           unnest(range(0, CAST(floor(n_chars / 100) AS BIGINT) + 1)) AS frame_idx,
+           CAST(unnest(range(0, CAST(floor(n_chars / 100) AS BIGINT) + 1)) AS DOUBLE) / 2 AS t_offset_sec
+    FROM documents
+    """,
+)
+def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan for video-like assets: expand each asset into
+    (frame_idx, time_offset) rows at 2 fps — pure lateral expansion, no
+    decode (the codec consumes this plan downstream via mapInPandas).
+    Synthetic duration derives from n_chars (no real media in fixtures)."""
+    docs = load(spark, sf_dir, "documents")
+    # floor() explicitly: DuckDB casts double->bigint by ROUNDING,
+    # Spark by truncation - floor is the portable integer division
+    n_frames = F.floor(F.col("n_chars") / F.lit(100)).cast("bigint") + 1
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_frames - 1)).alias("frame_idx"),
+    ).select(
+        "asset_id",
+        "frame_idx",
+        (F.col("frame_idx").cast("double") / 2).alias("t_offset_sec"),
+    )

@@ -658,3 +658,100 @@ def correlated_subquery_rich_customers(spark: SparkSession, sf_dir: str) -> Data
         .filter(F.col("c_acctbal") > 1.2 * F.col("nation_avg"))
         .select("c_custkey", "c_name", "c_acctbal")
     )
+
+
+@workload(
+    "grouped_map_rank",
+    oracle="""
+    SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank
+    FROM events
+    """,
+)
+def grouped_map_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map UDF: per-user pandas transform (rank by
+    value). Exercises the Arrow grouped-map path with an exact integer
+    result the window-function oracle reproduces. Prefer the built-in
+    window for THIS computation — the pattern exists for per-group logic
+    Spark can't express (model scoring, per-group fitting)."""
+    import pandas as pd
+
+    events = load(spark, sf_dir, "events").select("user_id", "event_id", "value")
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["value", "event_id"], ascending=[False, True])
+        pdf["value_rank"] = range(1, len(pdf) + 1)
+        return pdf[["user_id", "event_id", "value_rank"]]
+
+    return events.groupBy("user_id").applyInPandas(
+        rank_group, "user_id long, event_id long, value_rank long"
+    )
+
+
+@workload(
+    "timeseries_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT user_id, CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+        FROM events GROUP BY user_id
+    ),
+    calendar AS (
+        SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+        FROM bounds
+    ),
+    daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT c.user_id, c.d, COALESCE(n, 0) AS n
+    FROM calendar c LEFT JOIN daily USING (user_id, d)
+    """,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: per-user daily counts with missing days
+    zero-filled — sequence() generates each user's date range (no
+    driver-side calendar), then a left join fills gaps. The resample/
+    gap-fill primitive every time-series pipeline needs."""
+    events = load(spark, sf_dir, "events")
+    bounds = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    calendar = bounds.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("d"),
+    )
+    daily = events.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return calendar.join(daily, ["user_id", "d"], "left").select(
+        "user_id", "d", F.coalesce("n", F.lit(0)).alias("n")
+    )
+
+
+@workload(
+    "window_analytics_extended",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cdist,
+           first_value(o_orderkey) OVER w AS first_ok,
+           nth_value(o_orderkey, 2) OVER w AS second_ok
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_analytics_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended window analytics: ntile, percent_rank, cume_dist,
+    first/nth value over a deterministic ordering."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+    )
