@@ -487,3 +487,54 @@ def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         (F.col("frame_idx").cast("double") / 2).alias("t_offset_sec"),
     )
+
+
+@workload(
+    "udtf_sentence_split",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS INT) AS sentence_idx,
+           sentence,
+           CAST(length(sentence) AS INT) AS n_chars_s
+    FROM (
+        SELECT doc_id, ord, trim(s) AS sentence
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(text, '[.!?]+')) AS s,
+                   unnest(range(1, len(string_split_regex(text, '[.!?]+')) + 1)) AS ord
+            FROM documents
+        )
+    )
+    WHERE sentence <> ''
+    """,
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one row per sentence per document —
+    the row-expanding user-defined operator class (UDF/UDAF are covered by
+    pandas UDFs / applyInPandas elsewhere). Lateral-joined per input row;
+    the oracle is a regexp-split + ordinal unnest."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="sentence_idx int, sentence string, n_chars_s int")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            import re
+
+            idx = 0
+            for part in re.split(r"[.!?]+", text):
+                part = part.strip()
+                if part:
+                    yield idx, part, len(part)
+                    idx += 1
+
+    docs = load(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("docs_for_udtf")
+    spark.udtf.register("sentence_split", SentenceSplit)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_idx, s.sentence, s.n_chars_s
+        FROM docs_for_udtf d, LATERAL sentence_split(d.text) s
+        """
+    )
