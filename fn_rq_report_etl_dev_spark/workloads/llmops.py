@@ -194,7 +194,11 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = brute_force_topk(
         emb.filter(F.col("vec_id") < 8), emb, k=5, exclude_self=True
     )
-    return out.select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_r"))
+    return out.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.round("cos", 6).alias("cos_r"),
+    )
 
 
 _BUCKET_SQL = " || ".join(
@@ -230,7 +234,11 @@ def ann_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = signlsh_topk(
         emb.filter(F.col("vec_id") < 8), emb, k=3, n_bits=8, exclude_self=True
     )
-    return out.select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_r"))
+    return out.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.round("cos", 6).alias("cos_r"),
+    )
 
 
 @workload(
@@ -266,11 +274,11 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         "lang",
-        hits["en"].alias("en_hits"),
-        hits["de"].alias("de_hits"),
-        hits["fr"].alias("fr_hits"),
-        hits["es"].alias("es_hits"),
-        zh.alias("zh_hits"),
+        hits["en"].cast("bigint").alias("en_hits"),
+        hits["de"].cast("bigint").alias("de_hits"),
+        hits["fr"].cast("bigint").alias("fr_hits"),
+        hits["es"].cast("bigint").alias("es_hits"),
+        zh.cast("bigint").alias("zh_hits"),
         TXT.predicted_lang(hits["en"], hits["de"], hits["fr"], hits["es"], zh)
         .alias("predicted_lang"),
     )
@@ -314,8 +322,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        n_words.alias("n_words"),
-        n_punct.alias("n_punct"),
+        n_words.cast("bigint").alias("n_words"),
+        n_punct.cast("bigint").alias("n_punct"),
         alpha_ratio.alias("alpha_ratio"),
         stop_ratio.alias("stop_ratio"),
         quality.alias("quality"),
@@ -340,8 +348,8 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = TXT.whitespace_token_count(t)
     return docs.select(
         "doc_id",
-        ws.alias("ws_tokens"),
-        TXT.subword_token_count(t).alias("subword_tokens"),
+        ws.cast("bigint").alias("ws_tokens"),
+        TXT.subword_token_count(t).cast("bigint").alias("subword_tokens"),
         (F.length(t) * F.lit(1.0) / ws).alias("chars_per_token"),
     )
 
@@ -396,7 +404,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 8), emb, k=3, n_cells=8, n_probe=2,
         exclude_self=True,
     )
-    return out.select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_r"))
+    return out.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.round("cos", 6).alias("cos_r"),
+    )
 
 
 @workload(
@@ -428,7 +440,7 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         counts.withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= 50)
-        .select("word", "n", "rank")
+        .select("word", "n", F.col("rank").cast("bigint").alias("rank"))
     )
 
 
@@ -456,7 +468,7 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
-        .select("id_a", "id_b", F.levenshtein("pa", "pb").alias("edit_dist"))
+        .select("id_a", "id_b", F.levenshtein("pa", "pb").cast("bigint").alias("edit_dist"))
         .filter(F.col("edit_dist") <= 40)
     )
 

@@ -238,7 +238,7 @@ def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.rank().over(w).alias("rnk"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
         F.sum(price).over(frame).cast("double").alias("running_spend"),
         F.lag(price).over(w).cast("double").alias("prev_price"),
     )
@@ -266,7 +266,8 @@ def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .select("o_custkey", "o_orderkey", "o_totalprice",
+                F.col("rn").cast("bigint").alias("rn"))
     )
 
 
@@ -300,7 +301,7 @@ def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n,
            min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-           sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     GROUP BY event_type
     """,
@@ -430,11 +431,11 @@ def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("p_brand").alias("brand_u"),
         F.lower("p_type").alias("type_l"),
         F.substring("p_name", 1, 8).alias("name8"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("bigint").alias("name_len"),
         F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
         F.abs(F.col("p_size") - 25).alias("size_dev"),
         (F.col("p_partkey") % 7).alias("pk_mod"),
-        F.greatest(F.col("p_size"), F.lit(10)).alias("size_floor10"),
+        F.greatest(F.col("p_size"), F.lit(10)).cast("bigint").alias("size_floor10"),
         F.round(_dec2("p_retailprice"), 1).cast("double").alias("price_r1"),
         (_dec2("p_retailprice").cast("double") * F.col("p_size")).alias("ext_value"),
     )
@@ -458,9 +459,9 @@ def datetime_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     return orders.select(
         "o_orderkey",
-        F.year("o_orderdate").alias("y"),
-        F.month("o_orderdate").alias("m"),
-        F.dayofmonth("o_orderdate").alias("d"),
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("m"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("d"),
         F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
         (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("plus_week"),
         F.datediff(F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp"))
@@ -749,7 +750,7 @@ def window_analytics_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cdist"),
         F.first("o_orderkey").over(w).alias("first_ok"),
