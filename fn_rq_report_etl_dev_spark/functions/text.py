@@ -36,16 +36,10 @@ def words(col: Column) -> Column:
     return F.split(F.trim(F.lower(col)), WORD_RE)
 
 
-def word_shingles(col: Column, n: int = 3) -> Column:
-    """Array of word n-grams (the unit for MinHash / Jaccard near-dedup)."""
-    ws = words(col)
-    idx = F.sequence(F.lit(1), F.size(ws) - (n - 1))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(n)])
-    )
-    # Short docs (< n words) have no shingles — and sequence(1, k) would
-    # count DOWN for k < 1, so guard explicitly.
-    return F.when(F.size(ws) >= n, grams).otherwise(F.array().cast("array<string>"))
+# NOTE: word n-gram shingling deliberately lives in operators/text_dedup.py
+# as a posexplode + window-lead pipeline, NOT as an array higher-order
+# function here — HOFs are interpreted and re-evaluate the regex split per
+# element (measured 2-3× slower end-to-end).
 
 
 def stopword_hits(col: Column, lang: str) -> Column:

@@ -20,6 +20,8 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -46,9 +48,6 @@ _NANO_TS_COLUMNS: dict[str, list[str]] = {"events": ["ts"]}
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
-
     if table in _NANO_TS_COLUMNS:
         # Runtime-settable; required for any session the caller hands us —
         # the driver builds its own SparkSession without our factory.

@@ -26,3 +26,22 @@ def sf_dir() -> str:
 
 def load(spark, sf_dir: str, table: str):
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+CORPUS_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_connection(sf_dir: str):
+    """DuckDB connection with the corpus registered as views — the same
+    setup the driver's oracle runner uses."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in CORPUS_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con

@@ -9,24 +9,10 @@ import math
 from datetime import date, datetime
 from decimal import Decimal
 
-import duckdb
 import pytest
 
 from fn_rq_report_etl_dev_spark.workloads import ORACLES, QUERIES
-
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
-
-
-def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
-    return con
+from tests.conftest import duck_connection as _duck
 
 
 def _norm(v):

@@ -6,15 +6,10 @@ Spark's; workloads cast to BIGINT where needed."""
 
 from __future__ import annotations
 
-import duckdb
 import pytest
 
 from fn_rq_report_etl_dev_spark.workloads import ORACLES, QUERIES
-
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
+from tests.conftest import duck_connection
 
 EQUIV = {
     ("bigint", "BIGINT"), ("int", "INTEGER"), ("double", "DOUBLE"),
@@ -28,12 +23,7 @@ EQUIV = {
 
 @pytest.fixture(scope="module")
 def duck(sf_dir):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
-    return con
+    return duck_connection(sf_dir)
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
