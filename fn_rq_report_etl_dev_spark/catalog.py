@@ -156,3 +156,26 @@ def ensure_tables(spark: SparkSession, wh: Warehouse) -> None:
     if not wh.exists(TARGET_TABLE):
         empty = spark.createDataFrame([], TARGET_SCHEMA)
         empty.write.mode("overwrite").parquet(wh.path(TARGET_TABLE))
+
+
+def compact_table(
+    spark: SparkSession,
+    wh: Warehouse,
+    table: str,
+    target_files: int = 8,
+    schema: T.StructType | None = None,
+) -> int:
+    """Small-file compaction: rewrite a table's data into ``target_files``
+    files (per partition directory for partitioned tables is a further
+    refinement; this compacts the whole dataset). Incremental appends — one
+    file per batch per partition — degrade scan planning over time; at
+    scale this runs as periodic maintenance. Returns the file count after
+    compaction."""
+    df = wh.read(spark, table, schema)
+    wh.overwrite_atomic(df.coalesce(target_files), table)
+    return sum(
+        1
+        for _, _, files in os.walk(wh.path(table))
+        for f in files
+        if f.endswith(".parquet")
+    )

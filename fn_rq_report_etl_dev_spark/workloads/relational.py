@@ -756,3 +756,42 @@ def window_analytics_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_ok"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
     )
+
+
+@workload(
+    "quality_constraint_report",
+    oracle="""
+    WITH agg AS (
+        SELECT count(*) AS n,
+               count(*) FILTER (WHERE o_custkey IS NULL) AS custkey_nulls,
+               count(*) FILTER (WHERE o_totalprice IS NULL
+                                OR o_totalprice < 0 OR o_totalprice > 1000000) AS price_range,
+               count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                                AND o_orderstatus NOT IN ('O', 'F', 'P')) AS status_domain,
+               count(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                                AND NOT regexp_full_match(o_orderpriority, '[1-5]-[A-Z ]+')) AS priority_shape
+        FROM orders
+    )
+    SELECT rule, n_violations, n AS n_rows,
+           CAST(n_violations AS DOUBLE) / n AS violation_rate
+    FROM (
+        SELECT n, 'o_custkey_not_null' AS rule, custkey_nulls AS n_violations FROM agg
+        UNION ALL SELECT n, 'o_totalprice_in_range', price_range FROM agg
+        UNION ALL SELECT n, 'o_orderstatus_accepted', status_domain FROM agg
+        UNION ALL SELECT n, 'o_orderpriority_matches', priority_shape FROM agg
+    )
+    """,
+)
+def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: 4 constraint rules evaluated in one scan
+    (conditional counts), emitted as a per-rule violation report."""
+    from ..operators.quality import accepted_values, constraint_report, in_range, matches, not_null
+
+    orders = load(spark, sf_dir, "orders")
+    rules = [
+        not_null("o_custkey"),
+        in_range("o_totalprice", 0, 1_000_000),
+        accepted_values("o_orderstatus", ["O", "F", "P"]),
+        matches("o_orderpriority", r"^[1-5]-[A-Z ]+$"),
+    ]
+    return constraint_report(orders, rules)

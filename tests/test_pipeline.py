@@ -138,3 +138,27 @@ def test_daily_window_shape():
 
     w = daily_window(date(2024, 3, 15))
     assert w == {"StartDate": "2024-03-14", "StopDate": "2024-03-15"}
+
+
+def test_compact_table_reduces_file_count(spark, tmp_path):
+    from fn_rq_report_etl_dev_spark.catalog import Warehouse, compact_table
+
+    import os
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    for _ in range(3):  # several appends → many small files
+        wh.append(df.repartition(8), "t")
+    before = sum(f.endswith(".parquet") for f in os.listdir(wh.path("t")))
+    assert before == 24
+    n = compact_table(spark, wh, "t", target_files=4)
+    assert n == 4
+    assert wh.read(spark, "t").count() == 3000
+
+
+def test_unique_key_violations(spark):
+    from fn_rq_report_etl_dev_spark.operators.quality import unique_key_violations
+
+    df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k long, v string")
+    out = unique_key_violations(df, ["k"]).collect()
+    assert [(r["k"], r["n_occurrences"]) for r in out] == [(1, 2)]
