@@ -81,6 +81,9 @@ def main() -> None:
         start = time.perf_counter()
         force(QUERIES[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - start, 3)
+        # Isolation: drop any cache an operator persisted so later queries
+        # aren't taxed by earlier queries' storage memory.
+        spark.catalog.clearCache()
 
     # End-to-end daily-batch pipeline (reference envelope: 90 min budget).
     timings["pipeline_daily_batch"] = time_pipeline_daily_batch(spark, sf_dir)

@@ -84,3 +84,28 @@ def fingerprint(col: Column) -> Column:
     (The distributable analog of a rolling-hash document fingerprint.)"""
     canon = F.array_join(F.array_sort(F.array_distinct(words(col))), " ")
     return F.md5(canon)
+
+
+# PII patterns kept to the regex subset Java and RE2 share.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_count(col: Column) -> Column:
+    """Total PII-pattern hits in a text column (one regexp pass per kind)."""
+    total = F.lit(0)
+    for pat in PII_PATTERNS.values():
+        total = total + F.regexp_count(col, F.lit(pat))
+    return total
+
+
+def pii_redact(col: Column, replacement: str = "[REDACTED]") -> Column:
+    """Replace every PII-pattern occurrence; chained regexp_replace stays
+    a single projection in the plan (no extra passes over rows)."""
+    out = col
+    for pat in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, replacement)
+    return out

@@ -550,3 +550,31 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_for_udtf d, LATERAL sentence_split(d.text) s
         """
     )
+
+
+_PII_SQL_REDACT = "regexp_replace(regexp_replace(regexp_replace(text, '{email}', '[REDACTED]', 'g'), '{phone}', '[REDACTED]', 'g'), '{ssn}', '[REDACTED]', 'g')"
+
+
+@workload(
+    "text_pii_scan",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{TXT.PII_PATTERNS["email"]}'))
+              + len(regexp_extract_all(text, '{TXT.PII_PATTERNS["phone"]}'))
+              + len(regexp_extract_all(text, '{TXT.PII_PATTERNS["ssn"]}')) AS BIGINT) AS n_pii,
+           substring({_PII_SQL_REDACT.format(**TXT.PII_PATTERNS)}, 1, 80) AS redacted_prefix
+    FROM documents
+    """,
+)
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction: email/phone/SSN pattern counts and the
+    redacted text (chained regexp_replace, one projection). The fixture
+    corpus contains no PII (counts are 0); planted-PII behavior is pinned
+    in tests/test_llmops.py."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TXT.pii_count(t).cast("bigint").alias("n_pii"),
+        F.substring(TXT.pii_redact(t), 1, 80).alias("redacted_prefix"),
+    )

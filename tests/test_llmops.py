@@ -114,3 +114,26 @@ def test_ivf_topk_probes_nearest_cells(spark, sf_dir):
     overlap = sum(1 for key, n in got.items() if best.get(key) == n or n in
                   [v for (q, _), v in best.items() if q == key[0]])
     assert overlap >= 5
+
+
+def test_pii_redaction_on_planted_pii(spark):
+    from pyspark.sql import functions as F
+
+    from fn_rq_report_etl_dev_spark.functions.text import pii_count, pii_redact
+
+    df = spark.createDataFrame(
+        [(1, "reach me at jane.doe@example.com or 555-123-4567, SSN 123-45-6789"),
+         (2, "no pii here"),
+         (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        pii_count(F.col("text")).alias("n"),
+        pii_redact(F.col("text")).alias("red"),
+    ).collect()}
+    assert out[1]["n"] == 3
+    assert "[REDACTED]" in out[1]["red"]
+    assert "example.com" not in out[1]["red"] and "123-45-6789" not in out[1]["red"]
+    assert out[2]["n"] == 0 and out[2]["red"] == "no pii here"
+    assert out[3]["n"] is None and out[3]["red"] is None
