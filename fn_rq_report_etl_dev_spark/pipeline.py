@@ -142,3 +142,64 @@ def run_etl(
     )
     wh.append_partitioned(staged, STAGING_TABLE, STAGING_PARTITION_COL)
     return merge_to_target(spark, wh, now)
+
+
+BUCKETED_TARGET_TABLE = "rq_tradein_report_bucketed"
+
+
+def merge_to_target_bucketed(
+    spark: SparkSession,
+    wh: Warehouse,
+    now: Column | None = None,
+    n_buckets: int = 64,
+) -> dict[str, int]:
+    """The 100 TB form of merge_to_target: the target is hash-bucket-
+    partitioned on the merge key, so the daily merge reads and rewrites
+    only the buckets the batch touches (operators.merge_partitioned)
+    instead of full-outer-joining the whole table."""
+    from .operators.merge_partitioned import ensure_bucketed_target, merge_into_bucketed_target
+    from .schemas import TARGET_SCHEMA
+
+    ensure_bucketed_target(spark, wh, BUCKETED_TARGET_TABLE, TARGET_SCHEMA, n_buckets)
+    staging = wh.read(spark, STAGING_TABLE, STAGING_PARTITIONED_SCHEMA).drop(
+        STAGING_PARTITION_COL
+    )
+    typed = apply_type_map(staging, TARGET_TYPE_MAP)
+    deduped = latest_per_key(
+        typed, [MERGE_KEY], [DEDUP_ORDER_COLUMN, DEDUP_TIEBREAKER]
+    )
+    counts = merge_into_bucketed_target(
+        spark,
+        wh,
+        BUCKETED_TARGET_TABLE,
+        deduped,
+        MERGE_KEY,
+        n_buckets=n_buckets,
+        audit_inserted=AUDIT_INSERTED,
+        audit_updated=AUDIT_UPDATED,
+        now=now,
+    )
+    today = _today_value(spark, now)
+    stale = [
+        v
+        for v in wh.partition_values(STAGING_TABLE, STAGING_PARTITION_COL)
+        if v is not None and v != today
+    ]
+    wh.drop_partitions(STAGING_TABLE, STAGING_PARTITION_COL, stale)
+    return counts
+
+
+def run_etl_bucketed(
+    spark: SparkSession,
+    wh: Warehouse,
+    batch: DataFrame,
+    now: Column | None = None,
+    n_buckets: int = 64,
+) -> dict[str, int]:
+    """run_etl against the bucket-partitioned target."""
+    ensure_tables(spark, wh)
+    staged = normalize_batch(batch, now).withColumn(
+        STAGING_PARTITION_COL, F.to_date(F.col(DEDUP_ORDER_COLUMN))
+    )
+    wh.append_partitioned(staged, STAGING_TABLE, STAGING_PARTITION_COL)
+    return merge_to_target_bucketed(spark, wh, now, n_buckets)

@@ -101,3 +101,32 @@ def test_merge_scan_is_partition_pruned(spark, tmp_path):
     plan = formatted_plan(pruned)
     assert "PartitionFilters" in plan and BUCKET_COL in plan
     assert pruned.count() == 8  # 2 of 8 buckets → 8 of 32 rows
+
+
+def test_bucketed_pipeline_end_to_end(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from fn_rq_report_etl_dev_spark.pipeline import BUCKETED_TARGET_TABLE, run_etl_bucketed
+    from fn_rq_report_etl_dev_spark.sources.json_api import batch_to_dataframe
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    now = F.to_timestamp(F.lit("2024-03-15 12:00:00"))
+    day1 = [{"SaleInvoiceID": str(i), "TradeInTransactionID": str(i),
+             "TradeInDate": "2024-03-15T01:00:00Z", "TradeInAmount": f"{i}.00"}
+            for i in range(20)]
+    counts = run_etl_bucketed(spark, wh, batch_to_dataframe(spark, day1), now=now, n_buckets=8)
+    assert counts == {"inserted": 20, "updated": 0}
+
+    # Same-day staging rows are retained and re-merge (reference semantics:
+    # staging accumulates within a day) → all 20 keys update, key 0 takes
+    # the intra-day-later value.
+    day2 = [{"SaleInvoiceID": "0", "TradeInTransactionID": "99",
+             "TradeInDate": "2024-03-15T09:00:00Z", "TradeInAmount": "77.00"}]
+    counts = run_etl_bucketed(spark, wh, batch_to_dataframe(spark, day2), now=now, n_buckets=8)
+    assert counts == {"inserted": 0, "updated": 20}
+
+    tgt = wh.read(spark, BUCKETED_TARGET_TABLE)
+    rows = {r["SaleInvoiceID"]: r for r in tgt.collect()}
+    assert len(rows) == 20
+    assert str(rows[0]["TradeInAmount"]) == "77.00"
+    assert rows[0]["ETLRowUpdatedEST"] is not None
