@@ -166,13 +166,41 @@ def compact_table(
     schema: T.StructType | None = None,
 ) -> int:
     """Small-file compaction: rewrite a table's data into ``target_files``
-    files (per partition directory for partitioned tables is a further
-    refinement; this compacts the whole dataset). Incremental appends — one
-    file per batch per partition — degrade scan planning over time; at
-    scale this runs as periodic maintenance. Returns the file count after
-    compaction."""
+    files. Incremental appends — one file per batch per partition — degrade
+    scan planning over time; at scale this runs as periodic maintenance.
+
+    Hive-partitioned tables are compacted LAYOUT-PRESERVINGLY: the
+    partition column is detected from the directory names, the rewrite is
+    clustered by it, and the output keeps the same partitioning (a flat
+    rewrite would break partition discovery and silently disable
+    partition-based retention/pruning). Returns the file count after
+    compaction.
+    """
+    part_col = None
+    root = wh.path(table)
+    for entry in os.listdir(root) if os.path.isdir(root) else []:
+        if "=" in entry and os.path.isdir(os.path.join(root, entry)):
+            part_col = entry.split("=", 1)[0]
+            break
+
     df = wh.read(spark, table, schema)
-    wh.overwrite_atomic(df.coalesce(target_files), table)
+    final = wh.path(table)
+    tmp = f"{final}.compact-{uuid.uuid4().hex[:8]}"
+    if part_col is not None:
+        # One writer task per hash-bucket of partitions → one file per
+        # partition directory, layout unchanged.
+        (
+            df.repartition(target_files, part_col)
+            .write.mode("overwrite")
+            .partitionBy(part_col)
+            .parquet(tmp)
+        )
+    else:
+        df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    old = f"{final}.old-{uuid.uuid4().hex[:8]}"
+    os.rename(final, old)
+    os.rename(tmp, final)
+    shutil.rmtree(old, ignore_errors=True)
     return sum(
         1
         for _, _, files in os.walk(wh.path(table))

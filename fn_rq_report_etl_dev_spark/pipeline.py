@@ -66,6 +66,31 @@ def _today_value(spark: SparkSession, now: Column | None) -> str:
     return str(spark.range(1).select(expr.alias("d")).collect()[0]["d"])
 
 
+def _deduped_staging(spark: SparkSession, wh: Warehouse) -> DataFrame:
+    """Shared merge input: read date-partitioned staging, lenient-cast to
+    target types, window-dedup to one row per merge key."""
+    staging = wh.read(spark, STAGING_TABLE, STAGING_PARTITIONED_SCHEMA).drop(
+        STAGING_PARTITION_COL
+    )
+    typed = apply_type_map(staging, TARGET_TYPE_MAP)
+    return latest_per_key(typed, [MERGE_KEY], [DEDUP_ORDER_COLUMN, DEDUP_TIEBREAKER])
+
+
+def _purge_stale_staging(spark: SparkSession, wh: Warehouse, now: Column | None) -> None:
+    """Staging retention (rqtradein_etl.py:192): drop every partition whose
+    date differs from today — a metadata-only directory drop, no data
+    rewrite. NULL dates are kept: in the reference, `CONVERT(date,
+    TradeInDate) <> CONVERT(date, GETDATE())` is UNKNOWN for NULL, so those
+    rows survive the DELETE."""
+    today = _today_value(spark, now)
+    stale = [
+        v
+        for v in wh.partition_values(STAGING_TABLE, STAGING_PARTITION_COL)
+        if v is not None and v != today
+    ]
+    wh.drop_partitions(STAGING_TABLE, STAGING_PARTITION_COL, stale)
+
+
 def merge_to_target(
     spark: SparkSession,
     wh: Warehouse,
@@ -80,13 +105,7 @@ def merge_to_target(
     retention policy already keeps staging to ~1 day, so the merge reads
     everything present).
     """
-    staging = wh.read(spark, STAGING_TABLE, STAGING_PARTITIONED_SCHEMA).drop(
-        STAGING_PARTITION_COL
-    )
-    typed = apply_type_map(staging, TARGET_TYPE_MAP)
-    deduped = latest_per_key(
-        typed, [MERGE_KEY], [DEDUP_ORDER_COLUMN, DEDUP_TIEBREAKER]
-    )
+    deduped = _deduped_staging(spark, wh)
     target = wh.read(spark, TARGET_TABLE)
     merged = merge_upsert(
         target,
@@ -110,20 +129,7 @@ def merge_to_target(
     wh.overwrite_atomic(merged.drop(MERGE_ACTION), TARGET_TABLE)
     counts_row = obs.get
 
-    # Staging retention (rqtradein_etl.py:192): drop every partition whose
-    # date differs from today — a metadata-only directory drop, no data
-    # rewrite (the 100 TB-correct form of the reference's DELETE). NULL
-    # dates are kept: in the reference, `CONVERT(date, TradeInDate) <>
-    # CONVERT(date, GETDATE())` is UNKNOWN for NULL, so those rows survive
-    # the DELETE.
-    today = _today_value(spark, now)
-    stale = [
-        v
-        for v in wh.partition_values(STAGING_TABLE, STAGING_PARTITION_COL)
-        if v is not None and v != today
-    ]
-    wh.drop_partitions(STAGING_TABLE, STAGING_PARTITION_COL, stale)
-
+    _purge_stale_staging(spark, wh, now)
     return {"inserted": counts_row["inserted"], "updated": counts_row["updated"]}
 
 
@@ -161,13 +167,7 @@ def merge_to_target_bucketed(
     from .schemas import TARGET_SCHEMA
 
     ensure_bucketed_target(spark, wh, BUCKETED_TARGET_TABLE, TARGET_SCHEMA, n_buckets)
-    staging = wh.read(spark, STAGING_TABLE, STAGING_PARTITIONED_SCHEMA).drop(
-        STAGING_PARTITION_COL
-    )
-    typed = apply_type_map(staging, TARGET_TYPE_MAP)
-    deduped = latest_per_key(
-        typed, [MERGE_KEY], [DEDUP_ORDER_COLUMN, DEDUP_TIEBREAKER]
-    )
+    deduped = _deduped_staging(spark, wh)
     counts = merge_into_bucketed_target(
         spark,
         wh,
@@ -179,13 +179,7 @@ def merge_to_target_bucketed(
         audit_updated=AUDIT_UPDATED,
         now=now,
     )
-    today = _today_value(spark, now)
-    stale = [
-        v
-        for v in wh.partition_values(STAGING_TABLE, STAGING_PARTITION_COL)
-        if v is not None and v != today
-    ]
-    wh.drop_partitions(STAGING_TABLE, STAGING_PARTITION_COL, stale)
+    _purge_stale_staging(spark, wh, now)
     return counts
 
 

@@ -525,7 +525,7 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the row-expanding user-defined operator class (UDF/UDAF are covered by
     pandas UDFs / applyInPandas elsewhere). Lateral-joined per input row;
     the oracle is a regexp-split + ordinal unnest."""
-    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.functions import udtf
 
     @udtf(returnType="sentence_idx int, sentence string, n_chars_s int")
     class SentenceSplit:

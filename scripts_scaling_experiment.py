@@ -26,9 +26,15 @@ def synth(n, tag):
 BATCH = 40_000  # fixed daily batch
 results = []
 for target_rows in (500_000, 2_000_000, 8_000_000):
-    # batch touches a contiguous 2% of the keyspace + some new keys
+    # half the batch updates existing keys (contiguous range inside the
+    # target keyspace), half inserts brand-new keys beyond it — both merge
+    # branches are exercised at every target size.
     lo = target_rows // 2
-    batch = synth(BATCH, "s").withColumn("k", F.col("k") + lo)
+    batch = synth(BATCH, "s").withColumn(
+        "k",
+        F.when(F.col("k") < BATCH // 2, F.col("k") + lo)
+        .otherwise(F.col("k") - BATCH // 2 + target_rows),
+    )
 
     # full-table merge: read whole target, full-outer join, rewrite all
     wh = Warehouse(tempfile.mkdtemp(prefix="scale-flat-"))

@@ -92,3 +92,28 @@ def test_flat_layout_upgrade(spark, tmp_path):
     assert not upgrade_staging_layout(spark, wh)  # idempotent
     ensure_tables(spark, wh)  # and bootstrap-safe afterwards
     assert wh.read(spark, STAGING_TABLE, STAGING_PARTITIONED_SCHEMA).count() == 1
+
+
+def test_compact_preserves_partitioned_layout(spark, tmp_path):
+    from fn_rq_report_etl_dev_spark.catalog import Warehouse, compact_table
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(i, f"v{i}", f"2024-03-{10 + i % 3:02d}") for i in range(300)],
+        "k long, v string, dt string",
+    ).withColumn("dt", F.to_date("dt"))
+    for _ in range(3):  # repeated appends → many files per partition
+        wh.append_partitioned(df.repartition(8), "t", "dt")
+    assert len(wh.partition_values("t", "dt")) == 3
+
+    compact_table(spark, wh, "t", target_files=3)
+    # layout preserved: same partitions, data intact, fewer files
+    assert sorted(wh.partition_values("t", "dt")) == [
+        "2024-03-10", "2024-03-11", "2024-03-12"]
+    assert wh.read(spark, "t").count() == 900
+    import os
+
+    files = [
+        f for _, _, fs in os.walk(wh.path("t")) for f in fs if f.endswith(".parquet")
+    ]
+    assert len(files) <= 6  # was ≥ 24 before compaction
