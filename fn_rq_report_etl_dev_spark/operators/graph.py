@@ -1,0 +1,75 @@
+"""Iterative graph operator: connected components by min-label
+propagation — the transitive-closure step a dedup pipeline needs to turn
+pairwise near-duplicate CANDIDATES into duplicate CLUSTERS (pick one
+survivor per component, drop the rest).
+
+This is the engine's iterative-algorithm class (no single SQL statement
+expresses a fixed-point loop): a driver-side loop over DataFrame steps,
+each iteration one join + aggregate, with ``localCheckpoint`` breaking the
+lineage so plans don't grow unboundedly. Convergence is monotone (labels
+only decrease), detected by the exact integer label-sum reaching a fixed
+point; iteration count is bounded by the component diameter — tiny for
+near-dup clusters, and at 100 TB each iteration is an ordinary shuffled
+join/agg (the standard large-scale connected-components shape; switch to
+GraphFrames/Pregel only for web-scale graphs with huge diameters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Label every node with the minimum node id reachable through the
+    (undirected) edge set. Returns DataFrame[id, component].
+
+    ``nodes``: one row per node id; ``edges``: undirected pairs (each pair
+    listed once; both directions are derived).
+    """
+    und = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("component")
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            und.join(labels, und.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("component").alias("nb_min"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nb_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if new_sum == prev_sum:  # monotone → fixed point reached
+            break
+        prev_sum = new_sum
+    return labels
+
+
+def cluster_survivors(components: DataFrame) -> DataFrame:
+    """One survivor per cluster (the component's min id) + cluster size —
+    the keep/drop decision table for cluster-level dedup."""
+    return components.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("id").alias("survivor_id"),
+    )

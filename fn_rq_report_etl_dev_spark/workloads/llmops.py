@@ -578,3 +578,34 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         TXT.pii_count(t).cast("bigint").alias("n_pii"),
         F.substring(TXT.pii_redact(t), 1, 80).alias("redacted_prefix"),
     )
+
+
+@workload(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE.lstrip()}, {_LSH_CTE.lstrip()},
+    und(a, b) AS (
+        SELECT id_a, id_b FROM cand UNION SELECT id_b, id_a FROM cand
+    ),
+    r(node, reach) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT u.b, r.reach FROM r JOIN und u ON r.node = u.a
+    )
+    SELECT node AS doc_id, min(reach) AS component
+    FROM r GROUP BY node
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative near-dup clustering: LSH candidate pairs → connected
+    components by min-label propagation (fixed-point DataFrame loop with
+    checkpointed iterations). The oracle is a recursive reachability CTE —
+    both converge to the same component-minimum labeling."""
+    from ..operators.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text")
+    comp = connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id"
+    )
+    return comp.select(F.col("id").alias("doc_id"), "component")

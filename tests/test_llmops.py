@@ -137,3 +137,23 @@ def test_pii_redaction_on_planted_pii(spark):
     assert "example.com" not in out[1]["red"] and "123-45-6789" not in out[1]["red"]
     assert out[2]["n"] == 0 and out[2]["red"] == "no pii here"
     assert out[3]["n"] is None and out[3]["red"] is None
+
+
+def test_connected_components_transitive_clusters(spark):
+    from fn_rq_report_etl_dev_spark.operators.graph import (
+        cluster_survivors,
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    # chain 0-1-2-3 (transitive!), pair 5-6, isolated 4
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["component"] for r in
+            connected_components(nodes, edges).collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5}
+
+    surv = {r["component"]: (r["survivor_id"], r["n_members"]) for r in
+            cluster_survivors(connected_components(nodes, edges)).collect()}
+    assert surv == {0: (0, 4), 4: (4, 1), 5: (5, 2)}
