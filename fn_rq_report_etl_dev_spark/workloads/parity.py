@@ -204,19 +204,27 @@ def o11_o12_est_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
            TRY_CAST(event_type AS BIGINT) AS bad_int,
-           CAST(value AS DECIMAL(18,2)) AS value_dec
+           floor(value * 100) / 100 AS value_2dp
     FROM events
     """,
 )
 def o17_lenient_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O17: lenient string→typed casts — garbage becomes NULL, the row
-    survives (the reference's implicit VARCHAR coercion, made explicit)."""
+    survives (the reference's implicit VARCHAR coercion, made explicit).
+
+    The 2-dp money normalization deliberately stays in pure IEEE-double math
+    (``floor(value*100)/100``): a direct double→DECIMAL(18,2) cast rounds
+    ties HALF_UP in Spark (BigDecimal on the shortest decimal repr) but in C
+    double math in DuckDB, which diverges on values like 2.675 depending on
+    engine build — the round-1 driver-red hash. Floor of a double product is
+    bit-identical everywhere.
+    """
     events = load(spark, sf_dir, "events")
     return events.select(
         "event_id",
         F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").alias("k_int"),
         F.expr("try_cast(event_type AS BIGINT)").alias("bad_int"),
-        F.col("value").cast("decimal(18,2)").alias("value_dec"),
+        (F.floor(F.col("value") * 100).cast("double") / 100).alias("value_2dp"),
     )
 
 
