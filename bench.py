@@ -76,6 +76,16 @@ def main() -> None:
     # Warm the JVM/codegen once on the flagship so first-query JIT noise
     # doesn't land on an arbitrary workload.
     force(QUERIES["flagship_dedup_merge"](spark, sf_dir))
+    # Warm the Python/Arrow worker pool the same way: the first pandas-UDF
+    # job in a session pays worker spin-up (~2-3 s on local[32]), which is
+    # session startup cost, not per-query cost.
+    from pyspark.sql import functions as F
+
+    force(
+        spark.range(1000).select(
+            F.pandas_udf(lambda s: s * 2, "long")(F.col("id")).alias("x")
+        )
+    )
 
     for name in sorted(QUERIES):
         start = time.perf_counter()

@@ -180,40 +180,119 @@ def embedding_near_dup_pairs(
     ).filter(F.col("cos") >= min_cosine)
 
 
-def ivf_topk(
-    queries: DataFrame,
+class IvfIndex:
+    """A built inverted-file index: tiny ``centroids`` (cell, centroid) for
+    broadcast, and the cell-assigned ``assigned`` corpus (neighbor_id, cv,
+    cell), persisted so repeated queries reuse it without re-clustering.
+
+    At 100 TB the build is a periodic offline job (like any ANN index);
+    queries are then a broadcast of centroids + one equi-join on cell —
+    no training cost on the query path.
+    """
+
+    def __init__(self, centroids: DataFrame, assigned: DataFrame):
+        self.centroids = centroids
+        self.assigned = assigned
+
+    def unpersist(self) -> None:
+        self.assigned.unpersist()
+
+
+def _assign_cell_udf(centroids):
+    """Arrow-vectorized nearest-centroid assignment: numpy over stacked
+    batches against the (tiny, task-serialized) centroid matrix."""
+    import numpy as np
+    import pandas as pd
+
+    mat = np.asarray(centroids, dtype=np.float64)  # (k, d)
+
+    def assign(cv):
+        m = np.stack(cv.to_numpy())  # (n, d)
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant per row
+        d2 = (mat * mat).sum(axis=1)[None, :] - 2.0 * m @ mat.T
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    from pyspark.sql.functions import PandasUDFType
+
+    return F.pandas_udf("int", PandasUDFType.SCALAR)(assign)
+
+
+def build_ivf_index(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 3,
     n_cells: int = 16,
-    n_probe: int = 2,
     seed: int = 42,
-    exclude_self: bool = False,
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: k-means partitions the corpus
-    into cells; each query probes only its ``n_probe`` nearest cells.
+    max_iter: int = 10,
+    train_sample: int = 65536,
+) -> IvfIndex:
+    """Build the IVF coarse quantizer and persist the cell assignment.
 
-    The scale shape: cell assignment is one ML transform over the corpus
-    (trained once, reusable), the candidate join is an equi-join on the
-    cell id, and centroids are tiny (broadcast). Recall/cost is tuned by
-    (n_cells, n_probe) — the standard IVF trade-off.
+    The standard large-scale recipe (what FAISS does for IVF training):
+    k-means runs on a bounded, hash-deterministic sample of the corpus —
+    ``train_sample`` vectors collected to the driver (≤ 64Ki×d doubles,
+    ~32 MB at d=64) and Lloyd-iterated in numpy, which is exact, seedable,
+    and free of per-iteration cluster jobs. The full corpus is touched by
+    exactly ONE distributed pass: the Arrow-vectorized cell assignment.
+    Quantizer quality from a 64Ki sample is indistinguishable for IVF
+    purposes — recall is governed by (n_cells, n_probe).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("fv", array_to_vector("cv"))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell").fit(c)
-    assigned = model.transform(c).select("neighbor_id", "cv", "cell")
+    ).persist()
+
+    # Deterministic training sample: first train_sample vectors in seeded
+    # md5 hash order (a distributed TakeOrdered — no full sort at scale).
+    sample_rows = (
+        c.orderBy(F.md5(F.concat(F.lit(str(seed)), F.col("neighbor_id").cast("string"))))
+        .limit(train_sample)
+        .select("cv")
+        .collect()
+    )
+    X = np.asarray([r["cv"] for r in sample_rows], dtype=np.float64)  # (n, d)
+    k = min(n_cells, len(X))
+    C = X[:k].copy()  # init = first k hash-ordered vectors (deterministic)
+    for _ in range(max_iter):
+        d2 = (C * C).sum(axis=1)[None, :] - 2.0 * X @ C.T  # (n, k) + const
+        labels = d2.argmin(axis=1)
+        newC = C.copy()
+        for i in range(k):
+            members = X[labels == i]
+            if len(members):  # empty cell keeps its centroid
+                newC[i] = members.mean(axis=0)
+        if np.allclose(newC, C):
+            break
+        C = newC
+    centroids_py = [[float(x) for x in row] for row in C]
+
+    assign = _assign_cell_udf(centroids_py)
+    assigned = c.select("neighbor_id", "cv", assign(F.col("cv")).alias("cell")).persist()
+    assigned.count()  # materialize so queries never re-trigger clustering
+    c.unpersist()
 
     spark = corpus.sparkSession
     centroids = spark.createDataFrame(
-        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        list(enumerate(centroids_py)),
         "cell int, centroid array<double>",
     )
+    return IvfIndex(centroids, assigned)
 
+
+def ivf_query(
+    index: IvfIndex,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_probe: int = 2,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Query half of IVF: rank cells per query by centroid distance
+    (broadcast — centroids are tiny), probe the best ``n_probe`` cells via
+    an equi-join on cell id, exact cosine re-rank within candidates."""
+    centroids, assigned = index.centroids, index.assigned
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
@@ -249,4 +328,34 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    exclude_self: bool = False,
+    index: IvfIndex | None = None,
+) -> DataFrame:
+    """One-shot convenience: build (or reuse ``index``) then query.
+    Production callers with repeated queries should hold the ``IvfIndex``
+    from ``build_ivf_index`` and call ``ivf_query`` directly."""
+    if index is None:
+        index = build_ivf_index(
+            corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells, seed=seed
+        )
+    return ivf_query(
+        index,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        n_probe=n_probe,
+        exclude_self=exclude_self,
     )
