@@ -44,13 +44,14 @@ def content_digest_groups(df: DataFrame, id_col: str, text_col: str) -> DataFram
 
 
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
-    """Repartition a small/single-file input across all cores before a
-    CPU-bound stage (a big corpus arrives in many splits already). Keyed by
-    id so the downstream per-doc window/groupBy reuses the exchange."""
+    """Repartition the input across all cores before a CPU-bound stage,
+    keyed by id so every downstream per-doc window/groupBy reuses this one
+    exchange (Catalyst would insert the same shuffle anyway — doing it
+    explicitly also fixes the single-input-split case of a small parquet).
+    Stays on the DataFrame API: no ``.rdd`` conversion just to probe
+    partition counts."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism, F.col(id_col))
-    return df
+    return df.repartition(parallelism, F.col(id_col))
 
 
 def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, distinct: bool = True) -> DataFrame:
@@ -80,33 +81,83 @@ def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, distinct: bool
     return sh.distinct() if distinct else sh
 
 
-def _bucket_pairs(df: DataFrame, key_cols: list[str], keep: list[str] | None = None) -> DataFrame:
-    """All (id_a < id_b) pairs of ``__id``s sharing the same bucket key —
-    computed by collecting each bucket's sorted id array and expanding
-    combinations with array functions.
+DEFAULT_MAX_BUCKET = 1024  # cap on any collected id array / pair-expansion row
 
-    One pass over the input (the upstream pipeline is NOT recomputed, unlike
-    a self-join whose two sides each re-execute it). Bucket size is bounded
-    by design (LSH band width / hash width); a pathologically hot bucket
-    would need salted splitting — documented trade-off.
+
+def _bucket_pairs(
+    df: DataFrame,
+    key_cols: list[str],
+    keep: list[str] | None = None,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """All (id_a < id_b) pairs of ``__id``s sharing the same bucket key.
+
+    Hot-bucket safe: ids are chunked to ``max_bucket`` per bucket (sorted
+    ``row_number`` → chunk index), so no task ever materializes more than
+    ``max_bucket`` ids in one array or expands more than ``max_bucket``
+    pairs per row. A template-heavy corpus (millions of identical docs in
+    one bucket) still produces its O(m²) pairs — that is the answer — but
+    spread across (m/cap)² bounded chunk tasks instead of one giant
+    ``collect_list``. The window's per-bucket sort is Spark's external
+    (spilling) sort, not an in-memory array.
+
+    Pair generation is split into:
+    - within-chunk triangles: ``posexplode`` + ``slice`` (row memory O(cap),
+      never the full O(cap²) pair array at once);
+    - cross-chunk rectangles: chunk-array self-equi-join on the bucket key
+      with ``chunk_a < chunk_b``. Chunks are assigned in sorted-id order,
+      so every id in chunk_a < every id in chunk_b and the id_a < id_b
+      invariant holds with no post-filter.
+
+    The chunk frame is persisted: it feeds the triangle scan and both join
+    sides, and without it the self-join would re-execute the whole upstream
+    pipeline per side.
     """
-    ids = F.sort_array(F.collect_list("__id")).alias("ids")
+    from pyspark.sql import Window
+
     keep = keep or []
-    buckets = (
-        df.groupBy(*key_cols).agg(ids).filter(F.size("ids") >= 2)
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy("__id")
+    chunked = df.select(*key_cols, "__id").withColumn(
+        "__chunk", ((F.row_number().over(w) - F.lit(1)) / F.lit(max_bucket)).cast("int")
     )
-    pair_arrays = F.flatten(
-        F.transform(
+    # Partitioned by key_cols already (subset of the group key) — no extra
+    # exchange for this aggregation.
+    chunks = (
+        chunked.groupBy(*key_cols, "__chunk")
+        .agg(F.sort_array(F.collect_list("__id")).alias("ids"))
+        .persist()
+    )
+    within = (
+        chunks.filter(F.size("ids") >= 2)
+        .select(
+            *[F.col(c) for c in keep],
+            F.posexplode("ids").alias("__i", "id_a"),
             F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
+        )
+        .select(
+            *keep,
+            "id_a",
+            F.explode(F.slice(F.col("ids"), F.col("__i") + 2, F.size("ids"))).alias("id_b"),
         )
     )
-    return buckets.select(
-        *[F.col(c) for c in keep], F.explode(pair_arrays).alias("p")
-    ).select(*keep, F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+    left = chunks.select(
+        *key_cols, F.col("__chunk").alias("__ca"), F.col("ids").alias("__ids_a")
+    )
+    right = chunks.select(
+        *[F.col(c).alias(f"__r_{c}") for c in key_cols],
+        F.col("__chunk").alias("__cb"),
+        F.col("ids").alias("__ids_b"),
+    )
+    cross = (
+        left.join(
+            right,
+            [F.col(c) == F.col(f"__r_{c}") for c in key_cols]
+            + [F.col("__ca") < F.col("__cb")],
+        )
+        .select(*keep, F.explode("__ids_a").alias("id_a"), "__ids_b")
+        .select(*keep, "id_a", F.explode("__ids_b").alias("id_b"))
+    )
+    return within.unionByName(cross)
 
 
 def minhash_signatures(

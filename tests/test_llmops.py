@@ -54,6 +54,25 @@ def test_simhash_exact_dup_collides(spark, docs):
     assert (0, 3) in pairs
 
 
+def test_bucket_pairs_capped_matches_naive(spark):
+    """A pathological hot bucket (150 ids, cap 16 → ~10 chunks) produces
+    exactly the naive triangle pair set, with id_a < id_b, and never holds
+    more than max_bucket ids in one collected array."""
+    from itertools import combinations
+
+    from fn_rq_report_etl_dev_spark.operators.text_dedup import _bucket_pairs
+
+    rows = [("hot", f"d{i:04d}") for i in range(150)]
+    rows += [("pair", "x1"), ("pair", "x2"), ("solo", "y1")]
+    df = spark.createDataFrame(rows, "bkt string, __id string")
+    out = _bucket_pairs(df, ["bkt"], keep=["bkt"], max_bucket=16).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    expect = set(combinations([f"d{i:04d}" for i in range(150)], 2)) | {("x1", "x2")}
+    assert got == expect
+    assert all(r["id_a"] < r["id_b"] for r in out)
+    assert all(r["bkt"] == ("pair" if r["id_a"] == "x1" else "hot") for r in out)
+
+
 def test_bruteforce_topk_finds_self_and_respects_k(spark):
     rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
     rows.append((4, [1.0, 0.0, 0.0, 0.001]))  # near-parallel to vec 0
