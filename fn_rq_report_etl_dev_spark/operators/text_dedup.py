@@ -273,3 +273,95 @@ def simhash_collision_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFr
     """Candidate near-dup pairs: identical 16-bit SimHash (bucket expand)."""
     sig = simhash16(df, id_col, text_col)
     return _bucket_pairs(sig, ["simhash"], keep=["simhash"])
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash — the scale path (the 16-bit variant has only 65k
+    buckets, which a 100 TB corpus floods). Bits 0-31 vote on the nibble
+    high-bits of ``md5('a' || word)``, bits 32-63 on ``md5('b' || word)`` —
+    same portable substring/high-nibble trick as :func:`simhash16`, so the
+    DuckDB oracle reproduces signatures exactly. Output: 64-char '0'/'1'
+    string, one explode + one aggregation."""
+    w = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
+        )
+        .select(
+            "__id",
+            F.md5(F.concat(F.lit("a"), F.col("w"))).alias("ha"),
+            F.md5(F.concat(F.lit("b"), F.col("w"))).alias("hb"),
+        )
+    )
+    high = set("89abcdef")
+    votes = [
+        F.sum(
+            F.when(F.substring(h, j + 1, 1).isin(*high), 1).otherwise(-1)
+        ).alias(f"v_{base + j}")
+        for base, h in ((0, "ha"), (32, "hb"))
+        for j in range(32)
+    ]
+    agg = w.groupBy("__id").agg(*votes)
+    bits = F.concat(
+        *[F.when(F.col(f"v_{j}") > 0, "1").otherwise("0") for j in range(64)]
+    )
+    return agg.select(F.col("__id"), bits.alias("simhash64"))
+
+
+def _hamming64(a: Column, b: Column) -> Column:
+    """Exact Hamming distance between two 64-char bit-strings: 64 codegen'd
+    substring comparisons (no interpreted HOF, no engine-private bit ops —
+    the DuckDB oracle mirrors the same expression)."""
+    terms = [
+        (F.substring(a, j + 1, 1) != F.substring(b, j + 1, 1)).cast("int")
+        for j in range(64)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def simhash64_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``,
+    found via banded buckets: the 64-bit signature splits into ``bands``
+    equal slices; a pair differing in ≤ ``max_hamming`` < ``bands`` bits
+    must agree exactly on at least one slice (pigeonhole), so bucketing on
+    (band, slice) has **guaranteed full recall** — then the exact Hamming
+    verify on candidates gives full precision. Result = exactly the pairs
+    with hamming ≤ max_hamming, no O(n²) scan.
+
+    Buckets inherit :func:`_bucket_pairs`'s hot-bucket chunk cap, so a
+    template-heavy corpus cannot OOM a task. Returns (id_a, id_b, hamming).
+    """
+    assert 64 % bands == 0, "bands must divide 64"
+    assert max_hamming < bands, "pigeonhole recall needs max_hamming < bands"
+    width = 64 // bands
+    # Feeds the band explode AND both verify-join sides — persist so the
+    # signature aggregation runs once.
+    sig = simhash64(df, id_col, text_col).persist()
+    banded = sig.select(
+        "__id",
+        F.posexplode(
+            F.array(*[F.substring("simhash64", b * width + 1, width) for b in range(bands)])
+        ).alias("band", "band_val"),
+    )
+    # A pair may agree on several bands → distinct.
+    cands = _bucket_pairs(banded, ["band", "band_val"], max_bucket=max_bucket).distinct()
+    sa = sig.select(F.col("__id").alias("id_a"), F.col("simhash64").alias("__sig_a"))
+    sb = sig.select(F.col("__id").alias("id_b"), F.col("simhash64").alias("__sig_b"))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("hamming", _hamming64(F.col("__sig_a"), F.col("__sig_b")))
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )

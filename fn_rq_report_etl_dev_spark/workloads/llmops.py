@@ -23,6 +23,7 @@ from ..operators.text_dedup import (
     content_digest_groups,
     lsh_candidate_pairs,
     ngram_jaccard_on_candidates,
+    simhash64_near_pairs,
     simhash_collision_pairs,
 )
 from . import load, workload
@@ -147,6 +148,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash collision pairs: frequency-weighted bit votes from
     md5 nibbles; near-dups (and ~n²/2^16 random pairs) share a bucket."""
     return simhash_collision_pairs(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_SIMHASH64_VOTES = ", ".join(
+    "sum(CASE WHEN substr({h}, {p}, 1) IN ('8','9','a','b','c','d','e','f') "
+    "THEN 1 ELSE -1 END) AS v_{j}".format(h=h, p=j + 1, j=base + j)
+    for base, h in ((0, "ha"), (32, "hb"))
+    for j in range(32)
+)
+_SIMHASH64_BITS = " || ".join(
+    f"CASE WHEN v_{j} > 0 THEN '1' ELSE '0' END" for j in range(64)
+)
+_HAMMING64 = " + ".join(
+    f"(substr(a.s, {j + 1}, 1) <> substr(b.s, {j + 1}, 1))::INT" for j in range(64)
+)
+
+
+@workload(
+    "dedup_simhash64",
+    oracle=rf"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents
+    ),
+    h AS (SELECT doc_id, md5('a' || w) AS ha, md5('b' || w) AS hb FROM w),
+    votes AS (SELECT doc_id, {_SIMHASH64_VOTES} FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, {_SIMHASH64_BITS} AS s FROM votes)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_HAMMING64} AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE {_HAMMING64} <= 3
+    """,
+)
+def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs (Hamming ≤ 3) via 4×16-bit banded
+    buckets — pigeonhole guarantees full recall, the exact Hamming verify
+    gives full precision, so the banded plan equals the oracle's O(n²)
+    scan. The 64-bit space (not 16) plus the bucket chunk cap is the
+    100 TB-safe signature-dedup path."""
+    return simhash64_near_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3, bands=4
+    )
 
 
 @workload(

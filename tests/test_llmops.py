@@ -54,6 +54,31 @@ def test_simhash_exact_dup_collides(spark, docs):
     assert (0, 3) in pairs
 
 
+def test_simhash64_banded_equals_naive_hamming(spark, docs):
+    """Banded candidate generation + exact verify returns exactly the pairs
+    a naive all-pairs Hamming scan would (pigeonhole recall guarantee)."""
+    from itertools import combinations
+
+    from fn_rq_report_etl_dev_spark.operators.text_dedup import (
+        simhash64,
+        simhash64_near_pairs,
+    )
+
+    sigs = {r["__id"]: r["simhash64"] for r in simhash64(docs, "doc_id", "text").collect()}
+    assert all(len(s) == 64 and set(s) <= {"0", "1"} for s in sigs.values())
+    naive = {
+        (a, b): sum(x != y for x, y in zip(sigs[a], sigs[b]))
+        for a, b in combinations(sorted(sigs), 2)
+        if sum(x != y for x, y in zip(sigs[a], sigs[b])) <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash64_near_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert got == naive
+    assert got[(0, 3)] == 0  # exact dup → identical signature
+
+
 def test_bucket_pairs_capped_matches_naive(spark):
     """A pathological hot bucket (150 ids, cap 16 → ~10 chunks) produces
     exactly the naive triangle pair set, with id_a < id_b, and never holds
