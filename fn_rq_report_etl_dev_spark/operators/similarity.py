@@ -41,6 +41,18 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def _cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with per-row precomputed norms: ``dot(a,b)/(na*nb)`` is the
+    same expression tree double-for-double as :func:`cosine`, but the two
+    self-dot folds run once per ROW (below the join) instead of once per
+    PAIR — the interpreted-HOF work per pair drops 3×."""
+    return dot(a, b) / (na * nb)
+
+
 def _cosine_pandas_udf():
     """Arrow-vectorized cosine: numpy over stacked batches. Faster than the
     interpreted array-fold for big pair counts, but its SIMD/pairwise
@@ -95,17 +107,17 @@ def brute_force_topk(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("__nq", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("__nc", norm(F.col("cv")))
     scored = F.broadcast(q).crossJoin(c)
     if exclude_self:
         scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = scored.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        _cosine_from_norms(F.col("qv"), F.col("cv"), F.col("__nq"), F.col("__nc")).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -132,17 +144,19 @@ def signlsh_topk(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("qv"),
         sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
-    )
+    ).withColumn("__nq", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cv"),
         sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
-    )
+    ).withColumn("__nc", norm(F.col("cv")))
     scored = q.join(c, "bucket")
     if exclude_self:
         scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = scored.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+        "query_id",
+        "neighbor_id",
+        _cosine_from_norms(F.col("qv"), F.col("cv"), F.col("__nq"), F.col("__nc")).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -160,23 +174,46 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_cosine: float = 0.35,
+    vectorized: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine, blocked on ``block_col`` (a label,
     cluster id, or IVF cell): the pair space is quadratic only within a
-    block, and blocks distribute across the cluster via the equi-join."""
+    block, and blocks distribute across the cluster via the equi-join.
+
+    Norms are precomputed per row below the join (see
+    :func:`_cosine_from_norms`) — bit-identical scores, 3× less
+    interpreted fold work per pair.
+
+    ``vectorized=True`` additionally prefilters the block pairs with the
+    Arrow/numpy cosine at a margin (1e-9) far wider than the
+    numpy-vs-sequential-fold divergence (~1e-14), then recomputes the
+    published score with the deterministic fold on survivors only —
+    output stays bit-identical. MEASURED SLOWER at d=64 on local[32]
+    (Arrow-shipping two vectors per pair ≈ 2× the fold cost), which is
+    why it defaults off; the trade flips for high-dim vectors where the
+    fold's per-element interpretation dominates the fixed Arrow cost."""
     a = df.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id_a"),
         as_double(F.col(vec_col)).alias("va"),
-    )
+    ).withColumn("__na", norm(F.col("va")))
     b = df.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id_b"),
         as_double(F.col(vec_col)).alias("vb"),
-    )
+    ).withColumn("__nb", norm(F.col("vb")))
     pairs = a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
+    if vectorized:
+        pairs = pairs.filter(
+            cosine_vectorized(F.col("va"), F.col("vb")) >= F.lit(min_cosine - 1e-9)
+        )
     return pairs.select(
-        "block", "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+        "block",
+        "id_a",
+        "id_b",
+        _cosine_from_norms(
+            F.col("va"), F.col("vb"), F.col("__na"), F.col("__nb")
+        ).alias("cos"),
     ).filter(F.col("cos") >= min_cosine)
 
 
