@@ -3,10 +3,12 @@ payloads with typed metadata, processed by Arrow-batched pandas functions
 via ``mapInPandas``.
 
 The Spark-side plumbing is real and tested — schemas, partitioning, UDF
-signatures, batch iteration. The actual codecs (JPEG decode, audio
-resample, video frame-sample) are STUBBED: this container has no
-image/audio libraries, so ``decode_fn`` is injectable and the default
-raises ``NotImplementedError`` unless ``deterministic_fake=True`` (the test
+signatures, batch iteration. Real codecs are import-gated optional
+dependencies: ``pillow_image_decoder`` (Pillow) and
+``soundfile_audio_decoder`` (soundfile), dispatched by
+``codec_for_mime``; when the libraries are absent (as in this container)
+``decode_fn`` is injectable and the default raises
+``NotImplementedError`` unless ``deterministic_fake=True`` (the test
 path, which derives fake features from the payload bytes).
 
 Scale notes: payloads stay in the executors end-to-end (Arrow batches, no
@@ -69,6 +71,75 @@ def _fake_decode(payload: bytes) -> list[float]:
         counts[byte % FEATURE_DIM] += 1
     total = float(len(payload)) or 1.0
     return [c / total for c in counts]
+
+
+def pillow_image_decoder(
+    size: tuple[int, int] = (8, 8)
+) -> Callable[[bytes], list[float] | None]:
+    """Real image codec (optional dependency): Pillow decode → grayscale →
+    ``size`` resize → FEATURE_DIM-bucket luminance histogram, normalized —
+    same output contract as ``_fake_decode`` so downstream similarity
+    operators are agnostic to which codec produced the features.
+
+    Raises ImportError at BUILD time (driver-side, fail-fast) if Pillow is
+    absent; the returned closure imports lazily per executor process.
+    """
+    import importlib
+
+    importlib.import_module("PIL.Image")  # fail fast on the driver
+
+    def decode(payload: bytes) -> list[float] | None:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        if payload is None:
+            return None
+        img = Image.open(io.BytesIO(payload)).convert("L").resize(size)
+        a = np.asarray(img, dtype=np.float32) / 255.0
+        hist, _ = np.histogram(a, bins=FEATURE_DIM, range=(0.0, 1.0))
+        n = a.size or 1
+        return [float(c) / n for c in hist]
+
+    return decode
+
+
+def soundfile_audio_decoder() -> Callable[[bytes], list[float] | None]:
+    """Real audio codec (optional dependency): soundfile decode → mono →
+    FEATURE_DIM equal-width amplitude histogram over [-1, 1], normalized.
+    Same build-time/lazy-import split as :func:`pillow_image_decoder`."""
+    import importlib
+
+    importlib.import_module("soundfile")
+
+    def decode(payload: bytes) -> list[float] | None:
+        import io
+
+        import numpy as np
+        import soundfile as sf
+
+        if payload is None:
+            return None
+        data, _rate = sf.read(io.BytesIO(payload), dtype="float32", always_2d=True)
+        mono = data.mean(axis=1)
+        hist, _ = np.histogram(mono, bins=FEATURE_DIM, range=(-1.0, 1.0))
+        n = mono.size or 1
+        return [float(c) / n for c in hist]
+
+    return decode
+
+
+def codec_for_mime(mime: str) -> Callable[[bytes], list[float] | None]:
+    """Dispatch a real codec by MIME class, import-gated: image/* → Pillow,
+    audio/* → soundfile. Raises ImportError when the library is missing and
+    NotImplementedError for MIME classes with no codec wired (video needs a
+    frame sampler — see ``frame_sample_plan`` for the planning half)."""
+    if mime.startswith("image/"):
+        return pillow_image_decoder()
+    if mime.startswith("audio/"):
+        return soundfile_audio_decoder()
+    raise NotImplementedError(f"no codec wired for mime class {mime!r}")
 
 
 def decode_features(

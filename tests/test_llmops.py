@@ -143,6 +143,44 @@ def test_multimodal_stub_raises_without_codec(spark):
         decode_features(assets).collect()
 
 
+def test_multimodal_codec_import_gate():
+    """Without the optional libs, codec builders fail fast at BUILD time
+    (driver-side ImportError) — never a mid-job executor surprise."""
+    from fn_rq_report_etl_dev_spark.operators.multimodal import codec_for_mime
+
+    has_pil = True
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(ImportError):
+            codec_for_mime("image/png")
+    with pytest.raises(NotImplementedError, match="video"):
+        codec_for_mime("video/mp4")
+
+
+def test_multimodal_real_image_decode(spark):
+    """Real Pillow decode end-to-end through the Arrow mapInPandas path
+    (runs only where the optional dependency is installed)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from fn_rq_report_etl_dev_spark.operators.multimodal import codec_for_mime
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (16, 16), color=(255, 0, 0)).save(buf, format="PNG")
+    rows = [(1, bytearray(buf.getvalue())), (2, bytearray(b"not a png"))]
+    df = spark.createDataFrame(rows, "asset_id long, raw binary")
+    assets = to_asset_table(df, "asset_id", "raw", "image/png")
+    out = {r["asset_id"]: r for r in
+           decode_features(assets, decode_fn=codec_for_mime("image/png")).collect()}
+    assert out[1]["decode_ok"] is True
+    assert len(out[1]["features"]) == FEATURE_DIM
+    assert abs(sum(out[1]["features"]) - 1.0) < 1e-6
+    assert out[2]["decode_ok"] is False and out[2]["features"] is None
+
+
 def test_ivf_topk_probes_nearest_cells(spark, sf_dir):
     from fn_rq_report_etl_dev_spark.operators.similarity import brute_force_topk, ivf_topk
     from fn_rq_report_etl_dev_spark.workloads import load
