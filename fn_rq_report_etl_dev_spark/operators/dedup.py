@@ -26,6 +26,7 @@ def latest_per_key(
     keys: Sequence[str],
     order_by: Sequence[str | Column],
     descending: bool = True,
+    n_salts: int | None = None,
 ) -> DataFrame:
     """Keep exactly one row per ``keys``: the first under ``order_by``.
 
@@ -33,12 +34,32 @@ def latest_per_key(
     when ``descending`` (the "latest wins" policy); pass Columns for custom
     ordering. Supply at least one unique column (e.g. a transaction id) for
     deterministic ties.
+
+    ``n_salts`` enables the skew-safe two-phase form: phase 1 takes the
+    top-1 per (keys, salt) — a hot key's rows spread over ``n_salts``
+    window partitions instead of one reducer — and phase 2 re-ranks the
+    ≤ ``n_salts`` phase-1 winners per key. Because phase 2 re-applies the
+    SAME total order over every phase-1 winner and the true top-1 row wins
+    its salt group no matter which salt it drew, the result is identical
+    to the unsalted form for any salt assignment (asserted in tests).
+    Phase 2's input is ~|keys| × n_salts rows, so its shuffle is noise.
     """
     ordering = [
         (F.col(c).desc_nulls_last() if descending else F.col(c).asc_nulls_first())
         if isinstance(c, str) else c
         for c in order_by
     ]
+    if n_salts is not None and n_salts > 1:
+        salt = (F.rand(seed=0) * n_salts).cast("int")
+        w1 = Window.partitionBy(*[F.col(k) for k in keys], F.col("__salt")).orderBy(
+            *ordering
+        )
+        df = (
+            df.withColumn("__salt", salt)
+            .withColumn("__rn", F.row_number().over(w1))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__salt")
+        )
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*ordering)
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -37,6 +37,7 @@ def merge_upsert(
     audit_updated: str | None = None,
     now: Column | None = None,
     keep_action: bool = False,
+    spread_null_keys: bool = False,
 ) -> DataFrame:
     """Upsert ``source`` into ``target`` on equi-key ``key``.
 
@@ -44,10 +45,111 @@ def merge_upsert(
     + ``__merge_action`` if ``keep_action``). ``now`` is the audit
     timestamp — injectable for deterministic tests; defaults to
     ``current_timestamp()`` (the reference's ``GETDATE()``).
+
+    NULL-key skew: an equi-join never matches NULL = NULL, but every
+    NULL-key row still hashes to the SAME shuffle partition, so a
+    null-heavy side (the classic dirty-feed pathology) melts one reducer.
+    ``spread_null_keys=True`` routes NULL-key rows around the join:
+    target NULLs pass through as 'keep' rows and source NULLs as 'insert'
+    rows — exactly what the outer join would emit for them — union'ed
+    with the non-null join, which no longer receives a NULL partition at
+    all. Opt-in, not default: the bypass branches re-evaluate each side's
+    upstream under pushed-down IS NULL / IS NOT NULL predicates (two
+    extra cheap scans, no extra shuffles), which breaks dedup-exchange
+    reuse on the merge path — worth it only when the feed actually
+    carries a meaningful NULL fraction (persist the deduped source first
+    at scale to make the branches metadata-cheap).
     """
     if now is None:
         now = F.current_timestamp()
+    if spread_null_keys and (
+        target.schema[key].nullable or source.schema[key].nullable
+    ):
+        core = _merge_core(
+            target.filter(F.col(key).isNotNull()),
+            source.filter(F.col(key).isNotNull()),
+            key=key,
+            audit_inserted=audit_inserted,
+            audit_updated=audit_updated,
+            now=now,
+            keep_action=keep_action,
+        )
+        audit_cols = {c for c in (audit_inserted, audit_updated) if c}
+        data_cols = [c for c in source.columns if c != key and c not in audit_cols]
+        target_only = [
+            c for c in target.columns
+            if c != key and c not in audit_cols and c not in source.columns
+        ]
 
+        t_out: list[Column] = [F.col(key)]
+        t_out += [
+            (F.col(c) if c in target.columns else F.lit(None)).alias(c)
+            for c in data_cols
+        ]
+        t_out += [F.col(c) for c in target_only]
+        if audit_inserted:
+            t_out.append(
+                (
+                    F.col(audit_inserted)
+                    if audit_inserted in target.columns
+                    else F.lit(None).cast("timestamp")
+                ).alias(audit_inserted)
+            )
+        if audit_updated:
+            t_out.append(
+                (
+                    F.col(audit_updated)
+                    if audit_updated in target.columns
+                    else F.lit(None).cast("timestamp")
+                ).alias(audit_updated)
+            )
+        if keep_action:
+            t_out.append(F.lit("keep").alias(MERGE_ACTION))
+
+        s_out: list[Column] = [F.col(key)]
+        s_out += [F.col(c) for c in data_cols]
+        s_out += [F.lit(None).alias(c) for c in target_only]
+        if audit_inserted:
+            s_out.append(now.alias(audit_inserted))
+        if audit_updated:
+            s_out.append(F.lit(None).cast("timestamp").alias(audit_updated))
+        if keep_action:
+            s_out.append(F.lit("insert").alias(MERGE_ACTION))
+
+        types = {f.name: f.dataType for f in core.schema.fields}
+        t_by = (
+            target.filter(F.col(key).isNull())
+            .select(*t_out)
+            .select(*[F.col(c).cast(types[c]).alias(c) for c in core.columns])
+        )
+        s_by = (
+            source.filter(F.col(key).isNull())
+            .select(*s_out)
+            .select(*[F.col(c).cast(types[c]).alias(c) for c in core.columns])
+        )
+        return core.unionByName(t_by).unionByName(s_by)
+    return _merge_core(
+        target,
+        source,
+        key=key,
+        audit_inserted=audit_inserted,
+        audit_updated=audit_updated,
+        now=now,
+        keep_action=keep_action,
+    )
+
+
+def _merge_core(
+    target: DataFrame,
+    source: DataFrame,
+    *,
+    key: str,
+    audit_inserted: str | None,
+    audit_updated: str | None,
+    now: Column,
+    keep_action: bool,
+) -> DataFrame:
+    """The full-outer-join MERGE rewrite proper (see module docstring)."""
     audit_cols = {c for c in (audit_inserted, audit_updated) if c}
     data_cols = [c for c in source.columns if c != key and c not in audit_cols]
     # Target-only columns survive the merge: kept on matched/target rows,

@@ -66,14 +66,27 @@ def _today_value(spark: SparkSession, now: Column | None) -> str:
     return str(spark.range(1).select(expr.alias("d")).collect()[0]["d"])
 
 
-def _deduped_staging(spark: SparkSession, wh: Warehouse) -> DataFrame:
+def _deduped_staging(
+    spark: SparkSession, wh: Warehouse, dedup_salts: int | None = None
+) -> DataFrame:
     """Shared merge input: read date-partitioned staging, lenient-cast to
-    target types, window-dedup to one row per merge key."""
+    target types, window-dedup to one row per merge key.
+
+    ``dedup_salts`` switches the dedup to the salted two-phase window for
+    batches with pathological merge-key skew (one key owning a large slice
+    of the batch) — same result, bounded task sizes. Off by default: the
+    single window shares its exchange with the merge join, which is the
+    better plan when keys are well-distributed."""
     staging = wh.read(spark, STAGING_TABLE, STAGING_PARTITIONED_SCHEMA).drop(
         STAGING_PARTITION_COL
     )
     typed = apply_type_map(staging, TARGET_TYPE_MAP)
-    return latest_per_key(typed, [MERGE_KEY], [DEDUP_ORDER_COLUMN, DEDUP_TIEBREAKER])
+    return latest_per_key(
+        typed,
+        [MERGE_KEY],
+        [DEDUP_ORDER_COLUMN, DEDUP_TIEBREAKER],
+        n_salts=dedup_salts,
+    )
 
 
 def _purge_stale_staging(spark: SparkSession, wh: Warehouse, now: Column | None) -> None:
@@ -95,6 +108,7 @@ def merge_to_target(
     spark: SparkSession,
     wh: Warehouse,
     now: Column | None = None,
+    dedup_salts: int | None = None,
 ) -> dict[str, int]:
     """Dedup staging, lenient-cast to target types, upsert into target,
     return {"inserted": n, "updated": n} (rqtradein_etl.py:150-194).
@@ -105,7 +119,7 @@ def merge_to_target(
     retention policy already keeps staging to ~1 day, so the merge reads
     everything present).
     """
-    deduped = _deduped_staging(spark, wh)
+    deduped = _deduped_staging(spark, wh, dedup_salts)
     target = wh.read(spark, TARGET_TABLE)
     merged = merge_upsert(
         target,

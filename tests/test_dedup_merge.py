@@ -106,3 +106,56 @@ def test_merge_source_only_column_null_for_target_rows(spark):
     rows = {r["k"]: r for r in merge_upsert(target, source, "k").collect()}
     assert rows[2]["s_only"] == "extra"
     assert rows[1]["s_only"] is None
+
+
+def test_latest_per_key_salted_equals_plain(spark):
+    """Planted skew: one key owns ~60% of rows. The two-phase salted dedup
+    returns exactly the single-window result, and phase 1 windows by
+    (key, salt) so no reducer sees the whole hot key."""
+    rows = [("hot", _ts("2024-01-01 00:00:00"), i, f"h{i}") for i in range(3000)]
+    rows += [
+        (f"k{k}", _ts("2024-01-01 00:00:00"), i, f"v{k}_{i}")
+        for k in range(100)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, tid long, v string")
+    plain = sorted(map(tuple, latest_per_key(df, ["k"], ["ts", "tid"]).collect()))
+    salted = latest_per_key(df, ["k"], ["ts", "tid"], n_salts=16)
+    assert sorted(map(tuple, salted.collect())) == plain
+    plan = salted._jdf.queryExecution().optimizedPlan().toString()
+    first_window = plan[plan.rindex("Window") :]  # bottom-most = phase 1
+    assert "__salt" in first_window  # phase 1 partitions by (key, salt)
+
+
+def test_merge_null_keys_spread_matches_plain_join(spark):
+    """NULL merge keys bypass the join (spread_null_keys): output must be
+    row-for-row identical to the plain outer-join form, and the bypass
+    adds no exchanges beyond the join's two."""
+    from fn_rq_report_etl_dev_spark.plans.inspect import exchange_count
+
+    now = F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+    t0 = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    target = spark.createDataFrame(
+        [("a", "old-a"), (None, "null-t-1"), (None, "null-t-2")],
+        "k string, v string",
+    ).withColumn("ins", t0).withColumn("upd", F.lit(None).cast("timestamp"))
+    source = spark.createDataFrame(
+        [("a", "new-a"), ("b", "new-b"), (None, "null-s")], "k string, v string"
+    )
+
+    kwargs = dict(
+        audit_inserted="ins", audit_updated="upd", now=now, keep_action=True
+    )
+    spread = merge_upsert(target, source, "k", spread_null_keys=True, **kwargs)
+    plain = merge_upsert(target, source, "k", spread_null_keys=False, **kwargs)
+    def norm(rows):
+        return sorted(tuple("\0" if x is None else str(x) for x in r) for r in rows)
+
+    assert norm(spread.collect()) == norm(plain.collect())
+
+    out = {(r["k"], r["v"]): r for r in spread.collect()}
+    assert out[(None, "null-t-1")][MERGE_ACTION] == "keep"
+    assert out[(None, "null-s")][MERGE_ACTION] == "insert"
+    assert out[(None, "null-s")]["ins"] is not None  # insert audit stamped
+    assert out[("a", "new-a")][MERGE_ACTION] == "update"
+    assert exchange_count(spread) == exchange_count(plain)
