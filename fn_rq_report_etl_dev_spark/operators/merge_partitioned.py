@@ -69,6 +69,9 @@ def merge_into_bucketed_target(
     the buckets the batch touches. Returns {"inserted", "updated"}."""
     from pyspark.sql import types as T
 
+    # Heal a previous merge that died between bucket swaps before reading.
+    recover_pending_swap(wh, table)
+
     src = source.withColumn(BUCKET_COL, bucket_of(F.col(key), n_buckets))
     affected = [r[0] for r in src.select(BUCKET_COL).distinct().collect()]
 
@@ -113,19 +116,74 @@ def merge_into_bucketed_target(
     return obs.get
 
 
-def _swap_partitions(wh: Warehouse, table: str, tmp: str, buckets: list[int | None]) -> None:
-    """Atomically replace only the affected ``kb=`` directories."""
+def _manifest_path(wh: Warehouse, table: str) -> str:
+    return wh.path(table) + ".merge-manifest.json"
+
+
+def _dirname(b: int | None) -> str:
+    return f"{BUCKET_COL}={'__HIVE_DEFAULT_PARTITION__' if b is None else b}"
+
+
+def _apply_swaps(wh: Warehouse, table: str, tmp: str, dirnames: list[str]) -> None:
+    """Idempotent roll-forward of the per-directory swaps. Each ``os.rename``
+    is atomic; a crash can leave any prefix of the loop applied plus one
+    bucket in a half-state, and every such state is converged by re-running:
+
+    - src present, dst present           → dst→.old, src→dst, rm .old
+    - src present, dst absent, .old there→ src→dst, rm .old  (died mid-swap)
+    - src absent (already swapped / empty bucket output) → just rm .old
+    """
     import shutil
 
-    for b in buckets:
-        dirname = f"{BUCKET_COL}={'__HIVE_DEFAULT_PARTITION__' if b is None else b}"
-        src_dir = os.path.join(tmp, dirname)
-        dst_dir = os.path.join(wh.path(table), dirname)
-        if not os.path.isdir(src_dir):
-            continue
+    root = wh.path(table)
+    for d in dirnames:
+        src_dir = os.path.join(tmp, d)
+        dst_dir = os.path.join(root, d)
         old = dst_dir + ".old"
-        if os.path.isdir(dst_dir):
-            os.rename(dst_dir, old)
-        os.rename(src_dir, dst_dir)
+        if os.path.isdir(src_dir):
+            if os.path.isdir(dst_dir):
+                shutil.rmtree(old, ignore_errors=True)
+                os.rename(dst_dir, old)
+            os.rename(src_dir, dst_dir)
         shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _swap_partitions(wh: Warehouse, table: str, tmp: str, buckets: list[int | None]) -> None:
+    """Replace the affected ``kb=`` directories under a commit manifest.
+
+    Each directory rename is atomic but the multi-bucket commit is not, so
+    the intent (tmp dir + affected dirnames) is published first as a
+    manifest (written atomically via rename). A crash mid-commit leaves
+    the manifest behind; the next merge — or an explicit
+    :func:`recover_pending_swap` — rolls the commit FORWARD from the
+    surviving tmp outputs, after which the manifest is removed. The merge
+    itself is idempotent, so rolling forward (or simply re-running a merge
+    whose tmp was lost) always converges to the post-merge table.
+    """
+    import json
+
+    dirnames = [_dirname(b) for b in buckets]
+    mpath = _manifest_path(wh, table)
+    with open(mpath + ".tmp", "w") as f:
+        json.dump({"tmp": tmp, "dirs": dirnames}, f)
+    os.replace(mpath + ".tmp", mpath)  # atomic publish of commit intent
+    _apply_swaps(wh, table, tmp, dirnames)
+    os.remove(mpath)
+
+
+def recover_pending_swap(wh: Warehouse, table: str) -> bool:
+    """Detect and repair a merge that crashed between bucket swaps: if a
+    commit manifest exists, roll the recorded swaps forward (idempotent)
+    and clear the manifest. Returns True when a repair ran. Called
+    automatically at the start of :func:`merge_into_bucketed_target`."""
+    import json
+
+    mpath = _manifest_path(wh, table)
+    if not os.path.exists(mpath):
+        return False
+    with open(mpath) as f:
+        m = json.load(f)
+    _apply_swaps(wh, table, m["tmp"], m["dirs"])
+    os.remove(mpath)
+    return True

@@ -130,3 +130,52 @@ def test_bucketed_pipeline_end_to_end(spark, tmp_path):
     assert len(rows) == 20
     assert str(rows[0]["TradeInAmount"]) == "77.00"
     assert rows[0]["ETLRowUpdatedEST"] is not None
+
+
+def test_crashed_swap_rolls_forward(spark, tmp_path, monkeypatch):
+    """A merge that dies between bucket swaps leaves a commit manifest; the
+    next merge (or recover_pending_swap) rolls it forward to exactly the
+    post-merge table."""
+    import json
+
+    import pytest
+
+    import fn_rq_report_etl_dev_spark.operators.merge_partitioned as mp
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    table = "tgt"
+    ensure_bucketed_target(spark, wh, table, SCHEMA, N_BUCKETS)
+    seed = spark.createDataFrame([(i, f"t{i}") for i in range(32)], SCHEMA)
+    merge_into_bucketed_target(spark, wh, table, seed, "k", N_BUCKETS)
+
+    # Crash injection: publish the manifest, swap ONE bucket, die mid-loop
+    # (tmp survives with the un-swapped bucket, exactly like a real crash).
+    def crashing_swap(wh_, table_, tmp_, buckets_):
+        dirnames = [mp._dirname(b) for b in buckets_]
+        mpath = mp._manifest_path(wh_, table_)
+        with open(mpath + ".tmp", "w") as f:
+            json.dump({"tmp": tmp_, "dirs": dirnames}, f)
+        os.replace(mpath + ".tmp", mpath)
+        d = dirnames[0]
+        dst = os.path.join(wh_.path(table_), d)
+        os.rename(dst, dst + ".old")
+        os.rename(os.path.join(tmp_, d), dst)
+        # die before rm .old / remaining buckets / tmp cleanup
+        raise RuntimeError("simulated crash mid-commit")
+
+    batch = spark.createDataFrame([(0, "s0"), (8, "s8"), (1, "s1"), (33, "s33")], SCHEMA)
+    monkeypatch.setattr(mp, "_swap_partitions", crashing_swap)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        merge_into_bucketed_target(spark, wh, table, batch, "k", N_BUCKETS)
+    monkeypatch.undo()
+
+    assert os.path.exists(mp._manifest_path(wh, table))  # detectable
+
+    # The next merge auto-heals first; an empty batch works as "repair only".
+    assert mp.recover_pending_swap(wh, table) is True
+    assert not os.path.exists(mp._manifest_path(wh, table))
+    assert not os.path.isdir(wh.path(table) + ".merge-tmp")
+
+    got = {r["k"]: r["v"] for r in wh.read(spark, table).collect()}
+    assert got[0] == "s0" and got[8] == "s8" and got[1] == "s1" and got[33] == "s33"
+    assert got[2] == "t2" and len(got) == 33
