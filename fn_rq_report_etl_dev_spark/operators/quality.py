@@ -21,13 +21,19 @@ class Rule:
     violation: Column  # boolean column: True = row violates the rule
 
 
+# NULL policy (uniform): only ``not_null`` counts NULL as a violation.
+# Every value-shape rule (in_range / matches / accepted_values) exempts
+# NULLs, so composing not_null + a shape rule on the same column never
+# double-counts a NULL row — each rule reports one distinct defect.
+
+
 def not_null(col: str) -> Rule:
     return Rule(f"{col}_not_null", F.col(col).isNull())
 
 
 def in_range(col: str, lo, hi) -> Rule:
     return Rule(
-        f"{col}_in_range", ~F.col(col).between(lo, hi) | F.col(col).isNull()
+        f"{col}_in_range", F.col(col).isNotNull() & ~F.col(col).between(lo, hi)
     )
 
 

@@ -764,8 +764,8 @@ def window_analytics_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH agg AS (
         SELECT count(*) AS n,
                count(*) FILTER (WHERE o_custkey IS NULL) AS custkey_nulls,
-               count(*) FILTER (WHERE o_totalprice IS NULL
-                                OR o_totalprice < 0 OR o_totalprice > 1000000) AS price_range,
+               count(*) FILTER (WHERE o_totalprice IS NOT NULL
+                                AND (o_totalprice < 0 OR o_totalprice > 1000000)) AS price_range,
                count(*) FILTER (WHERE o_orderstatus IS NOT NULL
                                 AND o_orderstatus NOT IN ('O', 'F', 'P')) AS status_domain,
                count(*) FILTER (WHERE o_orderpriority IS NOT NULL

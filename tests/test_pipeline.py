@@ -162,3 +162,33 @@ def test_unique_key_violations(spark):
     df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k long, v string")
     out = unique_key_violations(df, ["k"]).collect()
     assert [(r["k"], r["n_occurrences"]) for r in out] == [(1, 2)]
+
+
+def test_quality_rules_null_policy(spark):
+    """Only not_null counts NULL rows; shape rules (in_range / matches /
+    accepted_values) exempt NULLs, so composing them never double-counts."""
+    from fn_rq_report_etl_dev_spark.operators.quality import (
+        accepted_values,
+        constraint_report,
+        in_range,
+        matches,
+        not_null,
+    )
+
+    df = spark.createDataFrame(
+        [(None, None, None), (5, "ab", "x"), (99, "!!", "z")],
+        "num int, txt string, cat string",
+    )
+    rules = [
+        not_null("num"),
+        in_range("num", 0, 10),
+        matches("txt", "[a-z]+"),
+        accepted_values("cat", ["x", "y"]),
+    ]
+    got = {r["rule"]: r["n_violations"] for r in constraint_report(df, rules).collect()}
+    assert got == {
+        "num_not_null": 1,   # the NULL row, counted exactly once
+        "num_in_range": 1,   # 99 only — NULL exempt
+        "txt_matches": 1,    # "!!" only — NULL exempt
+        "cat_accepted": 1,   # "z" only — NULL exempt
+    }
