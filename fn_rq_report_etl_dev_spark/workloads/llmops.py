@@ -151,9 +151,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIMHASH64_VOTES = ", ".join(
-    "sum(CASE WHEN substr({h}, {p}, 1) IN ('8','9','a','b','c','d','e','f') "
-    "THEN 1 ELSE -1 END) AS v_{j}".format(h=h, p=j + 1, j=base + j)
-    for base, h in ((0, "ha"), (32, "hb"))
+    "sum(CASE WHEN substr(h, {p}, 1) IN ({chars}) "
+    "THEN 1 ELSE -1 END) AS v_{j}".format(
+        p=j + 1,
+        chars=", ".join(f"'{c}'" for c in chars),
+        j=base + j,
+    )
+    for base, chars in ((0, sorted("89abcdef")), (32, sorted("4567cdef")))
     for j in range(32)
 )
 _SIMHASH64_BITS = " || ".join(
@@ -171,7 +175,7 @@ _HAMMING64 = " + ".join(
         SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
         FROM documents
     ),
-    h AS (SELECT doc_id, md5('a' || w) AS ha, md5('b' || w) AS hb FROM w),
+    h AS (SELECT doc_id, md5(w) AS h FROM w),
     votes AS (SELECT doc_id, {_SIMHASH64_VOTES} FROM h GROUP BY doc_id),
     sig AS (SELECT doc_id, {_SIMHASH64_BITS} AS s FROM votes)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_HAMMING64} AS hamming
