@@ -84,6 +84,10 @@ _FRONT = [
     "dedup_simhash64",
     "ann_ivf_topk",
     "dedup_embedding_cosine",
+    "sample_stratified_hash",
+    "pack_token_budget",
+    "tfidf_top_terms",
+    "dedup_apply_survivors",
 ]
 _TAIL = [
     # green in CORRECTNESS_r01.json, byte-identical since
@@ -96,6 +100,9 @@ _TAIL = [
     "window_running_spend",
     "agg_rollup_returnflag",
     "pivot_user_event_counts",
+    "sessionize_events",
+    "asof_prior_purchase",
+    "topk_orders_per_customer",
 ]
 
 

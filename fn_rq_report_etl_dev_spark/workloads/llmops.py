@@ -673,3 +673,171 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id"), pairs, id_col="doc_id"
     )
     return comp.select(F.col("id").alias("doc_id"), "component")
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture construction: deterministic sampling, sequence packing,
+# TF-IDF relevance, and applied dedup (survivor corpus).
+# ---------------------------------------------------------------------------
+
+_HEAVY_SOURCES = [f"src{i}" for i in range(10)]
+PACK_BUDGET_TOKENS = 2000
+
+
+@workload(
+    "sample_stratified_hash",
+    oracle=f"""
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+          < CASE WHEN source IN ({", ".join(f"'{s}'" for s in _HEAVY_SOURCES)})
+                 THEN '8' ELSE '4' END
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for training mixtures: per-source
+    keep rate (50% for src0-9, 25% for the rest) decided by the first hex
+    nibble of md5(doc_id) — reproducible across runs AND engines (no
+    rand()), a pure pushdown-friendly filter with no shuffle, and exact
+    per-row membership (re-running selects the same rows, unlike
+    ``df.sample``)."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    rate = F.when(F.col("source").isin(*_HEAVY_SOURCES), F.lit("8")).otherwise(
+        F.lit("4")
+    )
+    return docs.filter(h < rate).select("doc_id", "source", "lang")
+
+
+@workload(
+    "pack_token_budget",
+    oracle=rf"""
+    WITH t AS (
+        SELECT source, doc_id,
+               len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens
+        FROM documents
+    )
+    SELECT source, doc_id, n_tokens,
+           CAST(floor(COALESCE(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {PACK_BUDGET_TOKENS}.0) AS BIGINT) AS pack_id
+    FROM t
+    """,
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pretraining: docs stream per source shard
+    in stable id order and a pack closes when the running token count
+    crosses the budget. Contiguous greedy packing is ONE window cumsum —
+    no UDF, no iteration, parallel across shards (the window partitions by
+    source), and each pack overflows the budget by at most one document."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        "doc_id",
+        F.size(TXT.words(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return t.withColumn(
+        "pack_id", F.floor(before / F.lit(float(PACK_BUDGET_TOKENS))).cast("bigint")
+    )
+
+
+@workload(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM w GROUP BY doc_id, w),
+    df AS (SELECT w, count(DISTINCT doc_id) AS df FROM w GROUP BY w),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.w,
+               round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf_r
+        FROM tf JOIN df USING (w) CROSS JOIN n
+    )
+    SELECT doc_id, w, tfidf_r, rnk FROM (
+        SELECT doc_id, w, tfidf_r,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf_r DESC, w) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: term frequency and document
+    frequency are two aggregations over one exploded token stream; N is a
+    broadcast scalar; ranking orders by the ROUNDED score (then term) so
+    the cross-engine ordering is identical despite last-ulp ln()
+    differences. The classic relevance / keyword-extraction primitive for
+    corpus curation."""
+    docs = load(spark, sf_dir, "documents")
+    w_df = docs.select("doc_id", F.explode(TXT.words(F.col("text"))).alias("w"))
+    tf = w_df.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = w_df.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "w",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") * F.lit(1.0) / F.col("df")), 6
+            ).alias("tfidf_r"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rnk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("tfidf_r").desc(), F.col("w"))
+    )
+    return (
+        scored.withColumn("rnk", rnk.cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "w", "tfidf_r", "rnk")
+    )
+
+
+@workload(
+    "dedup_apply_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE.lstrip()}, {_LSH_CTE.lstrip()},
+    und(a, b) AS (
+        SELECT id_a, id_b FROM cand UNION SELECT id_b, id_a FROM cand
+    ),
+    r(node, reach) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT u.b, r.reach FROM r JOIN und u ON r.node = u.a
+    ),
+    comp AS (SELECT node AS doc_id, min(reach) AS component FROM r GROUP BY node)
+    SELECT d.doc_id, d.source, d.lang, d.n_chars
+    FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+    WHERE c.component = c.doc_id
+    """,
+)
+def dedup_apply_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup family APPLIED: near-dup clusters (LSH candidates →
+    connected components) reduced to one survivor per cluster (the min
+    doc_id), returning the cleaned corpus a training pipeline would
+    actually feed downstream. Composition of existing operators — pair
+    generation, iterative clustering, one equi-join back to the corpus."""
+    from ..operators.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text")
+    comp = connected_components(docs.select("doc_id"), pairs, id_col="doc_id")
+    survivors = comp.filter(F.col("component") == F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    return docs.join(survivors, "doc_id").select("doc_id", "source", "lang", "n_chars")
