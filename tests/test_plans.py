@@ -50,3 +50,10 @@ def test_flagship_reuses_dedup_exchange_for_merge(spark, sf_dir):
 def test_window_dedup_single_exchange(spark, sf_dir):
     df = QUERIES["o15_window_dedup"](spark, sf_dir)
     assert exchange_count(df) == 1
+
+
+def test_pack_token_budget_single_exchange(spark, sf_dir):
+    # Sequence packing is one window cumsum per shard: exactly the
+    # partitionBy(source) exchange, nothing else.
+    df = QUERIES["pack_token_budget"](spark, sf_dir)
+    assert exchange_count(df) == 1
