@@ -87,13 +87,22 @@ def main() -> None:
         )
     )
 
+    def isolate() -> None:
+        """Per-query isolation: drop caches an operator persisted, free
+        leftover localCheckpoint blocks (outside the CacheManager, so
+        clearCache misses them), and hint a full GC so one query's garbage
+        isn't collected on a later query's clock."""
+        spark.catalog.clearCache()
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(False)
+        spark._jvm.System.gc()
+
     for name in sorted(QUERIES):
         start = time.perf_counter()
         force(QUERIES[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - start, 3)
-        # Isolation: drop any cache an operator persisted so later queries
-        # aren't taxed by earlier queries' storage memory.
-        spark.catalog.clearCache()
+        isolate()
 
     # End-to-end daily-batch pipeline (reference envelope: 90 min budget).
     timings["pipeline_daily_batch"] = time_pipeline_daily_batch(spark, sf_dir)

@@ -38,9 +38,21 @@ def connected_components(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
 
+    # localCheckpoint blocks live outside the CacheManager (clearCache
+    # never frees them), so a long-running session would leak one
+    # checkpoint per iteration. Each checkpoint's backing RDD is the
+    # LogicalRDD plan node's rdd; unpersist the superseded one as soon as
+    # its successor is eagerly materialized (it is never referenced
+    # again — local checkpoints have no lineage to recompute from). Only
+    # the final labels' blocks survive the loop.
+    def _checkpoint_rdd(df: DataFrame):
+        plan = df._jdf.queryExecution().analyzed()
+        return plan.rdd() if plan.getClass().getSimpleName() == "LogicalRDD" else None
+
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")
     ).localCheckpoint(eager=True)
+    prev_rdd = _checkpoint_rdd(labels)
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
 
     for _ in range(max_iterations):
@@ -59,6 +71,9 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
+        if prev_rdd is not None:
+            prev_rdd.unpersist(False)
+        prev_rdd = _checkpoint_rdd(labels)
         new_sum = labels.agg(F.sum("component")).collect()[0][0]
         if new_sum == prev_sum:  # monotone → fixed point reached
             break
