@@ -262,6 +262,7 @@ def build_ivf_index(
     seed: int = 42,
     max_iter: int = 10,
     train_sample: int = 65536,
+    materialize: bool = True,
 ) -> IvfIndex:
     """Build the IVF coarse quantizer and persist the cell assignment.
 
@@ -305,8 +306,14 @@ def build_ivf_index(
     centroids_py = [[float(x) for x in row] for row in C]
 
     assign = _assign_cell_udf(centroids_py)
-    assigned = c.select("neighbor_id", "cv", assign(F.col("cv")).alias("cell")).persist()
-    assigned.count()  # materialize so queries never re-trigger clustering
+    assigned = c.select("neighbor_id", "cv", assign(F.col("cv")).alias("cell"))
+    if materialize:
+        # Materialize so repeated queries never re-run the assignment pass.
+        # One-shot callers (ivf_topk building a throwaway index consumed by
+        # exactly one query) skip this: the assignment then fuses into the
+        # query job instead of paying a separate count() job.
+        assigned = assigned.persist()
+        assigned.count()
     c.unpersist()
 
     spark = corpus.sparkSession
@@ -385,7 +392,12 @@ def ivf_topk(
     from ``build_ivf_index`` and call ``ivf_query`` directly."""
     if index is None:
         index = build_ivf_index(
-            corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells, seed=seed
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_cells=n_cells,
+            seed=seed,
+            materialize=False,  # consumed by exactly one query below
         )
     return ivf_query(
         index,
