@@ -88,6 +88,7 @@ _FRONT = [
     "pack_token_budget",
     "tfidf_top_terms",
     "dedup_apply_survivors",
+    "merge_scd2_history",
 ]
 _TAIL = [
     # green in CORRECTNESS_r01.json, byte-identical since
@@ -103,6 +104,7 @@ _TAIL = [
     "sessionize_events",
     "asof_prior_purchase",
     "topk_orders_per_customer",
+    "agg_percentiles",
 ]
 
 

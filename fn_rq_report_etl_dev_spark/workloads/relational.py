@@ -795,3 +795,69 @@ def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         matches("o_orderpriority", r"^[1-5]-[A-Z ]+$"),
     ]
     return constraint_report(orders, rules)
+
+
+@workload(
+    "merge_scd2_history",
+    oracle="""
+    WITH hist AS (
+        SELECT user_id, event_type, value, ts AS valid_from
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00')
+        WHERE rn = 1
+    ),
+    src AS (
+        SELECT user_id, event_type, value
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00')
+        WHERE rn = 1
+    )
+    SELECT h.user_id, h.event_type, h.value, h.valid_from,
+           NULL::TIMESTAMP AS valid_to, true AS is_current
+    FROM hist h LEFT JOIN src s ON h.user_id = s.user_id
+    WHERE s.user_id IS NULL
+       OR NOT ((h.event_type IS DISTINCT FROM s.event_type)
+               OR (h.value IS DISTINCT FROM s.value))
+    UNION ALL
+    SELECT h.user_id, h.event_type, h.value, h.valid_from,
+           TIMESTAMP '2024-06-01 00:00:00', false
+    FROM hist h JOIN src s ON h.user_id = s.user_id
+    WHERE (h.event_type IS DISTINCT FROM s.event_type)
+       OR (h.value IS DISTINCT FROM s.value)
+    UNION ALL
+    SELECT s.user_id, s.event_type, s.value,
+           TIMESTAMP '2024-06-01 00:00:00', NULL::TIMESTAMP, true
+    FROM src s LEFT JOIN hist h ON h.user_id = s.user_id
+    WHERE h.user_id IS NULL
+       OR (h.event_type IS DISTINCT FROM s.event_type)
+       OR (h.value IS DISTINCT FROM s.value)
+    """,
+)
+def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 merge: the pre-cutoff latest event per user seeds a
+    versioned history; the post-cutoff snapshot closes changed versions
+    (valid_to stamped) and opens new current ones. One full-outer join,
+    each row conditionally exploding to 1-2 output rows — history-keeping
+    MERGE without per-branch re-joins."""
+    from ..operators.dedup import latest_per_key
+    from ..operators.scd import SCD_CURRENT, SCD_FROM, SCD_TO, merge_scd2
+
+    events = load(spark, sf_dir, "events")
+    cutoff = F.to_timestamp(F.lit("2024-01-15 00:00:00"))
+    now = F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+    hist = latest_per_key(
+        events.filter(F.col("ts") < cutoff), ["user_id"], ["ts", "event_id"]
+    ).select(
+        "user_id",
+        "event_type",
+        "value",
+        F.col("ts").alias(SCD_FROM),
+        F.lit(None).cast("timestamp").alias(SCD_TO),
+        F.lit(True).alias(SCD_CURRENT),
+    )
+    src = latest_per_key(
+        events.filter(F.col("ts") >= cutoff), ["user_id"], ["ts", "event_id"]
+    ).select("user_id", "event_type", "value")
+    return merge_scd2(hist, src, "user_id", ["event_type", "value"], now=now)

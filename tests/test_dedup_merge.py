@@ -159,3 +159,46 @@ def test_merge_null_keys_spread_matches_plain_join(spark):
     assert out[(None, "null-s")]["ins"] is not None  # insert audit stamped
     assert out[("a", "new-a")][MERGE_ACTION] == "update"
     assert exchange_count(spread) == exchange_count(plain)
+
+
+def test_merge_scd2_branches(spark):
+    """All four SCD2 branches: changed (close+open), unchanged (keep),
+    source-only (first version), target-only (stay current); closed
+    history passes through untouched."""
+    from fn_rq_report_etl_dev_spark.operators.scd import merge_scd2
+
+    t0 = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    now = F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+    history = spark.createDataFrame(
+        [
+            ("a", "open", 1.0, "2024-01-01 00:00:00", None, True),
+            ("a", "init", 0.5, "2023-01-01 00:00:00", "2024-01-01 00:00:00", False),
+            ("b", "open", 2.0, "2024-01-01 00:00:00", None, True),
+            ("d", "open", 4.0, "2024-01-01 00:00:00", None, True),
+        ],
+        "k string, status string, amount double, valid_from string, valid_to string, is_current boolean",
+    ).select(
+        "k", "status", "amount",
+        F.to_timestamp("valid_from").alias("valid_from"),
+        F.to_timestamp("valid_to").alias("valid_to"),
+        "is_current",
+    )
+    source = spark.createDataFrame(
+        [("a", "closed", 9.0), ("b", "open", 2.0), ("c", "new", 3.0)],
+        "k string, status string, amount double",
+    )
+    out = merge_scd2(history, source, "k", ["status", "amount"], now=now)
+    rows = {(r["k"], r["status"], r["is_current"]): r for r in out.collect()}
+    assert len(rows) == 6
+    # a: old version closed at now, new current opened
+    assert rows[("a", "open", False)]["valid_to"] is not None
+    assert rows[("a", "closed", True)]["valid_to"] is None
+    # a's pre-existing closed row untouched
+    assert ("a", "init", False) in rows
+    # b unchanged: current kept with original valid_from
+    b = rows[("b", "open", True)]
+    assert b["valid_to"] is None and str(b["valid_from"]).startswith("2024-01-01")
+    # c: first version opened at now
+    assert str(rows[("c", "new", True)]["valid_from"]).startswith("2024-06-01")
+    # d absent from snapshot: stays current
+    assert rows[("d", "open", True)]["valid_to"] is None
