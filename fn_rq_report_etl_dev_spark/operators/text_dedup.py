@@ -161,12 +161,23 @@ def _bucket_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = DEFAULT_K
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = DEFAULT_K,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """K-wide MinHash signature per document, one aggregation pass:
     ``mh_j = min(md5(j || shingle))``. Repeated shingles don't change the
-    min, so the distinct shuffle is skipped."""
-    sh = _exploded_shingles(df, id_col, text_col, distinct=False)
+    min, so standalone use skips the distinct shuffle; callers that
+    already hold a (persisted) shingle set — e.g. the Jaccard verify
+    phase — pass it via ``shingles`` so the explode/window pipeline runs
+    once, not twice."""
+    sh = (
+        shingles
+        if shingles is not None
+        else _exploded_shingles(df, id_col, text_col, distinct=False)
+    )
     mins = [
         F.min(F.md5(F.concat(F.lit(str(j)), F.col("sh")))).alias(f"mh_{j}")
         for j in range(k)
@@ -180,6 +191,7 @@ def lsh_candidate_pairs(
     text_col: str,
     k: int = DEFAULT_K,
     bands: int = DEFAULT_BANDS,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs: documents agreeing on at least one LSH band
     (all r = k/bands min-hashes in that band equal).
@@ -189,7 +201,7 @@ def lsh_candidate_pairs(
     """
     assert k % bands == 0, "k must divide evenly into bands"
     r = k // bands
-    sig = minhash_signatures(df, id_col, text_col, k)
+    sig = minhash_signatures(df, id_col, text_col, k, shingles=shingles)
     band_hashes = F.array(
         *[
             F.md5(F.concat_ws("|", *[F.col(f"mh_{b * r + i}") for i in range(r)]))
@@ -214,11 +226,13 @@ def ngram_jaccard_on_candidates(
     """Exact word-3-gram Jaccard, verified ONLY on LSH candidate pairs —
     LSH recalls, Jaccard verifies. Returns (id_a, id_b, jaccard≥threshold).
     """
-    # Shingles feed three consumers (counts + both pair-join sides) —
-    # persist so that pipeline runs once. Candidates are consumed once; no
-    # persist (Spark's LRU store evicts the shingle cache under pressure).
-    cands = lsh_candidate_pairs(df, id_col, text_col, k, bands)
+    # Shingles feed four consumers (the minhash signatures, counts, and
+    # both pair-join sides) — persist ONE distinct shingle set and share
+    # it (min-hash is duplicate-insensitive, so the distinct set gives
+    # identical signatures). Candidates are consumed once; no persist
+    # (Spark's LRU store evicts the shingle cache under pressure).
     sh = _exploded_shingles(df, id_col, text_col).persist()
+    cands = lsh_candidate_pairs(df, id_col, text_col, k, bands, shingles=sh)
     counts = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     sh_a = sh.select(F.col("__id").alias("id_a"), "sh")
