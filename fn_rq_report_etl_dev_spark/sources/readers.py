@@ -51,6 +51,27 @@ def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None)
     return reader.orc(path)
 
 
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Raw-asset ingestion for the multimodal path: Spark's ``binaryFile``
+    source yields (path, modificationTime, length, content) with the
+    payload as an opaque ``binary`` column — feed it straight into
+    ``operators.multimodal.to_asset_table`` / ``decode_features``. The
+    source never splits a file across tasks (a media file must decode
+    whole) and parallelizes across files; ``pathGlobFilter`` prunes by
+    extension at listing time, before any byte is read."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,
