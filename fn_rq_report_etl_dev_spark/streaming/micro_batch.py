@@ -54,6 +54,38 @@ def stream_merge_pipeline(
     )
 
 
+def stream_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    key_cols: list[str],
+    ts_col: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+    source_format: str = "parquet",
+) -> StreamingQuery:
+    """Streaming exact-dedup for at-least-once sources: the first arrival
+    of each key wins; re-deliveries within the watermark horizon are
+    dropped. ``dropDuplicatesWithinWatermark`` keeps per-key state only
+    until the watermark passes its event time — bounded state, unlike
+    plain ``dropDuplicates`` on a stream whose state grows forever. The
+    streaming face of ``operators.dedup`` for ingestion feeds (training
+    corpora re-delivering documents, webhook retries)."""
+    stream = spark.readStream.schema(schema).format(source_format).load(source_dir)
+    deduped = stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window_duration: str = "1 hour",

@@ -71,3 +71,42 @@ def test_stream_windowed_counts(spark, tmp_path, sf_dir):
     assert {"window", "event_type", "n_events", "total_value"} <= set(out.columns)
     # Batch equivalence: total streamed counts == plain batch count
     assert sum(r["n_events"] for r in rows) == 500
+
+
+def test_stream_dedup_drops_redelivery(spark, tmp_path):
+    """At-least-once source: duplicate keys inside one batch AND across
+    micro-batches (within the watermark) are dropped; first arrival wins."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from fn_rq_report_etl_dev_spark.streaming.micro_batch import stream_dedup
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("payload", T.StringType(), True),
+    ])
+    source = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    os.makedirs(source)
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(source)
+
+    from datetime import datetime
+
+    t = datetime(2024, 3, 15, 12, 0, 0)
+    write_file("b1", [(1, t, "first-1"), (1, t, "dup-in-batch"), (2, t, "first-2")])
+    q = stream_dedup(spark, source, schema, ["doc_id"], "ts", out, cp)
+    q.awaitTermination(120)
+
+    write_file("b2", [(2, t, "redelivered-2"), (3, t, "first-3")])
+    q2 = stream_dedup(spark, source, schema, ["doc_id"], "ts", out, cp)
+    q2.awaitTermination(120)
+
+    got = {r["doc_id"]: r["payload"] for r in spark.read.parquet(out).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2] == "first-2"  # cross-batch redelivery dropped
+    assert got[1] in ("first-1", "dup-in-batch") and len(got) == 3
