@@ -89,6 +89,7 @@ _FRONT = [
     "tfidf_top_terms",
     "dedup_apply_survivors",
     "merge_scd2_history",
+    "chunk_documents",
 ]
 _TAIL = [
     # green in CORRECTNESS_r01.json, byte-identical since
@@ -105,6 +106,7 @@ _TAIL = [
     "asof_prior_purchase",
     "topk_orders_per_customer",
     "agg_percentiles",
+    "range_join_ship_week",
 ]
 
 

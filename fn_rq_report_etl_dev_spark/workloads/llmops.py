@@ -841,3 +841,53 @@ def dedup_apply_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id")
     )
     return docs.join(survivors, "doc_id").select("doc_id", "source", "lang", "n_chars")
+
+
+CHUNK_SIZE, CHUNK_STRIDE = 40, 30
+
+
+@workload(
+    "chunk_documents",
+    oracle=rf"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        FROM documents
+    ),
+    n AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+    c AS (
+        SELECT doc_id, ws, unnest(range(0,
+            CASE WHEN n <= {CHUNK_SIZE} THEN 1
+                 ELSE CAST(ceil((n - {CHUNK_SIZE}) * 1.0 / {CHUNK_STRIDE}) AS BIGINT) + 1
+            END)) AS chunk_idx
+        FROM n
+    )
+    SELECT doc_id, chunk_idx,
+           len(ws[chunk_idx * {CHUNK_STRIDE} + 1 : chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}]) AS n_tokens,
+           array_to_string(ws[chunk_idx * {CHUNK_STRIDE} + 1 : chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}], ' ') AS chunk_text
+    FROM c
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (size 40, stride 30) — the
+    standard long-document preprocessing step before embedding/training.
+    Entirely JVM-side: one tokenize, ``sequence`` for chunk indexes,
+    ``explode``, ``slice`` per chunk — no UDF, no shuffle (a pure per-row
+    expansion the scan parallelism carries)."""
+    docs = load(spark, sf_dir, "documents")
+    ws = TXT.words(F.col("text"))
+    n = F.size(ws)
+    n_chunks = F.when(n <= CHUNK_SIZE, F.lit(1)).otherwise(
+        F.ceil((n - CHUNK_SIZE) / F.lit(float(CHUNK_STRIDE))) + 1
+    )
+    chunked = docs.select(
+        "doc_id",
+        ws.alias("__ws"),
+        F.explode(F.sequence(F.lit(0), n_chunks.cast("int") - 1)).alias("chunk_idx"),
+    )
+    piece = F.slice(F.col("__ws"), F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_SIZE)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(piece).cast("bigint").alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
