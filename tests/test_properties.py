@@ -102,3 +102,94 @@ def test_dedup_keeps_exactly_the_max_per_key(spark, rows):
         if k not in expected or (o, tid) > (expected[k][1], expected[k][2]):
             expected[k] = (k, o, tid)
     assert got == set(expected.values())
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    buckets=st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(0, 60)),
+        min_size=1, max_size=6, unique_by=lambda t: t[0],
+    ),
+    cap=st.integers(2, 17),
+)
+def test_bucket_pairs_capped_equals_naive_property(spark, buckets, cap):
+    """For ANY bucket sizes and ANY cap, chunked pair generation equals the
+    naive per-bucket triangle with id_a < id_b."""
+    from itertools import combinations
+
+    from fn_rq_report_etl_dev_spark.operators.text_dedup import _bucket_pairs
+
+    rows = [(b, f"{b}{i:03d}") for b, n in buckets for i in range(n)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "bkt string, __id string")
+    got = {(r["id_a"], r["id_b"])
+           for r in _bucket_pairs(df, ["bkt"], max_bucket=cap).collect()}
+    expect = {
+        p
+        for b, n in buckets
+        for p in combinations([f"{b}{i:03d}" for i in range(n)], 2)
+    }
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    hist_keys=st.sets(st.integers(0, 15)),
+    src_keys=st.sets(st.integers(0, 15)),
+    changed_keys=st.sets(st.integers(0, 15)),
+)
+def test_scd2_invariants(spark, hist_keys, src_keys, changed_keys):
+    """SCD2 invariants for any history/snapshot overlap: (a) exactly one
+    current row per surviving key, (b) every closed row carries valid_to,
+    (c) row count = |history| + |inserts| + |changes| (each change adds
+    one closed version)."""
+    from fn_rq_report_etl_dev_spark.operators.scd import merge_scd2
+
+    now = F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+    t0 = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    hist_rows = [(k, "old" if k in changed_keys else "same") for k in hist_keys]
+    src_rows = [(k, "new" if k in changed_keys else "same") for k in src_keys]
+    if not hist_rows or not src_rows:
+        return
+    history = (
+        spark.createDataFrame(hist_rows, "k int, status string")
+        .withColumn("valid_from", t0)
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+    )
+    source = spark.createDataFrame(src_rows, "k int, status string")
+    out = merge_scd2(history, source, "k", ["status"], now=now).collect()
+
+    all_keys = hist_keys | src_keys
+    current = [r for r in out if r["is_current"]]
+    assert sorted(r["k"] for r in current) == sorted(all_keys)  # (a)
+    assert all(r["valid_to"] is not None for r in out if not r["is_current"])  # (b)
+    n_changes = len(hist_keys & src_keys & changed_keys)
+    n_inserts = len(src_keys - hist_keys)
+    assert len(out) == len(hist_keys) + n_inserts + n_changes  # (c)
+
+
+@settings(max_examples=6, deadline=None)
+@given(tokens=st.lists(st.integers(0, 120), min_size=1, max_size=40),
+       budget=st.integers(10, 200))
+def test_pack_contiguity_and_budget(spark, tokens, budget):
+    """Contiguous packing: pack ids are non-decreasing in doc order, every
+    pack except possibly the last closes at/after the budget, and a pack
+    never starts after the budget boundary mid-doc (cumsum-before rule)."""
+    from pyspark.sql import Window
+
+    rows = [(i, n) for i, n in enumerate(tokens)]
+    df = spark.createDataFrame(rows, "doc_id int, n_tokens int")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    out = sorted(
+        df.withColumn("pack_id", F.floor(before / F.lit(float(budget)))).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    packs = [r["pack_id"] for r in out]
+    assert packs == sorted(packs)  # contiguity
+    csum = 0
+    for r in out:
+        assert r["pack_id"] == csum // budget  # cumsum-before rule
+        csum += r["n_tokens"]
