@@ -1,0 +1,140 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+decontamination, intra-document repetition scoring, and a composite
+quality gate (Gopher-style rule filter).
+
+Scale shape (100 TB corpus):
+
+- **Contamination** joins corpus shingles against the DISTINCT shingle set
+  of the benchmark/eval side. Benchmark suites are fixed-size (thousands of
+  documents) regardless of corpus size, so the benchmark shingle set is
+  broadcast — the corpus streams through one scan + one partial-aggregated
+  groupBy, no shuffle of the big side for the join itself.
+- **Repetition** is two chained aggregations on (doc, shingle) then (doc):
+  both partial-aggregate map-side; the only shuffle key is the doc id, and
+  the shingle explode shares the per-doc partitioning with the window that
+  builds the n-grams.
+- **Quality gate** is a single projection over per-row expressions — no
+  shuffle at all; every rule is a built-in-function column so the whole
+  thing stays inside whole-stage codegen.
+
+All rule thresholds use integer-derived arithmetic (counts, integer-scaled
+comparisons) so results are engine-exact for the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+from .text_dedup import _exploded_shingles
+
+
+def contamination_scores(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Benchmark-overlap decontamination: for each corpus document, the
+    fraction of its distinct word-3-gram shingles that also occur anywhere
+    in the benchmark set. Returns only documents with ≥1 overlapping
+    shingle: (doc_id, n_shingles, n_overlap, contamination, flagged) where
+    ``flagged`` means ≥ half the document's shingles appear in the
+    benchmark (integer comparison — no float threshold).
+
+    The benchmark shingle set is distinct-reduced then broadcast: eval
+    suites stay small while the corpus grows, so the corpus-side join is
+    shuffle-free.
+    """
+    # Two consumers (totals + the hit join) — persist one shingle set.
+    corpus_sh = _exploded_shingles(corpus, id_col, text_col, distinct=True).persist()
+    bench_sh = (
+        _exploded_shingles(benchmark, id_col, text_col, distinct=True)
+        .select("sh")
+        .distinct()
+    )
+    totals = corpus_sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return totals.join(hits, "__id").select(
+        F.col("__id").alias(id_col),
+        "n_shingles",
+        "n_overlap",
+        F.round(F.col("n_overlap") * F.lit(1.0) / F.col("n_shingles"), 6).alias(
+            "contamination"
+        ),
+        (F.col("n_overlap") * 2 >= F.col("n_shingles")).alias("flagged"),
+    )
+
+
+def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Intra-document repetition (the Gopher duplicate-n-gram filter):
+    per document, total vs distinct word-3-gram counts and the count of
+    the single most repeated n-gram. ``rep_ratio`` = fraction of n-gram
+    occurrences that are repeats; ``top_ratio`` = share of the most
+    frequent n-gram. Documents under 3 words have no n-grams and are
+    absent (same domain as the Jaccard family)."""
+    grams = _exploded_shingles(df, id_col, text_col, distinct=False)
+    per_gram = grams.groupBy("__id", "sh").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy("__id").agg(
+        F.sum("c").cast("bigint").alias("n_grams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.max("c").cast("bigint").alias("top_gram_n"),
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)) * F.lit(1.0) / F.sum("c"), 6
+        ).alias("rep_ratio"),
+        F.round(F.max("c") * F.lit(1.0) / F.sum("c"), 6).alias("top_ratio"),
+    ).withColumnRenamed("__id", id_col)
+
+
+def _rule(cond: Column, name: str) -> Column:
+    """NULL unless the rule FAILS — concat_ws drops the NULLs."""
+    return F.when(cond, F.lit(name))
+
+
+def quality_gate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 5,
+    max_words: int = 5000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    min_alpha_ratio: float = 0.55,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Composite keep/drop decision per document with the failed-rule list
+    (Gopher-style): word-count bounds, mean word length bounds, alphabetic
+    character ratio, and an English stopword floor. One projection, all
+    built-in expressions; ``reasons`` concatenates failed rule names in a
+    fixed order and ``keep`` = no rule failed."""
+    t = F.col(text_col)
+    n_words = TXT.whitespace_token_count(t).cast("bigint")
+    nonspace_chars = F.length(F.regexp_replace(t, r"\s", ""))
+    mean_word_len = F.round(nonspace_chars * F.lit(1.0) / n_words, 6)
+    alpha_ratio = TXT.alpha_char_count(t) * F.lit(1.0) / F.length(t)
+    stop_hits = TXT.stopword_hits(t, "en").cast("bigint")
+    reasons = F.concat_ws(
+        ",",
+        _rule((n_words < min_words) | (n_words > max_words), "n_words"),
+        _rule(
+            (mean_word_len < min_mean_word_len)
+            | (mean_word_len > max_mean_word_len),
+            "word_len",
+        ),
+        _rule(alpha_ratio < min_alpha_ratio, "alpha"),
+        _rule(stop_hits < min_stop_hits, "stopwords"),
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        stop_hits.alias("stop_hits"),
+        reasons.alias("reasons"),
+        (reasons == "").alias("keep"),
+    )

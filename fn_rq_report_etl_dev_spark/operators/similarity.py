@@ -91,6 +91,71 @@ def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
     )
 
 
+def rademacher_planes(n_bits: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 random hyperplanes: plane ``b``'s component for
+    dimension ``i`` is +1 iff the first hex nibble of ``md5(f"{b}:{i}")``
+    is < '8' (a fair coin per component). Returns one ±1 sign vector per
+    plane — md5-derived, so any engine reconstructs the identical
+    hyperplanes (unlike Gaussian projections, which need an
+    engine-private RNG).
+
+    Proper Rademacher projections mix ALL dimensions into every bit,
+    fixing the recall-vs-geometry caveat of axis-aligned
+    :func:`sign_bucket` (a sign bit of one raw dimension carries no
+    information when that dimension's sign is near-constant across the
+    corpus)."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{b}:{i}".encode()).hexdigest()[0] < "8" else -1
+            for i in range(dim)
+        ]
+        for b in range(n_bits)
+    ]
+
+
+def rademacher_bucket(vec: Column, planes: list[list[int]]) -> Column:
+    """LSH bucket key from ±1 hyperplanes: bit ``b`` = sign of
+    ``v · r_b``, computed as a sequential zip_with/fold against the
+    literal sign array — deterministic left-to-right order, and a compact
+    expression tree (an unrolled 64-term-per-bit addition chain overflows
+    Janino's generated-code limits and forces interpreted fallback for
+    the WHOLE stage; the HOF fold keeps the rest of the projection in
+    codegen). ±1 multiplies and ordered double adds are IEEE-exact, so an
+    oracle engine replaying the same chain gets identical bucket strings.
+    At 100 TB the per-row cost is L·b·d fused multiply-adds — for very
+    wide signatures batch it through a pandas-UDF matmul instead."""
+    v = as_double(vec)
+    bits = []
+    for signs in planes:
+        sarr = F.array(*[F.lit(float(s)) for s in signs])
+        proj = F.aggregate(
+            F.zip_with(v, sarr, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def rademacher_bucket_sql(col: str, planes: list[list[int]]) -> str:
+    """The DuckDB rendering of :func:`rademacher_bucket` — same planes,
+    same left-assoc add order (``0 + t1 + t2 + …`` ≡ ``(t1 + t2) + …``
+    bit-for-bit in IEEE), 1-based indexing, ±1 applied as exact
+    negation."""
+    cases = []
+    for signs in planes:
+        terms = [
+            f"{col}[{i + 1}]::DOUBLE" if s > 0 else f"(-({col}[{i + 1}]::DOUBLE))"
+            for i, s in enumerate(signs)
+        ]
+        cases.append(
+            f"CASE WHEN ({' + '.join(terms)}) >= 0 THEN '1' ELSE '0' END"
+        )
+    return " || ".join(cases)
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -140,15 +205,97 @@ def signlsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign-LSH
     bucket — the cross join becomes an equi-join on the bucket key."""
+    return _bucketed_topk(
+        queries, corpus, sign_bucket(F.col(vec_col), n_bits),
+        id_col=id_col, vec_col=vec_col, k=k, exclude_self=exclude_self,
+    )
+
+
+def rademacher_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_bits: int = 8,
+    dim: int = 64,
+    n_tables: int = 1,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Approximate top-k with proper random-hyperplane LSH
+    (:func:`rademacher_planes`): every bucket bit mixes all ``dim``
+    dimensions, so collision probability tracks angular similarity
+    regardless of per-dimension sign skew (the axis-aligned
+    :func:`sign_bucket` caveat).
+
+    ``n_tables`` independent hash tables trade compute for recall the
+    classic LSH way — a pair is a candidate if it collides in ANY table
+    (recall 1-(1-p^b)^L instead of p^b). The plan stays a single corpus
+    scan: all L bucket keys are computed in one projection and
+    ``posexplode``d into (table, bucket) rows, so the candidate join is
+    ONE equi-join on (table, bucket) — L tables never mean L scans, and
+    never a cross product. Pairs colliding in several tables are deduped
+    by a (query, neighbor) groupBy before the per-query window cut."""
+    all_planes = rademacher_planes(n_bits * n_tables, dim)
+    tables = [all_planes[t * n_bits:(t + 1) * n_bits] for t in range(n_tables)]
+    buckets = F.array(*[rademacher_bucket(F.col(vec_col), p) for p in tables])
+
+    def _explode(df: DataFrame, out_id: str, out_vec: str, out_norm: str) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias(out_id),
+            as_double(F.col(vec_col)).alias(out_vec),
+            buckets.alias("__bk"),
+        ).withColumn(out_norm, norm(F.col(out_vec)))
+        return base.select(
+            out_id, out_vec, out_norm, F.posexplode("__bk").alias("tbl", "bucket")
+        )
+
+    q = _explode(queries, "query_id", "qv", "__nq")
+    c = _explode(corpus, "neighbor_id", "cv", "__nc")
+    scored = q.join(c, ["tbl", "bucket"])
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    pair = (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            _cosine_from_norms(
+                F.col("qv"), F.col("cv"), F.col("__nq"), F.col("__nc")
+            ).alias("cos"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos").alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        pair.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def _bucketed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    bucket: Column,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    exclude_self: bool,
+) -> DataFrame:
+    """Shared LSH shape: bucket equi-join, per-pair cosine from per-row
+    precomputed norms, per-query window cut to k."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("qv"),
-        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+        bucket.alias("bucket"),
     ).withColumn("__nq", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cv"),
-        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+        bucket.alias("bucket"),
     ).withColumn("__nc", norm(F.col("cv")))
     scored = q.join(c, "bucket")
     if exclude_self:

@@ -1,0 +1,133 @@
+"""Corpus-curation workloads: benchmark decontamination, repetition
+scoring, and the composite quality gate — the filter stages a training-data
+pipeline runs between raw ingest and dedup.
+
+Oracle notes: every score is integer-derived double math (counts and
+integer-scaled comparisons), thresholds on booleans use integer forms
+(``n*2 >= m``), and the shingle CTEs mirror
+``operators/text_dedup._exploded_shingles`` token-for-token (the same
+fragments the round-1-green MinHash/Jaccard oracles use).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.curation import (
+    contamination_scores,
+    quality_gate,
+    repetition_scores,
+)
+from . import load, workload
+from .llmops import _SHINGLES_CTE
+
+# Deterministic pseudo-benchmark split: every 17th doc id plays the role of
+# the held-out eval suite the corpus must be decontaminated against.
+_BENCH_MOD = 17
+
+
+@workload(
+    "text_contamination_ngram",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    bench AS (
+        SELECT DISTINCT sh FROM shingles WHERE doc_id % {_BENCH_MOD} = 0
+    ),
+    corpus AS (
+        SELECT doc_id, sh FROM shingles WHERE doc_id % {_BENCH_MOD} <> 0
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+    hit AS (
+        SELECT c.doc_id, count(*) AS n_overlap
+        FROM corpus c JOIN bench b USING (sh)
+        GROUP BY c.doc_id
+    )
+    SELECT t.doc_id, t.n_shingles, h.n_overlap,
+           round(h.n_overlap * 1.0 / t.n_shingles, 6) AS contamination,
+           h.n_overlap * 2 >= t.n_shingles AS flagged
+    FROM tot t JOIN hit h ON t.doc_id = h.doc_id
+    """,
+)
+def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: distinct word-3-gram overlap of each corpus doc
+    against the benchmark split's shingle set (broadcast — eval suites are
+    fixed-size while the corpus grows)."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    return contamination_scores(corpus, bench, "doc_id", "text")
+
+
+@workload(
+    "text_repetition_score",
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+        FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+        WHERE len(ws) >= 3
+    ),
+    per AS (SELECT doc_id, sh, count(*) AS c FROM grams GROUP BY doc_id, sh)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_grams,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(max(c) AS BIGINT) AS top_gram_n,
+           round(1.0 - count(*) * 1.0 / sum(c), 6) AS rep_ratio,
+           round(max(c) * 1.0 / sum(c), 6) AS top_ratio
+    FROM per GROUP BY doc_id
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-n-gram filter inputs: total vs distinct
+    3-gram counts, most-repeated-gram share, repetition ratio per doc."""
+    docs = load(spark, sf_dir, "documents")
+    return repetition_scores(docs, "doc_id", "text")
+
+
+@workload(
+    "docs_quality_gate",
+    oracle=r"""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+                   AS n_words,
+               length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+               length(text) AS n_chars,
+               CAST(len(regexp_extract_all(lower(text),
+                   '\b(the|and|of|to|in|is|for|with|on|that)\b')) AS BIGINT)
+                   AS stop_hits
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, n_words, stop_hits,
+               round(nonspace * 1.0 / n_words, 6) AS mean_word_len,
+               alpha_chars * 1.0 / n_chars AS alpha_raw
+        FROM m
+    ),
+    g AS (
+        SELECT doc_id, n_words, mean_word_len, alpha_raw, stop_hits,
+               concat_ws(',',
+                   CASE WHEN n_words < 5 OR n_words > 5000
+                        THEN 'n_words' END,
+                   CASE WHEN mean_word_len < 2.0 OR mean_word_len > 12.0
+                        THEN 'word_len' END,
+                   CASE WHEN alpha_raw < 0.55 THEN 'alpha' END,
+                   CASE WHEN stop_hits < 2 THEN 'stopwords' END) AS reasons
+        FROM r
+    )
+    SELECT doc_id, n_words, mean_word_len,
+           round(alpha_raw, 6) AS alpha_ratio, stop_hits,
+           reasons, reasons = '' AS keep
+    FROM g
+    """,
+)
+def docs_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-style keep/drop per document with the failed-rule
+    list; one whole-stage-codegen projection, zero shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    return quality_gate(docs, "doc_id", "text")

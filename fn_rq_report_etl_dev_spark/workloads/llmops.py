@@ -16,7 +16,14 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TXT
 from ..operators.multimodal import to_asset_table
-from ..operators.similarity import brute_force_topk, embedding_near_dup_pairs, signlsh_topk
+from ..operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    rademacher_bucket_sql,
+    rademacher_planes,
+    rademacher_topk,
+    signlsh_topk,
+)
 from ..operators.text_dedup import (
     DEFAULT_BANDS,
     DEFAULT_K,
@@ -278,6 +285,63 @@ def ann_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     out = signlsh_topk(
         emb.filter(F.col("vec_id") < 8), emb, k=3, n_bits=8, exclude_self=True
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.round("cos", 6).alias("cos_r"),
+    )
+
+
+_RAD_BITS, _RAD_DIM, _RAD_TABLES = 4, 64, 4
+_RAD_ALL_PLANES = rademacher_planes(_RAD_BITS * _RAD_TABLES, _RAD_DIM)
+_RAD_TABLE_SQL = " ".join(
+    "WHEN {t} THEN {sql}".format(
+        t=t,
+        sql=rademacher_bucket_sql(
+            "embedding", _RAD_ALL_PLANES[t * _RAD_BITS:(t + 1) * _RAD_BITS]
+        ),
+    )
+    for t in range(_RAD_TABLES)
+)
+_RAD_TBL_VALUES = ", ".join(f"({t})" for t in range(_RAD_TABLES))
+
+
+@workload(
+    "ann_rademacher_topk",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, b.t AS tbl,
+               CASE b.t {_RAD_TABLE_SQL} END AS bucket
+        FROM embeddings, (VALUES {_RAD_TBL_VALUES}) AS b(t)
+    ),
+    q AS (SELECT * FROM e WHERE vec_id < 8),
+    pair AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               max(list_cosine_similarity(q.v, c.v)) AS cos
+        FROM q JOIN e c ON q.tbl = c.tbl AND q.bucket = c.bucket
+        WHERE c.vec_id <> q.vec_id
+        GROUP BY q.vec_id, c.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos_r
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+          FROM pair)
+    WHERE rank <= 3
+    """,
+)
+def ann_rademacher_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 with PROPER random-hyperplane LSH: each bucket
+    bit is the sign of a ±1 Rademacher projection mixing all 64 dims
+    (md5-seeded, so both engines derive the identical hyperplanes — see
+    ``rademacher_planes``), and 4 independent hash tables union their
+    candidates for recall (single corpus scan: the table axis is a
+    posexplode, the candidate join one (table, bucket) equi-join)."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = rademacher_topk(
+        emb.filter(F.col("vec_id") < 8), emb,
+        k=3, n_bits=_RAD_BITS, dim=_RAD_DIM, n_tables=_RAD_TABLES,
+        exclude_self=True,
     )
     return out.select(
         "query_id", "neighbor_id",

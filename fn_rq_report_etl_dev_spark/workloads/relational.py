@@ -861,3 +861,131 @@ def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.filter(F.col("ts") >= cutoff), ["user_id"], ["ts", "event_id"]
     ).select("user_id", "event_type", "value")
     return merge_scd2(hist, src, "user_id", ["event_type", "value"], now=now)
+
+
+@workload(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (the shapes ROLLUP/CUBE can't express):
+    per-status, per-priority, the full cross, and the grand total in ONE
+    aggregation pass — Catalyst expands to a single Expand + partial agg,
+    not a 4-way self-union of scans."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"],
+         ["o_orderstatus", "o_orderpriority"], []],
+        "o_orderstatus", "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec2("o_totalprice")).cast("double").alias("total_price"),
+    )
+
+
+@workload(
+    "lateral_nation_customer_stats",
+    oracle="""
+    SELECT n.n_name AS nation, t.n_cust, t.max_bal, t.total_bal
+    FROM nation n,
+    LATERAL (
+        SELECT count(*) AS n_cust,
+               max(CAST(c_acctbal AS DECIMAL(18,2))) AS max_bal,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+    ) t
+    """,
+)
+def lateral_nation_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated aggregate subquery in FROM — per-nation customer
+    stats. Catalyst decorrelates it into the same aggregate + join a
+    hand-written plan would use (no per-row re-execution), so the 100 TB
+    cost is one customer-side aggregation and a broadcast-able join with
+    the tiny nation table."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat_v")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat_v")
+    return spark.sql("""
+        SELECT n.n_name AS nation, t.n_cust, t.max_bal, t.total_bal
+        FROM nation_lat_v n,
+        LATERAL (
+            SELECT count(*) AS n_cust,
+                   max(CAST(c_acctbal AS DECIMAL(18,2))) AS max_bal,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+            FROM customer_lat_v c
+            WHERE c.c_nationkey = n.n_nationkey
+        ) t
+    """)
+
+
+@workload(
+    "array_hof_showcase",
+    oracle="""
+    WITH arr AS (
+        SELECT l_orderkey AS orderkey,
+               list_sort(list(CAST(l_quantity AS INT))) AS qtys
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT orderkey, qtys,
+           CAST(len(qtys) AS BIGINT) AS n_items,
+           list_transform(qtys, x -> CAST(x * 2 AS INT)) AS doubled,
+           list_filter(qtys, x -> x > 25) AS big_qtys,
+           CAST(list_sum(qtys) AS BIGINT) AS sum_qty,
+           qtys[1:3] AS first3,
+           list_contains(qtys, 50) AS has_50
+    FROM arr
+    """,
+)
+def array_hof_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction + higher-order functions: collect per-order
+    quantities (sort_array normalizes the collect_list order), then
+    transform / filter / aggregate / slice / contains — all JVM-side
+    expression work on integer arrays."""
+    li = load(spark, sf_dir, "lineitem")
+    arr = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.col("l_quantity").cast("int"))).alias("qtys")
+    )
+    return arr.select(
+        F.col("l_orderkey").alias("orderkey"),
+        "qtys",
+        F.size("qtys").cast("bigint").alias("n_items"),
+        F.expr("transform(qtys, x -> CAST(x * 2 AS INT))").alias("doubled"),
+        F.expr("filter(qtys, x -> x > 25)").alias("big_qtys"),
+        F.expr("CAST(aggregate(qtys, 0L, (a, x) -> a + x) AS BIGINT)").alias("sum_qty"),
+        F.slice(F.col("qtys"), 1, 3).alias("first3"),
+        F.array_contains("qtys", F.lit(50)).alias("has_50"),
+    )
+
+
+@workload(
+    "histogram_totalprice",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+           count(*) AS n_orders,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric histogram: fixed-width bucketing via floor division (the
+    identical double expression both engines evaluate — width_bucket's
+    engine-internal edge handling is deliberately avoided). min/max are
+    selections of input values, never computed floats, so no rounding is
+    needed for cross-engine identity."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.floor(F.col("o_totalprice") / 25000).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )

@@ -1,0 +1,179 @@
+"""Unit tests for corpus-curation operators (contamination, repetition,
+quality gate) and the Rademacher random-hyperplane LSH — exact expected
+values on hand-built inputs, plus the plan properties the 100 TB shape
+depends on (broadcast benchmark side, shuffle-free gate projection)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from fn_rq_report_etl_dev_spark.operators.curation import (
+    contamination_scores,
+    quality_gate,
+    repetition_scores,
+)
+from fn_rq_report_etl_dev_spark.operators.similarity import (
+    rademacher_bucket,
+    rademacher_bucket_sql,
+    rademacher_planes,
+    rademacher_topk,
+)
+from fn_rq_report_etl_dev_spark.plans.inspect import (
+    exchange_count,
+    formatted_plan,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_contamination_exact_overlap(spark):
+    corpus = _docs(
+        spark,
+        [
+            # shares both of its 2 shingles with the benchmark -> flagged
+            (1, "alpha beta gamma delta"),
+            # 'x y z' is nowhere in the benchmark -> absent from output
+            (2, "x y z"),
+            # 1 of 3 shingles overlaps -> contamination 1/3, not flagged
+            (3, "alpha beta gamma zeta eta"),
+        ],
+    )
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon")])
+    out = {
+        r["doc_id"]: r
+        for r in contamination_scores(corpus, bench, "doc_id", "text").collect()
+    }
+    assert set(out) == {1, 3}
+    assert out[1]["n_shingles"] == 2 and out[1]["n_overlap"] == 2
+    assert out[1]["flagged"] is True
+    assert out[3]["n_shingles"] == 3 and out[3]["n_overlap"] == 1
+    assert out[3]["flagged"] is False
+    assert abs(out[3]["contamination"] - round(1 / 3, 6)) < 1e-12
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    corpus = _docs(spark, [(1, "a b c d")])
+    bench = _docs(spark, [(2, "a b c")])
+    plan = formatted_plan(contamination_scores(corpus, bench, "doc_id", "text"))
+    assert "BroadcastHashJoin" in plan  # benchmark shingle set is the small side
+
+
+def test_repetition_counts(spark):
+    # "spam ham eggs" x3 back to back: 7 total 3-grams, 3 distinct, the
+    # wrap-around grams each appear twice except the seam variants.
+    df = _docs(
+        spark,
+        [
+            (1, "spam ham eggs spam ham eggs spam ham eggs"),
+            (2, "one two"),  # under 3 words -> no grams -> absent
+            (3, "all words distinct here"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in repetition_scores(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["n_grams"] == 7
+    assert out[1]["n_distinct"] == 3
+    assert out[1]["top_gram_n"] == 3  # 'spam ham eggs' occurs 3x
+    assert out[3]["n_grams"] == 2 and out[3]["rep_ratio"] == 0.0
+
+
+def test_quality_gate_rules_and_reasons(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the cat and the dog sat on that mat in peace"),  # clean
+            (2, "word " * 3),  # too few words (3) + no stopwords
+            (3, "!!! ??? $$$ %%% ^^^ &&& *** ((( ))) ###"),  # alpha + stopwords
+        ],
+    )
+    out = {r["doc_id"]: r for r in quality_gate(df, "doc_id", "text").collect()}
+    assert out[1]["keep"] is True and out[1]["reasons"] == ""
+    assert out[2]["keep"] is False
+    assert "n_words" in out[2]["reasons"] and "stopwords" in out[2]["reasons"]
+    assert out[3]["keep"] is False
+    assert "alpha" in out[3]["reasons"] and "stopwords" in out[3]["reasons"]
+    # fixed rule order: reasons concatenate in declaration order
+    assert out[3]["reasons"].index("alpha") < out[3]["reasons"].index("stopwords")
+
+
+def test_quality_gate_is_shuffle_free(spark):
+    df = _docs(spark, [(1, "a b c")])
+    assert exchange_count(quality_gate(df, "doc_id", "text")) == 0
+
+
+def test_rademacher_planes_deterministic_and_balanced():
+    p1 = rademacher_planes(6, 64)
+    p2 = rademacher_planes(6, 64)
+    assert p1 == p2
+    for signs in p1:
+        assert len(signs) == 64
+        assert set(signs) <= {1, -1}
+        # md5 parity is a fair coin: neither side should be degenerate
+        assert 16 <= signs.count(1) <= 48
+    # spot-check one component against the definition
+    nibble = hashlib.md5(b"0:0").hexdigest()[0]
+    assert (p1[0][0] == 1) == (nibble < "8")
+
+
+def test_rademacher_bucket_matches_manual_projection(spark):
+    planes = rademacher_planes(4, 4)
+    vec = [1.0, -2.0, 0.5, 3.0]
+    df = spark.createDataFrame([(vec,)], "embedding array<float>")
+    bucket = df.select(
+        rademacher_bucket(F.col("embedding"), planes).alias("b")
+    ).first()["b"]
+    expected = ""
+    for signs in planes:
+        proj = sum(x * s for x, s in zip(vec, signs))
+        expected += "1" if proj >= 0 else "0"
+    assert bucket == expected
+    # identical vectors always collide
+    df2 = spark.createDataFrame([(vec,), (vec,)], "embedding array<float>")
+    assert (
+        df2.select(rademacher_bucket(F.col("embedding"), planes).alias("b"))
+        .distinct()
+        .count()
+        == 1
+    )
+
+
+def test_rademacher_sql_mirrors_column(spark, sf_dir):
+    """The DuckDB rendering and the Spark column produce identical bucket
+    strings on real embeddings (the exact-oracle precondition)."""
+    import duckdb
+
+    planes = rademacher_planes(4, 64)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    spark_buckets = {
+        r["vec_id"]: r["b"]
+        for r in emb.select(
+            "vec_id", rademacher_bucket(F.col("embedding"), planes).alias("b")
+        ).collect()
+    }
+    sql = rademacher_bucket_sql("embedding", planes)
+    duck = duckdb.connect().execute(
+        f"SELECT vec_id, {sql} AS b FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    assert {vid: b for vid, b in duck} == spark_buckets
+
+
+def test_rademacher_topk_recall_vs_bruteforce(spark, sf_dir):
+    """Bucketed top-k is a subset of the corpus ranked identically; with
+    label-clustered embeddings the top-1 neighbor usually shares the
+    query's bucket — require non-trivial recall, not an exact match."""
+    from fn_rq_report_etl_dev_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = brute_force_topk(q, emb, k=3, exclude_self=True).collect()
+    approx = rademacher_topk(
+        q, emb, k=3, n_bits=4, dim=64, n_tables=4, exclude_self=True
+    ).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert approx_pairs, "no bucket collisions at all — planes degenerate"
+    assert len(exact_pairs & approx_pairs) / len(exact_pairs) >= 0.25
