@@ -99,6 +99,13 @@ _FRONT = [
     "lateral_nation_customer_stats",
     "array_hof_showcase",
     "histogram_totalprice",
+    "streaming_window_counts",
+    "sliding_window_event_counts",
+    "map_functions_roundtrip",
+    "custdist_order_counts",
+    "large_quantity_orders",
+    "nation_trade_volume",
+    "udaf_weighted_avg_quantity",
 ]
 _TAIL = [
     # green in CORRECTNESS_r01.json, byte-identical since
@@ -124,6 +131,13 @@ _TAIL = [
     "o7_fixed_projection",
     "o8_multiformat_parse",
     "o10_fallback_now",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "multimodal_binary_meta",
+    "text_vocab_topk",
+    "udtf_sentence_split",
 ]
 
 

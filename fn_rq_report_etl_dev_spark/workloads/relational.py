@@ -989,3 +989,224 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
     )
+
+
+@workload(
+    "sliding_window_event_counts",
+    oracle="""
+    SELECT make_timestamp((CAST(floor(epoch(ts) / 10800) AS BIGINT) * 10800
+                           - k.k * 10800) * 1000000) AS window_start,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events, (VALUES (0), (1)) AS k(k)
+    GROUP BY 1
+    """,
+)
+def sliding_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (6 h window, 3 h slide): every event
+    lands in window/slide = 2 overlapping windows. Spark's window()
+    expands rows before the aggregation — the oracle mirrors the same
+    epoch-aligned expansion with an explicit 2-value unnest. Counts are
+    per-window; the shuffle key is the window start."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "n_users")
+    )
+
+
+@workload(
+    "map_functions_roundtrip",
+    oracle="""
+    WITH per AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type
+    ),
+    t AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_types FROM per GROUP BY user_id)
+    SELECT p.user_id, p.event_type, p.n, t.n_types
+    FROM per p JOIN t ON p.user_id = t.user_id
+    """,
+)
+def map_functions_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column roundtrip: per-user event-type counts packed into
+    a map (map_from_entries ∘ collect_list ∘ struct), interrogated with
+    size(), then exploded back to rows. Map iteration order is engine-
+    private, but the exploded ROW SET is deterministic — which is exactly
+    what the order-insensitive hash checks."""
+    events = load(spark, sf_dir, "events")
+    per = events.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    packed = per.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("tc")
+    )
+    return packed.select(
+        "user_id",
+        F.size("tc").cast("bigint").alias("n_types"),
+        F.explode("tc").alias("event_type", "n"),
+    ).select("user_id", "event_type", "n", "n_types")
+
+
+@workload(
+    "custdist_order_counts",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def custdist_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution — left outer
+    join (zero-order customers count as c_count 0 via count of a nullable
+    column), double aggregation. The outer join shuffles on the customer
+    key; the second agg is tiny."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    c_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@workload(
+    "large_quantity_orders",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 120
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
+    """,
+)
+def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over a grouped-HAVING subquery (expressed as a
+    semi join against the pre-aggregated order totals — the plan Catalyst
+    rewrites the IN into anyway), then the 3-way join re-aggregates for
+    output. The HAVING side reuses the same lineitem scan shape; at scale
+    the semi join prunes orders before the wide join."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec2("l_quantity")).alias("tq"))
+        .filter(F.col("tq") > 120)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.sum(_dec2("l_quantity")).cast("double").alias("total_qty"))
+    )
+
+
+@workload(
+    "nation_trade_volume",
+    oracle=f"""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS volume,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_name <> sn.n_name
+    GROUP BY cn.n_name, sn.n_name
+    """,
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the same dimension table (nation) joined in TWO
+    roles (customer side + supplier side) with a cross-border filter —
+    the classic star join with role-playing dimensions. All four
+    dimension joins broadcast; only orders⋈lineitem shuffles."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    revenue = (_dec2("l_extendedprice") * (F.expr(_ONE) - _dec2("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.sum(revenue).cast("double").alias("volume"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@workload(
+    "udaf_weighted_avg_quantity",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_quantity AS BIGINT) * l_linenumber) AS DOUBLE)
+               / CAST(sum(l_linenumber) AS DOUBLE) AS wavg_qty,
+           CAST(sum(l_linenumber) AS BIGINT) AS total_weight,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udaf_weighted_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via a GROUPED_AGG pandas UDF: linenumber-weighted mean
+    quantity. All accumulation is int64 (exact in any order — the
+    Arrow-batched numpy sum can't diverge from the oracle's); only the
+    final division is float. At scale this is Spark's partial-aggregation
+    path for pandas UDAFs — state is the per-group series, so groups must
+    fit a task; for unbounded groups prefer the expression form
+    sum(q*w)/sum(w), shown in total_weight."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # No type hints: under `from __future__ import annotations` they turn
+    # into strings signature inference can't resolve — pass the eval type
+    # explicitly (same pattern as similarity._cosine_pandas_udf).
+    def _wavg(q, w):
+        return float((q * w).sum() / w.sum())
+
+    wavg = pandas_udf("double", PandasUDFType.GROUPED_AGG)(_wavg)
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("q"),
+        F.col("l_linenumber").cast("long").alias("w"),
+    )
+    # Spark disallows mixing a GROUPED_AGG pandas UDF with JVM aggregates
+    # in one agg() — run them as two aggs over the same grouped shuffle
+    # and join on the (3-row) group key.
+    udaf_side = li.groupBy("l_returnflag").agg(wavg("q", "w").alias("wavg_qty"))
+    expr_side = li.groupBy("l_returnflag").agg(
+        F.sum("w").cast("bigint").alias("total_weight"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return udaf_side.join(expr_side, "l_returnflag")

@@ -106,3 +106,92 @@ def streaming_merge_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOTE: the temp dir is left in place — the returned DataFrame reads
     # from it lazily and the caller collects after we return.
     return wh.read(spark, _TARGET)
+
+
+_WINDOW_TARGET = "stream_window_counts"
+
+# Tumbling 6-hour event-time windows: Spark's window() aligns starts on
+# epoch µs (TZ-independent), so floor(epoch/21600)*21600 is the identical
+# bucket start in any engine.
+_WINDOW_ORACLE = """
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
+                          * 1000000) AS window_start,
+           count(*) AS n_events,
+           min(event_id) AS min_event_id,
+           max(event_id) AS max_event_id
+    FROM events
+    GROUP BY 1
+    """
+
+
+def run_stream_window_counts(
+    spark: SparkSession, landing: str, checkpoint: str, wh: Warehouse, schema
+) -> None:
+    """Drain available files through a WATERMARKED windowed aggregation in
+    update mode; each micro-batch's updated windows are upserted into the
+    target by window key. Update-mode emissions carry the current running
+    total per touched window, so the upsert converges to the exact batch
+    counts regardless of how the files were split into micro-batches."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if wh.exists(_WINDOW_TARGET):
+            current = wh.read(spark, _WINDOW_TARGET)
+            untouched = current.join(
+                batch_df.select("window_start"), "window_start", "left_anti"
+            )
+            out = untouched.unionByName(batch_df)
+        else:
+            out = batch_df
+        wh.overwrite_atomic(out, _WINDOW_TARGET)
+
+    agg = (
+        spark.readStream.schema(schema)
+        .parquet(landing)
+        .withWatermark("ts", "30 days")
+        .groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "min_event_id",
+            "max_event_id",
+        )
+    )
+    query = (
+        agg.writeStream.foreachBatch(handle)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    if query.exception() is not None:
+        raise query.exception()
+
+
+@workload("streaming_window_counts", oracle=_WINDOW_ORACLE)
+def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time windowed aggregation (the Structured
+    Streaming metrics side of O18/O20), drained in two checkpointed
+    micro-batches split at CUTOFF; the upserted per-window totals must
+    hash-match the one-shot batch tumbling-window counts. The 30-day
+    watermark bounds state at scale; no event here is ever later than
+    watermark − delay (file 2 is entirely newer than file 1), so the
+    streaming result is the COMPLETE count — late-drop semantics are
+    pinned separately in tests/test_streaming.py."""
+    events = load(spark, sf_dir, "events").select("event_id", "ts")
+    root = tempfile.mkdtemp(prefix="rq_stream_window_")
+    landing = os.path.join(root, "landing")
+    checkpoint = os.path.join(root, "checkpoint")
+    wh = Warehouse(os.path.join(root, "wh"))
+
+    events.filter(F.col("ts") < F.lit(CUTOFF)).write.mode("append").parquet(landing)
+    run_stream_window_counts(spark, landing, checkpoint, wh, events.schema)
+    events.filter(F.col("ts") >= F.lit(CUTOFF)).write.mode("append").parquet(landing)
+    run_stream_window_counts(spark, landing, checkpoint, wh, events.schema)
+
+    return wh.read(spark, _WINDOW_TARGET)

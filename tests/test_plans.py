@@ -57,3 +57,26 @@ def test_pack_token_budget_single_exchange(spark, sf_dir):
     # partitionBy(source) exchange, nothing else.
     df = QUERIES["pack_token_budget"](spark, sf_dir)
     assert exchange_count(df) == 1
+
+
+def test_nation_trade_volume_broadcasts_all_dims(spark, sf_dir):
+    # Q7 shape: 4 dimension roles broadcast; ONE exchange (the final agg).
+    df = QUERIES["nation_trade_volume"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert exchange_count(df) == 1
+
+
+def test_grouping_sets_single_pass(spark, sf_dir):
+    # GROUPING SETS expands in one aggregation, not a 4-way scan union.
+    df = QUERIES["agg_grouping_sets"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Expand" in plan
+    assert exchange_count(df) == 1
+
+
+def test_large_quantity_orders_semi_prunes_before_wide_join(spark, sf_dir):
+    # The HAVING subquery becomes a pre-aggregated semi join; only the
+    # two aggregations shuffle.
+    df = QUERIES["large_quantity_orders"](spark, sf_dir)
+    assert exchange_count(df) == 2

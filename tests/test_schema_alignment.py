@@ -18,6 +18,9 @@ EQUIV = {
     # parquet TIMESTAMP(isAdjustedToUTC=false) reads as NTZ in Spark; the
     # naive instants are identical to DuckDB's TIMESTAMP.
     ("timestamp_ntz", "TIMESTAMP"),
+    ("array<int>", "INTEGER[]"), ("array<bigint>", "BIGINT[]"),
+    ("array<double>", "DOUBLE[]"), ("array<string>", "VARCHAR[]"),
+    ("array<float>", "FLOAT[]"),
 }
 
 
