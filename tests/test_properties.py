@@ -193,3 +193,61 @@ def test_pack_contiguity_and_budget(spark, tokens, budget):
     for r in out:
         assert r["pack_id"] == csum // budget  # cumsum-before rule
         csum += r["n_tokens"]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("abc xyz the and !.?"),
+            min_size=0, max_size=60,
+        ),
+        min_size=1, max_size=8,
+    )
+)
+def test_curation_score_bounds(spark, texts):
+    """Repetition and contamination scores stay in [0,1]; n_distinct ≤
+    n_grams; a doc can never overlap more shingles than it has."""
+    from fn_rq_report_etl_dev_spark.operators.curation import (
+        contamination_scores,
+        repetition_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    for r in repetition_scores(df, "doc_id", "text").collect():
+        assert 1 <= r["n_distinct"] <= r["n_grams"]
+        assert 0.0 <= r["rep_ratio"] < 1.0
+        assert 0.0 < r["top_ratio"] <= 1.0
+    out = contamination_scores(df, df, "doc_id", "text").collect()
+    for r in out:
+        # self-benchmark: every doc with shingles overlaps itself fully
+        assert r["n_overlap"] == r["n_shingles"]
+        assert r["contamination"] == 1.0 and r["flagged"] is True
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("abcdefgh THE over ., \n\t"),
+            min_size=1, max_size=80,
+        ),
+        min_size=1, max_size=6,
+    )
+)
+def test_quality_gate_reasons_iff_not_keep(spark, texts):
+    """keep is True exactly when reasons is empty, and every reason is one
+    of the four rule names in declaration order."""
+    from fn_rq_report_etl_dev_spark.operators.curation import quality_gate
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    order = ["n_words", "word_len", "alpha", "stopwords"]
+    for r in quality_gate(df, "doc_id", "text").collect():
+        names = r["reasons"].split(",") if r["reasons"] else []
+        assert r["keep"] is (names == [])
+        assert all(n in order for n in names)
+        assert names == sorted(names, key=order.index)
