@@ -125,7 +125,12 @@ _WINDOW_ORACLE = """
 
 
 def run_stream_window_counts(
-    spark: SparkSession, landing: str, checkpoint: str, wh: Warehouse, schema
+    spark: SparkSession,
+    landing: str,
+    checkpoint: str,
+    wh: Warehouse,
+    schema,
+    watermark_delay: str = "30 days",
 ) -> None:
     """Drain available files through a WATERMARKED windowed aggregation in
     update mode; each micro-batch's updated windows are upserted into the
@@ -147,7 +152,7 @@ def run_stream_window_counts(
     agg = (
         spark.readStream.schema(schema)
         .parquet(landing)
-        .withWatermark("ts", "30 days")
+        .withWatermark("ts", watermark_delay)
         .groupBy(F.window("ts", "6 hours").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -110,3 +110,57 @@ def test_stream_dedup_drops_redelivery(spark, tmp_path):
     assert set(got) == {1, 2, 3}
     assert got[2] == "first-2"  # cross-batch redelivery dropped
     assert got[1] in ("first-1", "dup-in-batch") and len(got) == 3
+
+
+def test_stream_window_counts_drops_late_below_watermark(spark, tmp_path):
+    """Update-mode windowed agg with a 1-hour watermark: an event arriving
+    in a later micro-batch with ts below (max_seen - 1h) is DROPPED; an
+    in-watermark late event still updates its window. This pins the
+    late-data semantics the streaming_window_counts oracle can't express
+    (its corpus has no cross-batch late rows by construction)."""
+    import os
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from fn_rq_report_etl_dev_spark.catalog import Warehouse
+    from fn_rq_report_etl_dev_spark.workloads.streaming_equiv import (
+        _WINDOW_TARGET,
+        run_stream_window_counts,
+    )
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ])
+    landing = str(tmp_path / "landing")
+    cp = str(tmp_path / "cp")
+    wh = Warehouse(str(tmp_path / "wh"))
+    os.makedirs(landing)
+
+    def land(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    d = datetime
+    # Batch 1: events in the 12:00 and 18:00 6-hour windows.
+    land([(1, d(2024, 3, 15, 12, 30)), (2, d(2024, 3, 15, 18, 10))])
+    run_stream_window_counts(
+        spark, landing, cp, wh, schema, watermark_delay="1 hour"
+    )
+    # Watermark is now 18:10 - 1h = 17:10.
+    # Batch 2: one event far below the watermark (dropped), one within the
+    # current window (counted).
+    land([(3, d(2024, 3, 15, 6, 0)), (4, d(2024, 3, 15, 18, 40))])
+    run_stream_window_counts(
+        spark, landing, cp, wh, schema, watermark_delay="1 hour"
+    )
+
+    got = {
+        r["window_start"]: r["n_events"]
+        for r in wh.read(spark, _WINDOW_TARGET).collect()
+    }
+    assert got[d(2024, 3, 15, 18, 0)] == 2  # late-but-in-window event counted
+    assert got[d(2024, 3, 15, 12, 0)] == 1
+    assert d(2024, 3, 15, 6, 0) not in got  # below watermark: dropped
