@@ -106,6 +106,8 @@ _FRONT = [
     "large_quantity_orders",
     "nation_trade_volume",
     "udaf_weighted_avg_quantity",
+    "cdc_snapshot_diff",
+    "outlier_filter_iqr",
 ]
 _TAIL = [
     # green in CORRECTNESS_r01.json, byte-identical since
@@ -138,6 +140,8 @@ _TAIL = [
     "multimodal_binary_meta",
     "text_vocab_topk",
     "udtf_sentence_split",
+    "text_pii_scan",
+    "dedup_edit_distance",
 ]
 
 

@@ -1210,3 +1210,111 @@ def udaf_weighted_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
     )
     return udaf_side.join(expr_side, "l_returnflag")
+
+
+@workload(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH old_snap AS (
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    new_snap AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+                    ELSE o_totalprice END AS o_totalprice,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'X-CHANGED'
+                    ELSE o_orderpriority END AS o_orderpriority
+        FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    j AS (
+        SELECT o.o_orderkey AS ok, n.o_orderkey AS nk,
+               o.o_totalprice AS ov_p, n.o_totalprice AS nv_p,
+               o.o_orderpriority AS ov_r, n.o_orderpriority AS nv_r
+        FROM old_snap o FULL OUTER JOIN new_snap n
+            ON o.o_orderkey = n.o_orderkey
+    ),
+    d AS (
+        SELECT *,
+               list_sort(list_filter([
+                   CASE WHEN ov_p IS DISTINCT FROM nv_p THEN 'o_totalprice' END,
+                   CASE WHEN ov_r IS DISTINCT FROM nv_r THEN 'o_orderpriority' END
+               ], x -> x IS NOT NULL)) AS diffs
+        FROM j
+    )
+    SELECT coalesce(nk, ok) AS o_orderkey,
+           CASE WHEN ok IS NOT NULL AND nk IS NULL THEN 'delete'
+                WHEN ok IS NULL AND nk IS NOT NULL THEN 'insert'
+                WHEN len(diffs) > 0 THEN 'update' END AS cdc_action,
+           CASE WHEN ok IS NOT NULL AND nk IS NOT NULL THEN diffs
+                ELSE CAST([] AS VARCHAR[]) END AS changed_columns,
+           nv_p AS new_o_totalprice, nv_r AS new_o_orderpriority
+    FROM d
+    WHERE (ok IS NOT NULL AND nk IS NULL)
+       OR (ok IS NULL AND nk IS NOT NULL)
+       OR len(diffs) > 0
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC: diff two keyed snapshots into the minimal insert/delete/update
+    changelog with per-row changed-column lists (operators/cdc.py — the
+    inverse of the reference's keyed MERGE apply). Synthetic snapshots:
+    old drops every 10th order, new drops every 7th, bumps price on %3
+    and priority on %5. One full-outer join on the key."""
+    from ..operators.cdc import snapshot_diff
+
+    orders = load(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    new = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 1.1
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X-CHANGED"))
+        .otherwise(F.col("o_orderpriority")).alias("o_orderpriority"),
+    )
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderpriority"]
+    )
+
+
+@workload(
+    "outlier_filter_iqr",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.75) AS q3
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           b.q1 - 1.5 * (b.q3 - b.q1) AS lo,
+           b.q3 + 1.5 * (b.q3 - b.q1) AS hi
+    FROM events e JOIN b ON e.event_type = b.event_type
+    WHERE e.value < b.q1 - 1.5 * (b.q3 - b.q1)
+       OR e.value > b.q3 + 1.5 * (b.q3 - b.q1)
+    """,
+)
+def outlier_filter_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection per group: exact linear-interpolated
+    quartiles (Spark `percentile` ≙ DuckDB `quantile_cont`, verified
+    bit-identical), fences built with the same arithmetic shape on both
+    engines, tiny per-group bounds broadcast back onto the fact scan."""
+    events = load(spark, sf_dir, "events")
+    b = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    fences = b.select(
+        "event_type",
+        (F.col("q1") - 1.5 * iqr).alias("lo"),
+        (F.col("q3") + 1.5 * iqr).alias("hi"),
+    )
+    return (
+        events.join(F.broadcast(fences), "event_type")
+        .filter((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+        .select("event_id", "event_type", "value", "lo", "hi")
+    )

@@ -177,3 +177,37 @@ def test_rademacher_topk_recall_vs_bruteforce(spark, sf_dir):
     approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
     assert approx_pairs, "no bucket collisions at all — planes degenerate"
     assert len(exact_pairs & approx_pairs) / len(exact_pairs) >= 0.25
+
+
+def test_snapshot_diff_actions(spark):
+    from fn_rq_report_etl_dev_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c"), (5, 50.0, None)],
+        "k bigint, price double, tag string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 21.0, "b"), (4, 40.0, "d"), (5, 50.0, None)],
+        "k bigint, price double, tag string",
+    )
+    out = {
+        r["k"]: r
+        for r in snapshot_diff(old, new, ["k"], ["price", "tag"]).collect()
+    }
+    # unchanged rows (1, and 5 with null-safe-equal NULL tags) are omitted
+    assert set(out) == {2, 3, 4}
+    assert out[2]["cdc_action"] == "update"
+    assert out[2]["changed_columns"] == ["price"]
+    assert out[2]["new_price"] == 21.0
+    assert out[3]["cdc_action"] == "delete"
+    assert out[3]["changed_columns"] == []
+    assert out[3]["new_price"] is None
+    assert out[4]["cdc_action"] == "insert"
+    assert out[4]["new_tag"] == "d"
+
+
+def test_snapshot_diff_identical_is_empty(spark):
+    from fn_rq_report_etl_dev_spark.operators.cdc import snapshot_diff
+
+    df = spark.createDataFrame([(1, "x"), (2, None)], "k bigint, v string")
+    assert snapshot_diff(df, df, ["k"], ["v"]).count() == 0
