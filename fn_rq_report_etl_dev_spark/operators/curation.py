@@ -91,6 +91,31 @@ def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).withColumnRenamed("__id", id_col)
 
 
+def normalize_text(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Boilerplate/markup normalization — the first pass a web-scraped
+    corpus gets: strip HTML/XML tags, normalize curly quotes and dashes
+    to ASCII, collapse all whitespace runs to single spaces, trim.
+    Pure per-row projection (zero shuffles, whole-stage codegen); at
+    100 TB this runs at scan speed. Returns the cleaned text plus
+    before/after char counts and the stripped-tag count."""
+    t = F.col(text_col)
+    n_tags = F.regexp_count(t, F.lit(r"<[^>]+>"))
+    cleaned = F.regexp_replace(t, r"<[^>]+>", " ")
+    for frm, to in (("’", "'"), ("‘", "'"), ("“", '"'),
+                    ("”", '"'), ("—", "-"), ("–", "-")):
+        cleaned = F.replace(cleaned, F.lit(frm), F.lit(to))
+    cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars_raw"),
+        n_tags.cast("bigint").alias("n_tags"),
+        cleaned.alias("text_clean"),
+        F.length(cleaned).alias("n_chars_clean"),
+    )
+
+
 def _rule(cond: Column, name: str) -> Column:
     """NULL unless the rule FAILS — concat_ws drops the NULLs."""
     return F.when(cond, F.lit(name))

@@ -108,6 +108,7 @@ _FRONT = [
     "udaf_weighted_avg_quantity",
     "cdc_snapshot_diff",
     "outlier_filter_iqr",
+    "text_normalize_clean",
 ]
 _TAIL = [
     # green in CORRECTNESS_r01.json, byte-identical since
@@ -142,6 +143,7 @@ _TAIL = [
     "udtf_sentence_split",
     "text_pii_scan",
     "dedup_edit_distance",
+    "o11_o12_est_derivation",
 ]
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..operators.curation import (
     contamination_scores,
+    normalize_text,
     quality_gate,
     repetition_scores,
 )
@@ -131,3 +132,31 @@ def docs_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     list; one whole-stage-codegen projection, zero shuffles."""
     docs = load(spark, sf_dir, "documents")
     return quality_gate(docs, "doc_id", "text")
+
+
+@workload(
+    "text_normalize_clean",
+    oracle=r"""
+    WITH c AS (
+        SELECT doc_id,
+               length(text) AS n_chars_raw,
+               CAST(len(regexp_extract_all(text, '<[^>]+>')) AS BIGINT) AS n_tags,
+               trim(regexp_replace(
+                   replace(replace(replace(replace(replace(replace(
+                       regexp_replace(text, '<[^>]+>', ' ', 'g'),
+                       '’', ''''), '‘', ''''), '“', '"'), '”', '"'),
+                       '—', '-'), '–', '-'),
+                   '\s+', ' ', 'g')) AS text_clean
+        FROM documents
+    )
+    SELECT doc_id, n_chars_raw, n_tags, text_clean,
+           length(text_clean) AS n_chars_clean
+    FROM c
+    """,
+)
+def text_normalize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup/boilerplate normalization: tag strip, quote/dash ASCII
+    folding, whitespace collapse — the scan-speed first pass of a
+    web-corpus pipeline (zero shuffles)."""
+    docs = load(spark, sf_dir, "documents")
+    return normalize_text(docs, "doc_id", "text")

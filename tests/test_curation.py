@@ -211,3 +211,18 @@ def test_snapshot_diff_identical_is_empty(spark):
 
     df = spark.createDataFrame([(1, "x"), (2, None)], "k bigint, v string")
     assert snapshot_diff(df, df, ["k"], ["v"]).count() == 0
+
+
+def test_normalize_text_strips_and_folds(spark):
+    from fn_rq_report_etl_dev_spark.operators.curation import normalize_text
+
+    df = _docs(
+        spark,
+        [(1, "<p>Hello   “world”</p>\n<b>it’s</b>\t a — test"), (2, "plain")],
+    )
+    out = {r["doc_id"]: r for r in normalize_text(df, "doc_id", "text").collect()}
+    assert out[1]["text_clean"] == 'Hello "world" it\'s a - test'
+    assert out[1]["n_tags"] == 4
+    assert out[1]["n_chars_clean"] == len(out[1]["text_clean"])
+    assert out[2]["text_clean"] == "plain" and out[2]["n_tags"] == 0
+    assert exchange_count(normalize_text(df, "doc_id", "text")) == 0
