@@ -109,10 +109,10 @@ def normalize_text(
     cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
     return df.select(
         F.col(id_col),
-        F.length(t).alias("n_chars_raw"),
+        F.length(t).cast("bigint").alias("n_chars_raw"),
         n_tags.cast("bigint").alias("n_tags"),
         cleaned.alias("text_clean"),
-        F.length(cleaned).alias("n_chars_clean"),
+        F.length(cleaned).cast("bigint").alias("n_chars_clean"),
     )
 
 

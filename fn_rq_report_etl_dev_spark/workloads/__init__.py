@@ -109,6 +109,8 @@ _FRONT = [
     "cdc_snapshot_diff",
     "outlier_filter_iqr",
     "text_normalize_clean",
+    "dataset_split_assign",
+    "incremental_agg_merge",
 ]
 _TAIL = [
     # green in CORRECTNESS_r01.json, byte-identical since
@@ -144,6 +146,8 @@ _TAIL = [
     "text_pii_scan",
     "dedup_edit_distance",
     "o11_o12_est_derivation",
+    "o3_incremental_window",
+    "o18_filtered_count",
 ]
 
 

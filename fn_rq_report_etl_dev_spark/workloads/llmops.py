@@ -955,3 +955,42 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(piece).cast("bigint").alias("n_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     )
+
+
+@workload(
+    "dataset_split_assign",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER
+                    AS BIGINT) % 100 AS pct
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN pct < 90 THEN 'train'
+                WHEN pct < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           pct
+    FROM h
+    """,
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by content-stable
+    hash (md5 of the id — reproducible in any engine, stable across
+    reruns/repartitions, unlike randomSplit). Pure projection: zero
+    shuffles, scan-speed at 100 TB; downstream filters on `split` are
+    pushdown-able predicates."""
+    docs = load(spark, sf_dir, "documents")
+    pct = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 100
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(pct < 90, F.lit("train"))
+        .when(pct < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        pct.alias("pct"),
+    )

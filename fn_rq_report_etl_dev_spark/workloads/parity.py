@@ -301,3 +301,47 @@ def sql_api_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
             CASE WHEN n.user_id IS NOT NULL THEN n.value ELSE o.value END AS value
         FROM old_batch o FULL OUTER JOIN new_batch n ON o.user_id = n.user_id
     """)
+
+
+@workload(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS d,
+           count(*) AS cnt,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           min(event_id) AS min_event_id,
+           max(event_id) AS max_event_id
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: the running per-(type, day) summary
+    (history before CUTOFF) combined with one batch's partial aggregates
+    (operators/incremental.py) must equal the oracle's full recompute —
+    without ever rescanning history. Money flows as floor-cents BIGINT
+    (bit-exact in any engine); count/sum add, min/max fold."""
+    from ..operators.incremental import merge_partial_aggregates
+
+    events = load(spark, sf_dir, "events")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+
+    running = partial(events.filter(F.col("ts") < F.lit(CUTOFF)))
+    delta = partial(events.filter(F.col("ts") >= F.lit(CUTOFF)))
+    return merge_partial_aggregates(
+        running,
+        delta,
+        keys=["event_type", "d"],
+        add_cols=["cnt", "sum_cents"],
+        min_cols=["min_event_id"],
+        max_cols=["max_event_id"],
+    )

@@ -226,3 +226,44 @@ def test_normalize_text_strips_and_folds(spark):
     assert out[1]["n_chars_clean"] == len(out[1]["text_clean"])
     assert out[2]["text_clean"] == "plain" and out[2]["n_tags"] == 0
     assert exchange_count(normalize_text(df, "doc_id", "text")) == 0
+
+
+def test_merge_partial_aggregates_equals_full_recompute(spark):
+    from fn_rq_report_etl_dev_spark.operators.incremental import (
+        merge_partial_aggregates,
+    )
+
+    rows = [("a", 1, 10), ("a", 2, 20), ("b", 3, 5), (None, 4, 7), ("a", 5, 1)]
+    df = spark.createDataFrame(rows, "k string, id bigint, v bigint")
+
+    def agg(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("v").alias("sv"),
+            F.min("id").alias("mn"),
+            F.max("id").alias("mx"),
+        )
+
+    combined = merge_partial_aggregates(
+        agg(df.filter(F.col("id") <= 2)),
+        agg(df.filter(F.col("id") > 2)),
+        keys=["k"],
+        add_cols=["cnt", "sv"],
+        min_cols=["mn"],
+        max_cols=["mx"],
+    )
+    full = {r["k"]: r for r in agg(df).collect()}
+    got = {r["k"]: r for r in combined.collect()}
+    assert set(got) == set(full)  # includes the NULL key (eqNullSafe join)
+    for k, r in full.items():
+        g = got[k]
+        assert (g["cnt"], g["sv"], g["mn"], g["mx"]) == (
+            r["cnt"], r["sv"], r["mn"], r["mx"]
+        ), k
+    # key present in only one side: passes through untouched
+    only = merge_partial_aggregates(
+        agg(df.filter(F.col("k") == "b")),
+        agg(df.filter(F.col("k") == "zzz")),
+        keys=["k"], add_cols=["cnt", "sv"], min_cols=["mn"], max_cols=["mx"],
+    ).collect()
+    assert len(only) == 1 and only[0]["k"] == "b" and only[0]["cnt"] == 1
