@@ -1301,7 +1301,13 @@ def outlier_filter_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey-fence outlier detection per group: exact linear-interpolated
     quartiles (Spark `percentile` ≙ DuckDB `quantile_cont`, verified
     bit-identical), fences built with the same arithmetic shape on both
-    engines, tiny per-group bounds broadcast back onto the fact scan."""
+    engines, tiny per-group bounds broadcast back onto the fact scan.
+
+    Scale note: exact percentile is HOLISTIC — each group's values gather
+    on one reducer. With few, huge groups at 100 TB, swap the quartile
+    stage to `percentile_approx` (mergeable sketch, map-side partials);
+    the fence-and-broadcast shape is unchanged. The exact form is kept
+    here because the oracle demands bit-equality."""
     events = load(spark, sf_dir, "events")
     b = events.groupBy("event_type").agg(
         F.expr("percentile(value, 0.25)").alias("q1"),
