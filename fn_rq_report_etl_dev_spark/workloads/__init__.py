@@ -111,6 +111,7 @@ _FRONT = [
     "text_normalize_clean",
     "dataset_split_assign",
     "incremental_agg_merge",
+    "session_window_native",
 ]
 _TAIL = [
     # green in CORRECTNESS_r01.json, byte-identical since
@@ -148,6 +149,7 @@ _TAIL = [
     "o11_o12_est_derivation",
     "o3_incremental_window",
     "o18_filtered_count",
+    "o19_retention_predicate",
 ]
 
 

@@ -1324,3 +1324,53 @@ def outlier_filter_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
         .select("event_id", "event_type", "value", "lo", "hi")
     )
+
+
+@workload(
+    "session_window_native",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           min(event_id) AS min_event_id
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation (dynamic-gap windows
+    merged inside the agg operator — no explicit lag/cumsum pass), next
+    to the hand-built sessionize_events and the stateful streaming
+    sessionizer. Oracle is the classic gaps-and-islands rewrite; the
+    break rule (`diff >= gap` starts a new session) mirrors Spark's
+    end-exclusive [start, last+gap) window merge exactly."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("min_event_id"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "min_event_id",
+        )
+    )
