@@ -1,0 +1,605 @@
+"""TPC-H family completion: the remaining classic decision-support query
+shapes expressible over the testdata star schema (SURVEY.md §2.1 joins /
+aggregation / subquery checklist, widened to the full canonical suite).
+
+Covered here: Q4 (EXISTS), Q6 (selective scan-agg), Q8 (market share,
+two-role nation), Q9 (profit roll-up), Q10 (top-k returned-item revenue),
+Q12 (conditional priority counts), Q14 (promo ratio), Q15 (scalar-max
+top supplier), Q16 (distinct-supplier counts with exclusion), Q17
+(correlated avg subquery), Q19 (disjunctive pushdown), Q21 (waiting
+suppliers, EXISTS + NOT EXISTS self-joins), Q22 (dormant customers,
+scalar avg + anti join).
+
+The testdata schema is TPC-H-ish but trimmed — no ``partsupp`` table and
+no ``l_commitdate``/``l_receiptdate``/``l_shipmode``/``p_container``/
+``c_phone`` columns — so shapes that depend on them are adapted, keeping
+the *plan shape* (the thing that matters for engine coverage) intact:
+
+- Q2/Q11/Q20 (partsupp-centric) have no faithful adaptation and are
+  documented as out of scope in COVERAGE.md.
+- "late shipment" (Q4/Q12/Q21's commit-vs-receipt lag) becomes a
+  shipdate-vs-orderdate lag, which preserves the compound join predicate
+  referencing both sides.
+- Q22's phone country code becomes ``c_custkey % 10``.
+
+Float determinism follows the module-wide rule (relational.py header):
+money sums in DECIMAL, divide/compare only on already-exact doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load, workload
+from .relational import _ONE, _REVENUE_SQL, _dec2, _revenue
+
+_D4 = "decimal(18,4)"
+
+
+@workload(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with a compound correlated predicate (key
+    equality + inequality referencing BOTH relations) → left-semi join.
+    The quarter filter prunes the orders scan before the semi join; the
+    lineitem side needs no filter because the predicate is join-local."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    late = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@workload(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount >= 0.02 AND l_discount <= 0.06
+      AND l_quantity < 10
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan→filter→agg, zero joins. The point of this shape
+    is pushdown: all three predicates reach the parquet scan (PushedFilters)
+    and only 3 columns are read (ReadSchema) — the plan is a single
+    WholeStageCodegen span with a 1-row partial+final agg."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 10)
+        )
+        .agg(
+            F.sum((_dec2("l_extendedprice") * _dec2("l_discount")).cast(_D4))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@workload(
+    "q8_market_share",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(CAST(sum(CASE WHEN sn.n_name = 'NATION_7' THEN {_REVENUE_SQL}
+                              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                / CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN region   ON r_regionkey = cn.n_regionkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY year(o_orderdate)
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — an 8-way star join where the
+    nation dimension plays two roles (customer region gate, supplier
+    nationality tag) and the measure is a conditional-sum ratio. Every
+    dimension broadcasts; the one shuffle is orders⋈lineitem. The ratio
+    divides two exact DECIMAL sums in double, so it hash-matches DuckDB."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _revenue()
+    zero = F.lit(0).cast(_D4)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(zero))
+                .cast("double")
+                / F.sum(vol).cast("double")
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+    )
+
+
+@workload(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST({_REVENUE_SQL}
+                         - CAST(CAST(p_retailprice AS DECIMAL(18,2))
+                                * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4))
+                         AS DECIMAL(18,4))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit rolled up by supplier nation ×
+    order year. Adapted: the testdata has no partsupp, so unit cost is
+    ``p_retailprice × l_quantity`` instead of ``ps_supplycost × l_quantity``
+    — same expression tree (revenue minus a part-priced cost), same joins
+    minus the partsupp edge. LIKE-filtered part broadcasts."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    cost = (_dec2("p_retailprice") * _dec2("l_quantity")).cast(_D4)
+    profit = (_revenue() - cost).cast(_D4)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+@workload(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by lost (returned) revenue in a quarter.
+    Global top-k: Spark plans orderBy+limit as TakeOrderedAndProject —
+    per-partition top-20 then a single 20-row merge on the driver, never a
+    full sort shuffle. ``c_custkey`` tiebreaks revenue ties so the LIMIT
+    frontier is deterministic in both engines."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nat = load(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@workload(
+    "q12_late_shipment_priority",
+    oracle="""
+    SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 45 DAY
+                THEN 'late' ELSE 'ontime' END AS ship_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY CASE WHEN l_shipdate > o_orderdate + INTERVAL 45 DAY
+                  THEN 'late' ELSE 'ontime' END
+    """,
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional aggregation (priority split per
+    class). Adapted: no l_shipmode/l_commitdate in the testdata, so the
+    grouping class is the shipdate-vs-orderdate lag bucket — the grouping
+    key is still a derived expression over the joined row, the measures
+    still CASE-sums."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ship_class = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"),
+        F.lit("late"),
+    ).otherwise(F.lit("ontime"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(ship_class.alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@workload(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT CAST(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REVENUE_SQL}
+                                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                / CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS DOUBLE) AS promo_revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promotion revenue share for one month — broadcast part
+    join, conditional-sum ratio, single output row. The month predicate is
+    pushed to the lineitem scan; part broadcasts unfiltered (the CASE needs
+    every part's type)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00"))
+    )
+    part = load(spark, sf_dir, "part")
+    vol = _revenue()
+    zero = F.lit(0).cast(_D4)
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(zero)).cast(
+                "double"
+            )
+            / F.sum(vol).cast("double")
+        )
+        .cast("double")
+        .alias("promo_revenue")
+    )
+
+
+_Q15_REV_SQL = f"""
+    SELECT l_suppkey AS supplier_no,
+           sum({_REVENUE_SQL}) AS total_rev
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-10-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_suppkey
+"""
+
+
+@workload(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS ({_Q15_REV_SQL})
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue — a scalar
+    MAX subquery over a derived aggregate. The aggregate is computed ONCE
+    and persisted; the 1-row max broadcasts back onto it (no second scan,
+    no unpartitioned window). DECIMAL equality against the max is exact, so
+    ties surface every argmax row, identically in both engines."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-10-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00"))
+    )
+    supp = load(spark, sf_dir, "supplier")
+    srev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_revenue()).alias("total_rev"))
+        .persist()
+    )
+    mx = srev.agg(F.max("total_rev").alias("mx"))
+    return (
+        srev.join(F.broadcast(mx), srev.total_rev == F.col("mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
+        )
+    )
+
+
+@workload(
+    "q16_part_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 100)
+    GROUP BY p_brand, p_size
+    """,
+)
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers serve each surviving
+    (brand, size) bucket, excluding a supplier denylist. Adapted: the
+    part↔supplier relation comes from lineitem (no partsupp table), and the
+    denylist predicate is an acctbal floor (no s_comment column). The NOT IN
+    becomes a left-anti broadcast join — safe here because s_suppkey is
+    never NULL (NOT IN's NULL trap doesn't arise)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad_supp = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 100)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@workload(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND l_quantity < (
+          SELECT 0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                        / count(*))
+          FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: small-quantity-order revenue — a correlated scalar AVG
+    subquery per part. Expressed as the plan Catalyst would decorrelate it
+    into anyway: one per-part aggregate over lineitem (exact decimal sum ÷
+    count, so the 0.2·avg threshold is bit-identical in DuckDB), joined
+    back and filtered. Only the per-part agg and its join-back shuffle on
+    l_partkey; the brand dimension broadcasts."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            F.lit(0.2)
+            * (F.sum(_dec2("l_quantity")).cast("double") / F.count(F.lit(1)))
+        ).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(thresholds, li.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (F.sum(_dec2("l_extendedprice")).cast("double") / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@workload(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#24' AND p_size BETWEEN 16 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#7' AND p_size BETWEEN 31 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs over a join — the classic disjunctive-
+    pushdown stressor. Catalyst extracts the common l_quantity ∈ [1,30]
+    and p_size ∈ [1,50] envelopes below the join while keeping the full
+    disjunction as the post-join filter; part broadcasts."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    disj = (
+        ((b == "Brand#12") & s.between(1, 15) & (q >= 1) & (q <= 11))
+        | ((b == "Brand#24") & s.between(16, 30) & (q >= 10) & (q <= 20))
+        | ((b == "Brand#7") & s.between(31, 50) & (q >= 20) & (q <= 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(disj)
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+@workload(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN (SELECT DISTINCT l_orderkey, l_suppkey
+          FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          WHERE o_orderstatus = 'F'
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAY) l1
+      ON l1.l_suppkey = s_suppkey
+    WHERE n_name IN ('NATION_3', 'NATION_13', 'NATION_23')
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: suppliers who alone shipped late on a finalized
+    multi-supplier order — EXISTS plus NOT EXISTS against the SAME fact
+    table (lineitem in three roles). Adapted lateness: shipdate >
+    orderdate + 60d (no commit/receipt dates). The late set l1 is computed
+    once and persisted; the EXISTS becomes a left-semi and the NOT EXISTS
+    a left-anti, both shuffling on l_orderkey; supplier/nation broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    orders_f = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_13", "NATION_23")
+    )
+    late = (
+        li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .persist()
+    )
+    all_pairs = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    ).distinct()
+    late_pairs = late.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    l1 = (
+        late.join(
+            all_pairs,
+            (late.l_orderkey == F.col("o2")) & (late.l_suppkey != F.col("s2")),
+            "left_semi",
+        ).join(
+            late_pairs,
+            (late.l_orderkey == F.col("o3")) & (late.l_suppkey != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        l1.join(F.broadcast(supp), l1.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey, "left_semi")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@workload(
+    "q22_dormant_customers",
+    oracle="""
+    SELECT CAST(c_custkey % 10 AS VARCHAR) AS cntrycode,
+           count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                              / count(*)
+                       FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY CAST(c_custkey % 10 AS VARCHAR)
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: wealthy customers who never ordered, bucketed by country
+    code — a scalar AVG subquery (computed once, broadcast as a 1-row
+    cross join) feeding a filter, then an anti join against orders.
+    Adapted: cntrycode is ``c_custkey % 10`` (no c_phone column). The avg
+    is an exact decimal sum ÷ count so the filter threshold is
+    bit-identical in both engines."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(_dec2("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_bal"
+            )
+        )
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy((F.col("c_custkey") % 10).cast("string").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec2("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
