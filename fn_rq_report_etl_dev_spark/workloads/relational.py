@@ -364,11 +364,13 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
-    # microsecond-exact gap: casting to long would truncate to seconds and
-    # disagree with the oracle's interval comparison at the boundary
+    # microsecond-exact gap: timestamp subtraction yields a day-time
+    # interval (works for TIMESTAMP and TIMESTAMP_NTZ alike); casting to
+    # long would truncate to seconds and disagree with the oracle's
+    # interval comparison at the boundary
     new_session = F.when(
         prev_ts.isNull()
-        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 30 * 60 * 1_000_000),
+        | ((F.col("ts") - prev_ts) > F.expr("INTERVAL 30 MINUTES")),
         1,
     ).otherwise(0)
     return (
