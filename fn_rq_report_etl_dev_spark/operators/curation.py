@@ -163,3 +163,114 @@ def quality_gate(
         reasons.alias("reasons"),
         (reasons == "").alias("keep"),
     )
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per whitespace token (lowercased), empty tokens dropped."""
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+
+
+def unigram_frequency_scores(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Unigram-frequency document quality proxy (the SQL-expressible core
+    of a CCNet-style LM-perplexity filter): rare-token-heavy documents —
+    OCR noise, codes, boilerplate mangling — score low.
+
+    Per token the corpus frequency ``c_w`` is reduced to its integer
+    log2 floor (``length(bin(c_w)) - 1``), so every aggregate is
+    integer-exact and engine-portable — no float ``ln`` whose last-ulp
+    behavior differs between libm implementations (a real ``ln``-based
+    logprob belongs in a prod variant where bit-exact oracles aren't
+    required; the ranking this proxy induces is the same Zipf-tail
+    ordering at ~1/ln2 resolution).
+
+    Scale shape: tokenize (narrow) → groupBy(word) frequency (1 shuffle,
+    map-side partial) → token×frequency equi-join on word (shuffle keyed
+    by word; Zipf head words are AQE-splittable skew) → groupBy(doc)
+    (1 shuffle, partial agg). The corpus-total row is a broadcast scalar.
+    """
+    toks = _tokens(df, id_col, text_col).persist()
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    bits = (F.length(F.bin(F.col("c"))) - 1).alias("bits")
+    scored = toks.join(freq, "w").select("__id", bits)
+    per_doc = scored.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("bits").alias("sum_bits"),
+    )
+    corpus_bits = F.length(F.bin(F.col("n_total"))) - 1
+    return (
+        per_doc.crossJoin(F.broadcast(total))
+        .select(
+            F.col("__id"),
+            "n_tokens",
+            "sum_bits",
+            F.round(F.col("sum_bits") * 1.0 / F.col("n_tokens"), 6).alias(
+                "avg_freq_bits"
+            ),
+            corpus_bits.cast("bigint").alias("corpus_bits"),
+            # mean token is >2^3 rarer than the corpus-frequency ceiling →
+            # integer form of avg_freq_bits < corpus_bits - 3
+            (
+                F.col("sum_bits") + (3 * F.col("n_tokens"))
+                < corpus_bits * F.col("n_tokens")
+            ).alias("rare_heavy"),
+        )
+        .drop("n_total")
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[Column],
+    cap: int,
+    rank_name: str = "rk",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group (domain/source balancing — the
+    standard guard against one crawl domain dominating a training mix).
+
+    row_number + filter compiles to a single hash-partitioned sort with
+    WindowGroupLimit pushdown (Spark ≥3.5): each task keeps a cap-sized
+    heap per group instead of fully sorting groups, so a pathologically
+    hot source costs O(n log cap), not O(n log n), and nothing ever
+    collects more than ``cap`` rows per group downstream."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_name, F.row_number().over(w).cast("bigint"))
+        .filter(F.col(rank_name) <= cap)
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    seed: str = "42",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Deterministic training-data shuffle: md5-keyed shard assignment +
+    within-shard position. The export shape for "globally shuffled" corpus
+    files: shard = first md5 nibble (uniform 16-way; n_shards must divide
+    16 for exactness here — prod generalizes with more nibbles), position
+    = rank of the md5 key inside the shard.
+
+    At scale this is repartition(shard) + sortWithinPartitions(key): no
+    global total-order sort, one shuffle, each shard written as one sorted
+    file. The md5 key makes the permutation reproducible across runs AND
+    engines (seed folded into the digest input).
+    """
+    assert 16 % n_shards == 0, "n_shards must divide 16 (single-nibble shard)"
+    from pyspark.sql import Window
+
+    skey = F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string")))
+    keyed = df.select(F.col(id_col), skey.alias("skey"))
+    nibble = F.expr("position(substring(skey, 1, 1), '0123456789abcdef')") - 1
+    sharded = keyed.withColumn("shard", (nibble % n_shards).cast("int"))
+    w = Window.partitionBy("shard").orderBy("skey", id_col)
+    return sharded.withColumn("pos", F.row_number().over(w).cast("bigint"))

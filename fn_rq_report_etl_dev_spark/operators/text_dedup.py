@@ -215,6 +215,56 @@ def lsh_candidate_pairs(
     return _bucket_pairs(banded, ["band", "band_hash"]).distinct()
 
 
+def incremental_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_new: Column,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Cross-corpus near-dup candidates: for an incremental batch arriving
+    into an existing corpus, (id_new, id_old) pairs that collide on at
+    least one MinHash LSH band. ``is_new`` is a boolean Column over ``df``
+    marking batch membership.
+
+    The scale shape for daily training-data ingest: signatures are computed
+    ONCE over the union (one groupBy pass — the corpus side is reusable
+    state a production pipeline would persist), then the banded equi-join
+    is *asymmetric*: new×old only, never the quadratic old×old leg that a
+    full-corpus ``lsh_candidate_pairs`` would re-derive every day. With
+    |new| ≪ |corpus| the join output is proportional to the batch's true
+    near-dup rate, and the shuffle key (band, band_hash) spreads hot
+    templates across ``bands`` reducers.
+    """
+    assert k % bands == 0, "k must divide evenly into bands"
+    r = k // bands
+    flagged = df.withColumn("__is_new", is_new)
+    sig = minhash_signatures(flagged, id_col, text_col, k).join(
+        flagged.select(F.col(id_col).alias("__id"), "__is_new"), "__id"
+    )
+    band_hashes = F.array(
+        *[
+            F.md5(F.concat_ws("|", *[F.col(f"mh_{b * r + i}") for i in range(r)]))
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col("__id"), F.col("__is_new"), F.posexplode(band_hashes).alias("band", "band_hash")
+    ).persist()
+    new_side = banded.filter(F.col("__is_new")).select(
+        F.col("__id").alias("id_new"), "band", "band_hash"
+    )
+    old_side = banded.filter(~F.col("__is_new")).select(
+        F.col("__id").alias("id_old"), "band", "band_hash"
+    )
+    return (
+        new_side.join(old_side, ["band", "band_hash"])
+        .select("id_new", "id_old")
+        .distinct()
+    )
+
+
 def ngram_jaccard_on_candidates(
     df: DataFrame,
     id_col: str,

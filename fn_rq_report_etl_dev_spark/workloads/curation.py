@@ -15,13 +15,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.curation import (
+    cap_per_group,
     contamination_scores,
     normalize_text,
     quality_gate,
     repetition_scores,
+    shuffle_shards,
+    unigram_frequency_scores,
 )
+from ..operators.text_dedup import incremental_lsh_candidates
 from . import load, workload
-from .llmops import _SHINGLES_CTE
+from .llmops import _BAND_CASES, _SHINGLES_CTE, _SIG_COLS
 
 # Deterministic pseudo-benchmark split: every 17th doc id plays the role of
 # the held-out eval suite the corpus must be decontaminated against.
@@ -160,3 +164,131 @@ def text_normalize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     web-corpus pipeline (zero shuffles)."""
     docs = load(spark, sf_dir, "documents")
     return normalize_text(docs, "doc_id", "text")
+
+
+# Daily-increment split for the incremental dedup demo: every 7th doc id
+# plays the arriving batch; the rest are the standing corpus.
+_NEW_MOD = 7
+
+
+@workload(
+    "text_unigram_logprob",
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, ws[i] AS w
+        FROM words, UNNEST(range(1, len(ws) + 1)) AS t(i)
+        WHERE ws[i] <> ''
+    ),
+    freq AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    tot AS (SELECT count(*) AS n_total FROM toks),
+    scored AS (
+        SELECT doc_id, length(bin(c)) - 1 AS bits
+        FROM toks JOIN freq USING (w)
+    ),
+    per_doc AS (
+        SELECT doc_id, count(*) AS n_tokens,
+               CAST(sum(bits) AS BIGINT) AS sum_bits
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, sum_bits,
+           round(sum_bits * 1.0 / n_tokens, 6) AS avg_freq_bits,
+           length(bin(n_total)) - 1 AS corpus_bits,
+           sum_bits + 3 * n_tokens < (length(bin(n_total)) - 1) * n_tokens
+               AS rare_heavy
+    FROM per_doc, tot
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-frequency quality proxy (CCNet-style perplexity filter,
+    integer-log2 form for engine-exact oracles): documents dominated by
+    corpus-rare tokens flag as ``rare_heavy``."""
+    docs = load(spark, sf_dir, "documents")
+    return unigram_frequency_scores(docs, "doc_id", "text").withColumnRenamed(
+        "__id", "doc_id"
+    )
+
+
+@workload(
+    "curation_source_cap",
+    oracle="""
+    SELECT doc_id, source, n_chars, rk FROM (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= 10
+    """,
+)
+def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: keep at most 10 docs per source (largest first,
+    id tiebreak). WindowGroupLimit keeps per-task state at cap size, so a
+    single hot crawl domain can't dominate the mix or the task heap."""
+    docs = load(spark, sf_dir, "documents")
+    capped = cap_per_group(
+        docs,
+        "source",
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        cap=10,
+    )
+    return capped.select("doc_id", "source", "n_chars", "rk")
+
+
+@workload(
+    "dedup_incremental_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+        SELECT doc_id, {_SIG_COLS}
+        FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, bb.band,
+               CASE bb.band {_BAND_CASES} END AS band_hash
+        FROM sig, (VALUES (0), (1), (2)) AS bb(band)
+    )
+    SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+    FROM bands n
+    JOIN bands o ON n.band = o.band AND n.band_hash = o.band_hash
+    WHERE n.doc_id % {_NEW_MOD} = 0 AND o.doc_id % {_NEW_MOD} <> 0
+    """,
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-corpus) near-dup detection: the arriving batch
+    is LSH-joined against the standing corpus only — new×old, never the
+    quadratic old×old leg a full re-dedup would pay daily."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = incremental_lsh_candidates(
+        docs, "doc_id", "text", is_new=F.col("doc_id") % _NEW_MOD == 0
+    )
+    return pairs
+
+
+@workload(
+    "export_shuffle_shards",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id,
+               md5('42|' || CAST(doc_id AS VARCHAR)) AS skey
+        FROM documents
+    )
+    SELECT doc_id, skey,
+           CAST((strpos('0123456789abcdef', substr(skey, 1, 1)) - 1) % 16
+                AS INTEGER) AS shard,
+           row_number() OVER (
+               PARTITION BY (strpos('0123456789abcdef', substr(skey, 1, 1)) - 1) % 16
+               ORDER BY skey, doc_id
+           ) AS pos
+    FROM keyed
+    """,
+)
+def export_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-data shuffle: md5-keyed 16-way shard + rank
+    within shard — the reproducible global permutation for corpus export
+    (repartition + sortWithinPartitions at scale, no total-order sort)."""
+    docs = load(spark, sf_dir, "documents")
+    return shuffle_shards(docs, "doc_id", seed="42", n_shards=16)

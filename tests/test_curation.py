@@ -267,3 +267,99 @@ def test_merge_partial_aggregates_equals_full_recompute(spark):
         keys=["k"], add_cols=["cnt", "sv"], min_cols=["mn"], max_cols=["mx"],
     ).collect()
     assert len(only) == 1 and only[0]["k"] == "b" and only[0]["cnt"] == 1
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions: unigram logprob, source cap, incremental LSH, shuffle
+
+
+def test_unigram_frequency_rare_vs_common(spark):
+    from fn_rq_report_etl_dev_spark.operators.curation import (
+        unigram_frequency_scores,
+    )
+
+    # 'the' appears 29x (bits=4); the qqq/zzz/jjj tokens once each (bits=0).
+    rows = [
+        (1, " ".join(["the"] * 29)),
+        (2, "qqq zzz jjj"),
+    ]
+    out = {
+        r["__id"]: r
+        for r in unigram_frequency_scores(
+            _docs(spark, rows), "doc_id", "text"
+        ).collect()
+    }
+    assert out[1]["n_tokens"] == 29 and out[1]["sum_bits"] == 29 * 4
+    assert out[2]["n_tokens"] == 3 and out[2]["sum_bits"] == 0
+    # corpus total = 32 tokens -> corpus_bits = 5
+    assert out[1]["corpus_bits"] == out[2]["corpus_bits"] == 5
+    # doc 2's mean token is >2^3 rarer than the corpus ceiling (0 < 5-3);
+    # doc 1's is not (4 >= 5-3)
+    assert out[2]["rare_heavy"] and not out[1]["rare_heavy"]
+
+
+def test_cap_per_group_bounds_hot_group(spark):
+    from fn_rq_report_etl_dev_spark.operators.curation import cap_per_group
+
+    rows = [(i, "hot" if i < 90 else "cold", i % 7) for i in range(100)]
+    df = spark.createDataFrame(rows, "id bigint, src string, score int")
+    capped = cap_per_group(
+        df, "src", [F.col("score").desc(), F.col("id")], cap=5
+    )
+    counts = {
+        r["src"]: r["n"]
+        for r in capped.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"hot": 5, "cold": 5}
+    # deterministic winners: highest score, id ascending tiebreak
+    hot_ids = sorted(
+        r["id"] for r in capped.filter(F.col("src") == "hot").collect()
+    )
+    # score = id % 7; max score 6 at ids 6,13,20,27,34 -> cap 5 keeps those
+    assert hot_ids == [6, 13, 20, 27, 34]
+
+
+def test_incremental_lsh_finds_cross_pairs_only(spark):
+    from fn_rq_report_etl_dev_spark.operators.text_dedup import (
+        incremental_lsh_candidates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (7, base),            # new batch (id % 7 == 0)
+        (14, base + " zz"),   # new batch near-dup of 7 — must NOT pair
+        (3, base),            # corpus exact text of 7 — must pair with both
+        (5, "completely different words everywhere nothing shared here"),
+    ]
+    pairs = {
+        (r["id_new"], r["id_old"])
+        for r in incremental_lsh_candidates(
+            _docs(spark, rows), "doc_id", "text",
+            is_new=F.col("doc_id") % 7 == 0,
+        ).collect()
+    }
+    assert (7, 3) in pairs
+    assert all(old == 3 for _, old in pairs)  # 5 shares nothing
+    assert (7, 14) not in pairs and (14, 7) not in pairs  # new×new excluded
+
+
+def test_shuffle_shards_deterministic_partition(spark):
+    from fn_rq_report_etl_dev_spark.operators.curation import shuffle_shards
+
+    df = spark.range(0, 256).withColumnRenamed("id", "doc_id")
+    a = shuffle_shards(df, "doc_id", seed="42", n_shards=16).collect()
+    b = shuffle_shards(df, "doc_id", seed="42", n_shards=16).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    by_shard: dict[int, list] = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= set(range(16)) and len(by_shard) > 8
+    for shard, rs in by_shard.items():
+        # positions are contiguous ranks 1..n within the shard
+        assert sorted(r["pos"] for r in rs) == list(range(1, len(rs) + 1))
+        # shard really is the first md5 nibble of the seeded key
+        for r in rs:
+            assert int(hashlib.md5(f"42|{r['doc_id']}".encode()).hexdigest()[0], 16) == shard
+    # a different seed yields a different permutation
+    c = shuffle_shards(df, "doc_id", seed="43", n_shards=16).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
