@@ -1,0 +1,110 @@
+"""Spark 4 Python DataSource for the trade-in activity API — the
+reference's HTTP JSON source (rqtradein_etl.py:203-227) re-expressed as a
+first-class ``spark.read.format(...)`` source instead of a driver-side
+fetch loop.
+
+Why a DataSource and not a driver fetch (``sources/json_api.py`` keeps
+that form for strict parity): the reference pulls ONE day per run on one
+machine. At scale the backfill shape is "N date windows × M locations",
+which is exactly a partitioned scan — each (date-slice) becomes an
+``InputPartition`` fetched BY AN EXECUTOR, so a 3-year backfill is ~1100
+parallel tasks instead of a sequential driver loop, and Spark's task
+retry/speculation machinery covers transient HTTP failures per-slice
+(the reference's retry loop, O2, becomes the task scheduler's job).
+
+Offline mode: this container has no network, so the source also accepts a
+``landing`` directory of per-day JSON files (``{landing}/{YYYY-MM-DD}.json``)
+— the same dual-mode the tests and any air-gapped replay would use. The
+HTTP path goes through :func:`fetch_json_batch` (same linear-backoff retry
+as the reference) when ``landing`` is unset.
+
+Row semantics match O7/O8 exactly: every row is projected onto the fixed
+44-column VARCHAR contract, absent keys → NULL (rqtradein_etl.py:233-238).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+from datetime import date, timedelta
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from ..schemas import STAGING_SCHEMA, TRADEIN_COLUMNS
+
+FORMAT_NAME = "rq_tradein_api"
+
+
+class DateSlice(InputPartition):
+    def __init__(self, day: str):
+        self.day = day
+
+
+def _project(row: dict) -> tuple:
+    """dict → ordered 44-tuple, absent keys NULL (rqtradein_etl.py:338)."""
+    return tuple(
+        None if row.get(c) is None else str(row.get(c)) for c in TRADEIN_COLUMNS
+    )
+
+
+def _date_range(start: str, stop: str) -> list[str]:
+    d0, d1 = date.fromisoformat(start), date.fromisoformat(stop)
+    if d1 < d0:
+        raise ValueError(f"stop_date {stop} precedes start_date {start}")
+    return [(d0 + timedelta(days=i)).isoformat() for i in range((d1 - d0).days + 1)]
+
+
+class TradeInApiReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.landing = options.get("landing")
+        self.url = options.get("url")
+        if not self.landing and not self.url:
+            raise ValueError("rq_tradein_api requires 'url' or 'landing'")
+        start = options.get("start_date")
+        stop = options.get("stop_date", start)
+        if not start:
+            raise ValueError("rq_tradein_api requires 'start_date'")
+        self.days = _date_range(start, stop)
+        self.params = {
+            k: options[k]
+            for k in ("provider_id", "location_type", "location_type_ids", "company_id")
+            if k in options
+        }
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # One task per day slice — the unit of retry AND of parallelism.
+        return [DateSlice(d) for d in self.days]
+
+    def read(self, partition: DateSlice) -> Iterator[tuple]:
+        day = partition.day
+        if self.landing:
+            path = os.path.join(self.landing, f"{day}.json")
+            if not os.path.exists(path):  # a day with no landed file = no rows
+                return
+            with open(path, encoding="utf-8") as fh:
+                rows = json.load(fh)
+        else:  # pragma: no cover — network path, exercised only in prod
+            from .json_api import fetch_json_batch
+
+            rows = fetch_json_batch(
+                self.url,
+                params={**self.params, "StartDate": day, "StopDate": day},
+            )
+        for row in rows:
+            yield _project(row)
+
+
+class TradeInApiDataSource(DataSource):
+    """``spark.dataSource.register(TradeInApiDataSource)`` then
+    ``spark.read.format("rq_tradein_api").option(...).load()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self):
+        return STAGING_SCHEMA
+
+    def reader(self, schema) -> TradeInApiReader:
+        return TradeInApiReader(self.options)

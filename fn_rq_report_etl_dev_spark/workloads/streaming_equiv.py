@@ -72,15 +72,24 @@ def run_stream_merge(
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         _merge_micro_batch(spark, wh, batch_df)
 
-    query = (
-        spark.readStream.schema(schema)
-        .parquet(landing)
-        .writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    # Micro-batches are deltas — a fraction of the standing table — so the
+    # session-wide (full-batch-sized) shuffle width is pure task overhead
+    # for the per-batch dedup window + merge join. Pin it small for the
+    # stream's lifetime and restore after.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            spark.readStream.schema(schema)
+            .parquet(landing)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     if query.exception() is not None:
         raise query.exception()
 
@@ -166,14 +175,25 @@ def run_stream_window_counts(
             "max_event_id",
         )
     )
-    query = (
-        agg.writeStream.foreachBatch(handle)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    # The stateful window agg creates one state-store instance per shuffle
+    # partition at checkpoint creation; with O(10-100) open windows, 32
+    # stores are pure per-micro-batch overhead (open/commit/snapshot × 32).
+    # Pin the stream's state partitioning small and restore the session
+    # conf after — the choice is baked into the checkpoint, so reruns
+    # against the same checkpoint keep it regardless of session setting.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            agg.writeStream.foreachBatch(handle)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     if query.exception() is not None:
         raise query.exception()
 

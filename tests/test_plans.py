@@ -80,3 +80,43 @@ def test_large_quantity_orders_semi_prunes_before_wide_join(spark, sf_dir):
     # two aggregations shuffle.
     df = QUERIES["large_quantity_orders"](spark, sf_dir)
     assert exchange_count(df) == 2
+
+
+def test_source_cap_uses_window_group_limit(spark, sf_dir):
+    # The per-source cap must compile to WindowGroupLimit (cap-sized heap
+    # per task), not a full per-group sort: that's what bounds hot-domain
+    # cost at O(n log cap).
+    df = QUERIES["curation_source_cap"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert exchange_count(df) == 1  # one hash-partition on source
+
+
+def test_export_shuffle_single_exchange(spark, sf_dir):
+    # Deterministic shuffle export = repartition-by-shard + in-shard rank:
+    # exactly one exchange, no global total-order sort.
+    df = QUERIES["export_shuffle_shards"](spark, sf_dir)
+    assert exchange_count(df) == 1
+    assert "Sort [skey" not in formatted_plan(df).replace("ASC NULLS FIRST", "")
+
+
+def test_incremental_lsh_is_asymmetric_join(spark, sf_dir):
+    # The incremental dedup must join new-side × corpus-side once — never
+    # a self-join of the full banded table (the quadratic old×old leg).
+    df = QUERIES["dedup_incremental_lsh"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count(
+        "ShuffledHashJoin"
+    ) >= 1
+    # both join inputs are filtered by the __is_new side flag before the
+    # band join, so each side scans a disjoint id set
+    assert "__is_new" in plan
+
+
+def test_simhash64_verify_is_integer_bitcount(spark, sf_dir):
+    # The Hamming verify must run on pre-parsed integer slices
+    # (bit_count(xor)), not per-pair substring chains — the candidate set
+    # is quadratic in bucket size, the parse must stay linear in docs.
+    df = QUERIES["dedup_simhash64"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "bit_count" in plan
