@@ -83,3 +83,41 @@ def test_datasource_feeds_pipeline(spark, landing, tmp_path):
     metrics = run_etl(spark, wh, batch)
     assert metrics["inserted"] == 3
     assert wh.read(spark, TARGET_TABLE).count() == 3
+
+
+def test_stream_reader_drains_new_days_exactly_once(spark, landing, tmp_path):
+    """availableNow drain 1 sees days 1-2; a day-3 file lands; drain 2
+    (same checkpoint) emits ONLY day 3 — the engine's offset log replaces
+    the reference's re-scan-and-absorb idempotence."""
+    import json as _json
+
+    spark.dataSource.register(TradeInApiDataSource)
+    checkpoint = str(tmp_path / "ckpt")
+    target = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format(FORMAT_NAME)
+            .option("landing", landing)
+            .option("start_date", "2026-08-01")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", target)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert q.exception() is None
+
+    drain()
+    got = spark.read.parquet(target)
+    assert sorted(r["SaleInvoiceID"] for r in got.collect()) == ["1", "2", "3"]
+
+    (tmp_path / "landing" / "2026-08-03.json").write_text(
+        _json.dumps([{"SaleInvoiceID": "4"}])
+    )
+    drain()
+    got = spark.read.parquet(target)
+    # exactly once: day-1/2 rows not re-emitted, day-3 row present
+    assert sorted(r["SaleInvoiceID"] for r in got.collect()) == ["1", "2", "3", "4"]
