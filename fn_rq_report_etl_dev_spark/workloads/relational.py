@@ -1376,3 +1376,65 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_event_id",
         )
     )
+
+
+@workload(
+    "agg_listagg_sorted",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+               AS priorities,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_listagg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG/string_agg: sorted-distinct CSV per group. collect_set is
+    order-nondeterministic, so determinism comes from sort_array before
+    array_join — the only engine-portable listagg form (matches the
+    oracle's ORDER BY inside the aggregate)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.array_join(
+            F.sort_array(F.collect_set("o_orderpriority")), ","
+        ).alias("priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@workload(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT)
+               AS cents_last_hour
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (value-based) window frame — trailing 1-hour totals per user.
+    Unlike ROWS frames, RANGE bounds are data values: the frame is every
+    event within 3600s of the current one, ties included as peers. The
+    order key is integer microseconds (identical on both engines); the
+    summed measure is integer cents (floor(value*100)) so the running
+    totals are engine-exact regardless of accumulation order."""
+    events = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_last_hour"),
+        F.sum(cents).over(w).cast("bigint").alias("cents_last_hour"),
+    )
