@@ -251,3 +251,51 @@ def test_quality_gate_reasons_iff_not_keep(spark, texts):
         assert r["keep"] is (names == [])
         assert all(n in order for n in names)
         assert names == sorted(names, key=order.index)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 40),
+            st.sampled_from([
+                "alpha beta gamma delta epsilon zeta",
+                "alpha beta gamma delta epsilon eta",
+                "one two three four five six seven",
+                "totally different words in this doc here",
+            ]),
+        ),
+        min_size=2, max_size=12, unique_by=lambda t: t[0],
+    ),
+    mod=st.integers(2, 5),
+)
+def test_incremental_lsh_equals_full_lsh_cross_restriction(spark, docs, mod):
+    """For ANY corpus and ANY new/old split, the asymmetric incremental
+    candidates are EXACTLY the full-corpus LSH candidate pairs restricted
+    to cross-side pairs — the efficiency rewrite loses nothing."""
+    from pyspark.sql import functions as F
+
+    from fn_rq_report_etl_dev_spark.operators.text_dedup import (
+        incremental_lsh_candidates,
+        lsh_candidate_pairs,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    is_new = {i: i % mod == 0 for i, _ in docs}
+
+    inc = {
+        (r["id_new"], r["id_old"])
+        for r in incremental_lsh_candidates(
+            df, "doc_id", "text", is_new=F.col("doc_id") % mod == 0
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(df, "doc_id", "text").collect()
+    }
+    expect = {
+        (a, b) if is_new[a] else (b, a)
+        for a, b in full
+        if is_new[a] != is_new[b]
+    }
+    assert inc == expect
