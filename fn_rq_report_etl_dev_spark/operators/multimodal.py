@@ -3,13 +3,17 @@ payloads with typed metadata, processed by Arrow-batched pandas functions
 via ``mapInPandas``.
 
 The Spark-side plumbing is real and tested — schemas, partitioning, UDF
-signatures, batch iteration. Real codecs are import-gated optional
-dependencies: ``pillow_image_decoder`` (Pillow) and
-``soundfile_audio_decoder`` (soundfile), dispatched by
-``codec_for_mime``; when the libraries are absent (as in this container)
-``decode_fn`` is injectable and the default raises
-``NotImplementedError`` unless ``deterministic_fake=True`` (the test
-path, which derives fake features from the payload bytes).
+signatures, batch iteration — and so is decode for the formats the
+standard library can parse: ``wave_audio_decoder`` (PCM WAV via stdlib
+``wave``) and ``ppm_image_decoder`` (binary PPM/PGM) run REAL decodes in
+any environment, dependency-free, and are exercised end-to-end in tests.
+Formats needing heavy codecs are import-gated optional dependencies:
+``pillow_image_decoder`` (Pillow) and ``soundfile_audio_decoder``
+(soundfile), dispatched by ``codec_for_mime``. ``decode_fn`` stays
+injectable; without one, ``decode_features`` raises
+``NotImplementedError`` unless ``deterministic_fake=True`` (the oracle
+path, which derives fake features from the payload bytes so DuckDB can
+reproduce them).
 
 Scale notes: payloads stay in the executors end-to-end (Arrow batches, no
 driver collect); metadata extraction is a pure column projection
@@ -130,11 +134,114 @@ def soundfile_audio_decoder() -> Callable[[bytes], list[float] | None]:
     return decode
 
 
+def wave_audio_decoder() -> Callable[[bytes], list[float] | None]:
+    """REAL audio decode with zero external dependencies: stdlib ``wave``
+    parses PCM WAV (8/16/32-bit, any channel count) → mono float in
+    [-1, 1] → FEATURE_DIM equal-width amplitude histogram, normalized —
+    the same output contract as the Pillow/soundfile codecs. This is the
+    in-container proof that the decode path is genuinely wired, not a
+    stub: no fake, no import gate."""
+
+    def decode(payload: bytes) -> list[float] | None:
+        import io
+        import wave
+
+        if payload is None:
+            return None
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            width = wf.getsampwidth()
+            n_ch = wf.getnchannels()
+            raw = wf.readframes(wf.getnframes())
+        import array as _array
+
+        if width == 1:  # unsigned 8-bit
+            samples = [(b - 128) / 128.0 for b in raw]
+        elif width == 2:
+            a = _array.array("h")
+            a.frombytes(raw)
+            samples = [s / 32768.0 for s in a]
+        elif width == 4:
+            a = _array.array("i")
+            a.frombytes(raw)
+            samples = [s / 2147483648.0 for s in a]
+        else:
+            raise ValueError(f"unsupported PCM sample width {width}")
+        if n_ch > 1:  # average interleaved channels to mono
+            samples = [
+                sum(samples[i : i + n_ch]) / n_ch
+                for i in range(0, len(samples) - n_ch + 1, n_ch)
+            ]
+        counts = [0] * FEATURE_DIM
+        for s in samples:
+            # clamp then bucket [-1,1] into FEATURE_DIM equal bins
+            b = int((min(max(s, -1.0), 1.0) + 1.0) / 2.0 * FEATURE_DIM)
+            counts[min(b, FEATURE_DIM - 1)] += 1
+        n = len(samples) or 1
+        return [c / n for c in counts]
+
+    return decode
+
+
+def ppm_image_decoder() -> Callable[[bytes], list[float] | None]:
+    """REAL image decode with zero external dependencies: binary PPM (P6,
+    RGB) and PGM (P5, grayscale) header parse + raw raster → Rec.601 luma
+    → FEATURE_DIM luminance histogram, normalized. Same contract as
+    :func:`pillow_image_decoder`."""
+
+    def decode(payload: bytes) -> list[float] | None:
+        if payload is None:
+            return None
+        # header: magic, whitespace/comments, width, height, maxval, 1 ws
+        tokens: list[bytes] = []
+        i = 0
+        while len(tokens) < 4:
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":  # comment to end of line
+                while i < len(payload) and payload[i : i + 1] != b"\n":
+                    i += 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+        i += 1  # single whitespace after maxval
+        magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
+        raster = payload[i:]
+        if magic == b"P6":
+            lum = [
+                (299 * raster[k] + 587 * raster[k + 1] + 114 * raster[k + 2]) / 1000.0
+                for k in range(0, 3 * w * h, 3)
+            ]
+        elif magic == b"P5":
+            lum = [float(raster[k]) for k in range(w * h)]
+        else:
+            raise ValueError(f"not a binary PPM/PGM: magic {magic!r}")
+        counts = [0] * FEATURE_DIM
+        for v in lum:
+            b = int(v / (maxval + 1) * FEATURE_DIM)
+            counts[min(b, FEATURE_DIM - 1)] += 1
+        n = len(lum) or 1
+        return [c / n for c in counts]
+
+    return decode
+
+
 def codec_for_mime(mime: str) -> Callable[[bytes], list[float] | None]:
-    """Dispatch a real codec by MIME class, import-gated: image/* → Pillow,
-    audio/* → soundfile. Raises ImportError when the library is missing and
-    NotImplementedError for MIME classes with no codec wired (video needs a
-    frame sampler — see ``frame_sample_plan`` for the planning half)."""
+    """Dispatch a real codec by MIME type. WAV audio and PPM/PGM images
+    decode with stdlib-only codecs (always available); other image/audio
+    types import-gate Pillow / soundfile. NotImplementedError only for
+    MIME classes with no codec wired (video needs a frame sampler — see
+    ``frame_sample_plan`` for the planning half)."""
+    if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
+        return wave_audio_decoder()
+    if mime in (
+        "image/x-portable-pixmap",
+        "image/x-portable-graymap",
+        "image/x-portable-anymap",
+    ):
+        return ppm_image_decoder()
     if mime.startswith("image/"):
         return pillow_image_decoder()
     if mime.startswith("audio/"):

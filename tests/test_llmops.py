@@ -239,3 +239,60 @@ def test_connected_components_transitive_clusters(spark):
     surv = {r["component"]: (r["survivor_id"], r["n_members"]) for r in
             cluster_survivors(connected_components(nodes, edges)).collect()}
     assert surv == {0: (0, 4), 4: (4, 1), 5: (5, 2)}
+
+
+def test_multimodal_stdlib_wav_decode(spark):
+    """REAL audio decode with no optional deps: stdlib wave PCM parse
+    through the full Arrow mapInPandas path. A constant-zero signal lands
+    entirely in the middle amplitude bucket; a corrupt payload degrades to
+    decode_ok=False without failing the job."""
+    import io
+    import struct
+    import wave as wave_mod
+
+    from fn_rq_report_etl_dev_spark.operators.multimodal import codec_for_mime
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        # 100 stereo frames of silence + 10 of full-scale positive
+        wf.writeframes(struct.pack("<200h", *([0] * 200)))
+        wf.writeframes(struct.pack("<20h", *([32000] * 20)))
+    rows = [(1, bytearray(buf.getvalue())), (2, bytearray(b"RIFFgarbage"))]
+    df = spark.createDataFrame(rows, "asset_id long, raw binary")
+    assets = to_asset_table(df, "asset_id", "raw", "audio/wav")
+    out = {r["asset_id"]: r for r in
+           decode_features(assets, decode_fn=codec_for_mime("audio/wav")).collect()}
+    f = out[1]["features"]
+    assert out[1]["decode_ok"] is True and len(f) == FEATURE_DIM
+    assert abs(sum(f) - 1.0) < 1e-6
+    assert f[FEATURE_DIM // 2] > 0.85          # silence bucket dominates
+    assert f[FEATURE_DIM - 1] > 0.0            # loud tail present
+    assert out[2]["decode_ok"] is False and out[2]["features"] is None
+
+
+def test_multimodal_stdlib_ppm_decode(spark):
+    """REAL image decode with no optional deps: binary P6 PPM parse. A
+    half-black/half-white image splits its luminance histogram between the
+    darkest and brightest buckets exactly."""
+    from fn_rq_report_etl_dev_spark.operators.multimodal import codec_for_mime
+
+    w, h = 4, 2
+    raster = bytes([0, 0, 0] * 4 + [255, 255, 255] * 4)
+    ppm = b"P6\n# comment\n4 2\n255\n" + raster
+    pgm = b"P5\n2 2\n255\n" + bytes([0, 128, 128, 255])
+    rows = [(1, bytearray(ppm))]
+    df = spark.createDataFrame(rows, "asset_id long, raw binary")
+    assets = to_asset_table(df, "asset_id", "raw", "image/x-portable-pixmap")
+    out = decode_features(
+        assets, decode_fn=codec_for_mime("image/x-portable-pixmap")
+    ).collect()[0]
+    f = out["features"]
+    assert out["decode_ok"] is True
+    assert f[0] == 0.5 and f[FEATURE_DIM - 1] == 0.5
+    assert sum(f) == 1.0
+    # PGM grayscale path, direct decode
+    g = codec_for_mime("image/x-portable-graymap")(pgm)
+    assert sum(g) == 1.0 and g[0] == 0.25 and g[FEATURE_DIM - 1] == 0.25
