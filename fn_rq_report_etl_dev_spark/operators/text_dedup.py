@@ -398,20 +398,6 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select(F.col("__id"), bits.alias("simhash64"))
 
 
-def _hamming64(a: Column, b: Column) -> Column:
-    """Exact Hamming distance between two 64-char bit-strings: 64 codegen'd
-    substring comparisons (no interpreted HOF, no engine-private bit ops —
-    the DuckDB oracle mirrors the same expression)."""
-    terms = [
-        (F.substring(a, j + 1, 1) != F.substring(b, j + 1, 1)).cast("int")
-        for j in range(64)
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
-
-
 def simhash64_near_pairs(
     df: DataFrame,
     id_col: str,

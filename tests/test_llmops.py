@@ -296,3 +296,33 @@ def test_multimodal_stdlib_ppm_decode(spark):
     # PGM grayscale path, direct decode
     g = codec_for_mime("image/x-portable-graymap")(pgm)
     assert sum(g) == 1.0 and g[0] == 0.25 and g[FEATURE_DIM - 1] == 0.25
+
+
+def test_udtf_sql_registration_lateral_join(spark):
+    """UDTFs are SQL-surface citizens too: register the table function and
+    call it from SQL with a correlated LATERAL join — the form a SQL-only
+    consumer of the engine would use."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx int, word string")
+    class WordSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, w in enumerate(text.split()):
+                yield i, w
+
+    spark.udtf.register("word_split_sql", WordSplit)
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "doc_id long, text string"
+    ).createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        """
+        SELECT d.doc_id, s.idx, s.word
+        FROM udtf_docs d, LATERAL word_split_sql(d.text) s
+        ORDER BY d.doc_id, s.idx
+        """
+    ).collect()
+    assert [(r["doc_id"], r["idx"], r["word"]) for r in rows] == [
+        (1, 0, "alpha"), (1, 1, "beta"), (2, 0, "gamma"),
+    ]
