@@ -188,19 +188,31 @@ def unigram_frequency_scores(
     required; the ranking this proxy induces is the same Zipf-tail
     ordering at ~1/ln2 resolution).
 
-    Scale shape: tokenize (narrow) → groupBy(word) frequency (1 shuffle,
-    map-side partial) → token×frequency equi-join on word (shuffle keyed
-    by word; Zipf head words are AQE-splittable skew) → groupBy(doc)
-    (1 shuffle, partial agg). The corpus-total row is a broadcast scalar.
+    Scale shape: tokenize (narrow) → per-(doc, word) counts FIRST — the
+    (doc, word) key has no hot values, and map-side partial aggregation
+    collapses each doc's repeats before any shuffle. The word-frequency
+    table and the scoring join then operate on distinct (doc, word) rows:
+    for a Zipf-head word like 'the' (~7% of ALL tokens at corpus scale)
+    the join ships one row per DOCUMENT instead of one per OCCURRENCE —
+    the difference between a reducer receiving ~7% of the corpus and
+    receiving ~1 row per doc. Occurrence weighting is recovered exactly
+    as sum(k_w · bits_w). The corpus-total row is a broadcast scalar.
     """
-    toks = _tokens(df, id_col, text_col).persist()
-    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
-    bits = (F.length(F.bin(F.col("c"))) - 1).alias("bits")
-    scored = toks.join(freq, "w").select("__id", bits)
+    doc_word = (
+        _tokens(df, id_col, text_col)
+        .groupBy("__id", "w")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .persist()
+    )
+    freq = doc_word.groupBy("w").agg(F.sum("k").alias("c"))
+    total = doc_word.agg(F.sum("k").alias("n_total"))
+    bits = F.length(F.bin(F.col("c"))) - 1
+    scored = doc_word.join(freq, "w").select(
+        "__id", "k", (F.col("k") * bits).alias("kbits")
+    )
     per_doc = scored.groupBy("__id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum("bits").alias("sum_bits"),
+        F.sum("k").alias("n_tokens"),
+        F.sum("kbits").alias("sum_bits"),
     )
     corpus_bits = F.length(F.bin(F.col("n_total"))) - 1
     return (
