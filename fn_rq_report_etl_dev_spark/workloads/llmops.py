@@ -846,8 +846,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus curation."""
     docs = load(spark, sf_dir, "documents")
     w_df = docs.select("doc_id", F.explode(TXT.words(F.col("text"))).alias("w"))
-    tf = w_df.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = w_df.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    # tf rows are already distinct (doc, word), so document frequency is a
+    # plain count over tf — no second explode/shuffle of the raw token
+    # stream and no two-phase countDistinct; the (doc, word) pre-aggregate
+    # also combines map-side with no hot keys (same shape as
+    # operators/curation.unigram_frequency_scores).
+    tf = w_df.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf")).persist()
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(dfreq, "w")
