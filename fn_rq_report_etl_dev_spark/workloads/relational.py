@@ -1438,3 +1438,64 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_last_hour"),
         F.sum(cents).over(w).cast("bigint").alias("cents_last_hour"),
     )
+
+
+# The recursive min-label closure: IDENTICAL SQL text runs on both engines
+# (the one dialect-neutral recursion in the suite). Edges form a chain —
+# each doc points at the NEXT larger id in its exact-duplicate group — so
+# the recursion is acyclic (UNION ALL-safe in both engines) and label
+# propagation walks real multi-step paths, unlike a clique where one hop
+# would suffice.
+_RECURSIVE_COMPONENTS_SQL = """
+WITH RECURSIVE g AS (
+    SELECT doc_id, md5(text) AS h FROM documents
+),
+edges AS (
+    SELECT a.doc_id AS src, min(b.doc_id) AS dst
+    FROM g a JOIN g b ON a.h = b.h AND b.doc_id > a.doc_id
+    GROUP BY a.doc_id
+),
+r(node, reach) AS (
+    SELECT doc_id, doc_id FROM g
+    UNION ALL
+    SELECT e.dst, r.reach FROM r JOIN edges e ON r.node = e.src
+)
+SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS component
+FROM r GROUP BY node
+"""
+
+
+@workload("sql_recursive_components", oracle=_RECURSIVE_COMPONENTS_SQL)
+def sql_recursive_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): exact-dup components via chain-edge label
+    propagation — the SAME SQL text executes on Spark and DuckDB. The
+    DataFrame-API equivalent for unbounded-diameter graphs at scale is
+    ``operators/graph.connected_components`` (checkpointed iteration);
+    this is the SQL-surface form for bounded recursion."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_RECURSIVE_COMPONENTS_SQL)
+
+
+@workload(
+    "json_variant_extract",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT)
+               AS absent_val
+    FROM events
+    """,
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT (Spark 4): parse the JSON column once into the binary
+    variant encoding, then typed-path extraction — the modern form of
+    get_json_object that avoids re-parsing per extracted field and keeps
+    shredded access O(paths), not O(document). Missing paths yield NULL
+    (lenient, matching the engine's cast policy)."""
+    events = load(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return events.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k_val"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("absent_val"),
+    )
