@@ -286,3 +286,59 @@ def shuffle_shards(
     sharded = keyed.withColumn("shard", (nibble % n_shards).cast("int"))
     w = Window.partitionBy("shard").orderBy("skey", id_col)
     return sharded.withColumn("pos", F.row_number().over(w).cast("bigint"))
+
+
+def temperature_allocation(
+    df: DataFrame,
+    group_col: str,
+    total_budget: int,
+    id_col: str,
+    seed: str = "42",
+) -> DataFrame:
+    """Temperature-resampled group allocation (multilingual mixing à la
+    UniMax / T=2 sampling): each group's share of ``total_budget`` is
+    proportional to sqrt(group_size) — up-weighting tail languages
+    relative to head ones — and the allocated rows per group are taken in
+    seeded md5-hash order (reproducible across runs and engines).
+
+    Engine-exact arithmetic: sqrt is IEEE correctly-rounded (identical in
+    every engine), so ``floor(sqrt(c) * 1000)`` is a deterministic integer
+    weight; allocations use integer multiply-divide only. Scale shape:
+    group sizes are one partial-aggregated groupBy (tiny result,
+    broadcast); per-group selection is one WindowGroupLimit-style
+    row_number cut over the hash order — no global sort, no collect.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__c"))
+    w = F.floor(F.sqrt(F.col("__c")) * 1000).cast("bigint")
+    weights = counts.select(group_col, "__c", w.alias("__w"))
+    tot = weights.agg(F.sum("__w").alias("__tw"))
+    alloc = (
+        weights.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            "__c",
+            # integer division (div), NOT double-divide-then-cast: Spark's
+            # double→bigint cast truncates while other engines round, and
+            # a last-ulp double difference could move a floor boundary —
+            # integer ops are identical everywhere.
+            F.expr(f"(__w * {int(total_budget)}) div __tw").alias("__alloc"),
+        )
+    )
+    skey = F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string")))
+    ranked = df.join(F.broadcast(alloc), group_col).withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy(group_col).orderBy(skey, F.col(id_col))
+        ),
+    )
+    return (
+        ranked.filter(F.col("__rk") <= F.col("__alloc"))
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col("__c").alias("group_size"),
+            F.col("__alloc").alias("group_alloc"),
+        )
+    )

@@ -21,6 +21,7 @@ from ..operators.curation import (
     quality_gate,
     repetition_scores,
     shuffle_shards,
+    temperature_allocation,
     unigram_frequency_scores,
 )
 from ..operators.text_dedup import incremental_lsh_candidates
@@ -292,3 +293,39 @@ def export_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     (repartition + sortWithinPartitions at scale, no total-order sort)."""
     docs = load(spark, sf_dir, "documents")
     return shuffle_shards(docs, "doc_id", seed="42", n_shards=16)
+
+
+@workload(
+    "sample_temperature_lang",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, count(*) AS c,
+               CAST(floor(sqrt(count(*)) * 1000) AS BIGINT) AS w
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(w) AS tw FROM counts),
+    alloc AS (
+        SELECT lang, c, CAST((w * 100) // tw AS BIGINT) AS a
+        FROM counts, tot
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.lang, a.c, a.a,
+               row_number() OVER (
+                   PARTITION BY d.lang
+                   ORDER BY md5('42|' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+               ) AS rk
+        FROM documents d JOIN alloc a USING (lang)
+    )
+    SELECT doc_id, lang, c AS group_size, a AS group_alloc
+    FROM ranked WHERE rk <= a
+    """,
+)
+def sample_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-resampled multilingual mix: a 100-doc budget allocated
+    per language ∝ sqrt(language size) — tail languages up-weighted vs
+    proportional sampling — with seeded-hash row selection. Integer-exact
+    end to end (sqrt is correctly-rounded IEEE in both engines)."""
+    docs = load(spark, sf_dir, "documents")
+    return temperature_allocation(
+        docs, "lang", total_budget=100, id_col="doc_id", seed="42"
+    )

@@ -1499,3 +1499,31 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.k", "bigint").alias("k_val"),
         F.try_variant_get(v, "$.missing", "bigint").alias("absent_val"),
     )
+
+
+@workload(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4): the |> operator chain compiles to the
+    IDENTICAL logical plan as the standard GROUP BY form the oracle uses —
+    surface sugar, same Catalyst plan, same pushdown."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |> AGGREGATE count(*) AS n_rows,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                         AS sum_qty
+           GROUP BY l_returnflag, l_linestatus
+        """
+    )
