@@ -44,3 +44,34 @@ def test_output_dtypes_align(name, spark, sf_dir, duck):
         if (s, d) not in EQUIV:
             mismatches.append((col, s, d))
     assert not mismatches, f"{name}: {mismatches}"
+
+
+def test_registry_rotation_prioritizes_unverified():
+    """Dict order = recheck, then never-green-in-any-driver-report, then
+    settled-green — so a 50-entry driver cap always lands on the queries
+    that still need a verdict. Derived from the CORRECTNESS_r*.json files
+    at import time (no per-round list maintenance)."""
+    import json
+
+    from fn_rq_report_etl_dev_spark.workloads import _RECHECK, QUERIES
+
+    names = list(QUERIES)
+    assert len(names) == len(set(names))
+    r01 = json.load(open("CORRECTNESS_r01.json"))
+    green = {
+        k
+        for k, v in r01.items()
+        if v.get("hash_match") is True or v.get("err") == "no_oracle"
+    }
+    # recheck first, in order
+    assert names[: len(_RECHECK)] == [n for n in _RECHECK if n in QUERIES]
+    # red cells (reported but not green) are NOT settled: o17 was red in r01
+    assert "o17_lenient_cast" in names[:2]
+    # every settled-green query sorts after every fresh query
+    settled_pos = [names.index(n) for n in green if n in QUERIES and n not in _RECHECK]
+    fresh_pos = [
+        names.index(n)
+        for n in names
+        if n not in green and n not in _RECHECK
+    ]
+    assert min(settled_pos) > max(fresh_pos)
