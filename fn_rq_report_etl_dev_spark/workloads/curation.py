@@ -329,3 +329,105 @@ def sample_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_allocation(
         docs, "lang", total_budget=100, id_col="doc_id", seed="42"
     )
+
+
+@workload(
+    "corpus_prep_pipeline",
+    oracle=r"""
+    WITH c AS (
+        SELECT doc_id, lang,
+               trim(regexp_replace(
+                   replace(replace(replace(replace(replace(replace(
+                       regexp_replace(text, '<[^>]+>', ' ', 'g'),
+                       '’', ''''), '‘', ''''), '“', '"'), '”', '"'),
+                       '—', '-'), '–', '-'),
+                   '\s+', ' ', 'g')) AS text_clean
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(lower(text_clean)), '\s+'))
+                   AS BIGINT) AS n_words,
+               length(regexp_replace(text_clean, '\s', '', 'g')) AS nonspace,
+               length(regexp_replace(text_clean, '[^A-Za-z]', '', 'g'))
+                   AS alpha_chars,
+               length(text_clean) AS n_chars,
+               CAST(len(regexp_extract_all(lower(text_clean),
+                   '\b(the|and|of|to|in|is|for|with|on|that)\b')) AS BIGINT)
+                   AS stop_hits
+        FROM c
+    ),
+    kept AS (
+        SELECT c.doc_id, c.lang, c.text_clean
+        FROM c JOIN m USING (doc_id)
+        WHERE NOT (m.n_words < 5 OR m.n_words > 5000)
+          AND NOT (round(m.nonspace * 1.0 / m.n_words, 6) < 2.0
+                   OR round(m.nonspace * 1.0 / m.n_words, 6) > 12.0)
+          AND NOT (m.alpha_chars * 1.0 / m.n_chars < 0.55)
+          AND NOT (m.stop_hits < 2)
+    ),
+    survivors AS (
+        SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text_clean)
+    ),
+    sdocs AS (
+        SELECT k.doc_id, k.lang FROM kept k JOIN survivors s USING (doc_id)
+    ),
+    counts AS (
+        SELECT lang, count(*) AS c,
+               CAST(floor(sqrt(count(*)) * 1000) AS BIGINT) AS w
+        FROM sdocs GROUP BY lang
+    ),
+    tot AS (SELECT sum(w) AS tw FROM counts),
+    alloc AS (
+        SELECT lang, CAST((w * 100) // tw AS BIGINT) AS a FROM counts, tot
+    ),
+    picked AS (
+        SELECT doc_id, lang, a FROM (
+            SELECT d.doc_id, d.lang, a.a,
+                   row_number() OVER (
+                       PARTITION BY d.lang
+                       ORDER BY md5('42|' || CAST(d.doc_id AS VARCHAR)),
+                                d.doc_id
+                   ) AS rk
+            FROM sdocs d JOIN alloc a USING (lang)
+        ) WHERE rk <= a
+    ),
+    keyed AS (
+        SELECT doc_id, lang,
+               md5('42|' || CAST(doc_id AS VARCHAR)) AS skey
+        FROM picked
+    )
+    SELECT doc_id, lang,
+           CAST((strpos('0123456789abcdef', substr(skey, 1, 1)) - 1) % 16
+                AS INTEGER) AS shard,
+           row_number() OVER (
+               PARTITION BY (strpos('0123456789abcdef', substr(skey, 1, 1)) - 1) % 16
+               ORDER BY skey, doc_id
+           ) AS pos
+    FROM keyed
+    """,
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-prep flow as ONE declarative plan — normalize →
+    quality gate (over the CLEANED text) → exact dedup (min-id survivor
+    per content digest) → temperature-resampled language mix (budget
+    100) → deterministic shard/position export. Every stage is an
+    operator proven green on its own oracle; this entry proves the
+    COMPOSITION: one Catalyst plan end to end, no materialization
+    boundaries, the shape a production training-data pipeline submits."""
+    docs = load(spark, sf_dir, "documents")
+    norm = normalize_text(docs, "doc_id", "text").select("doc_id", "text_clean")
+    norm = norm.join(docs.select("doc_id", "lang"), "doc_id")
+    gate = quality_gate(norm, "doc_id", "text_clean").select("doc_id", "keep")
+    kept = norm.join(gate, "doc_id").filter(F.col("keep"))
+    survivors = (
+        kept.groupBy(F.md5("text_clean")).agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    sdocs = kept.select("doc_id", "lang").join(survivors, "doc_id")
+    picked = temperature_allocation(
+        sdocs, "lang", total_budget=100, id_col="doc_id", seed="42"
+    ).select("doc_id", "lang")
+    return shuffle_shards(picked, "doc_id", seed="42", n_shards=16).join(
+        picked, "doc_id"
+    ).select("doc_id", "lang", "shard", "pos")
