@@ -363,3 +363,37 @@ def test_shuffle_shards_deterministic_partition(spark):
     # a different seed yields a different permutation
     c = shuffle_shards(df, "doc_id", seed="43", n_shards=16).collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_temperature_allocation_invariants(spark):
+    from fn_rq_report_etl_dev_spark.operators.curation import (
+        temperature_allocation,
+    )
+
+    # head lang 160 docs, mid 40, tail 10: sqrt weighting gives the tail
+    # a larger share than proportional allocation would
+    rows = (
+        [(i, "en") for i in range(160)]
+        + [(1000 + i, "de") for i in range(40)]
+        + [(2000 + i, "yo") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = temperature_allocation(df, "lang", total_budget=100, id_col="doc_id")
+    got = out.groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in got}
+    allocs = {
+        r["lang"]: r["group_alloc"] for r in out.select("lang", "group_alloc").distinct().collect()
+    }
+    # every group fills min(its allocation, its population) — sqrt
+    # up-weighting can allocate a tiny tail more than it has
+    sizes = {"en": 160, "de": 40, "yo": 10}
+    assert counts == {k: min(v, sizes[k]) for k, v in allocs.items()}
+    # total within budget (floor rounding may undershoot, never overshoot)
+    assert sum(allocs.values()) <= 100
+    # sqrt temperature: tail share > proportional share (10/210 ≈ 4.8%)
+    assert counts["yo"] / sum(counts.values()) > 10 / 210
+    # proportional head share shrinks under sqrt weighting
+    assert counts["en"] / sum(counts.values()) < 160 / 210
+    # deterministic: same seed, same selection
+    again = temperature_allocation(df, "lang", total_budget=100, id_col="doc_id")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
