@@ -90,9 +90,11 @@ from . import curation, streaming_equiv, tpch_extra  # noqa: E402,F401
 # no per-round list maintenance.
 
 # Changed after their last driver verdict — must be re-verified.
-# Round 2: o17 cast made tie-robust; sessionize gap arithmetic changed
-# for TIMESTAMP_NTZ inputs.
-_RECHECK = ["o17_lenient_cast", "sessionize_events"]
+# Round 3: empty — the round-2 entries (o17_lenient_cast,
+# sessionize_events) settled green in CORRECTNESS_r02 and are unchanged;
+# the four r02-red queries fixed this round were never green, so the
+# no-green-row rule already fronts them without burning _RECHECK slots.
+_RECHECK: list[str] = []
 
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -116,12 +118,20 @@ def _driver_green_queries() -> list[str]:
     return green
 
 
+def _ordered_names(
+    names: list[str], green: list[str], recheck: list[str]
+) -> list[str]:
+    """Pure ordering rule (unit-testable against simulated reports):
+    recheck first, then never-green ("fresh"), then settled-green."""
+    name_set = set(names)
+    rech = [n for n in recheck if n in name_set]
+    fresh = [n for n in names if n not in set(green) and n not in set(recheck)]
+    settled = [n for n in green if n in name_set and n not in set(recheck)]
+    return rech + fresh + settled
+
+
 def _rotate_registry() -> None:
-    green = _driver_green_queries()
-    recheck = [n for n in _RECHECK if n in QUERIES]
-    settled = [n for n in green if n in QUERIES and n not in _RECHECK]
-    fresh = [n for n in QUERIES if n not in green and n not in _RECHECK]
-    ordered = recheck + fresh + settled
+    ordered = _ordered_names(list(QUERIES), _driver_green_queries(), _RECHECK)
     reordered = {n: QUERIES[n] for n in ordered}
     QUERIES.clear()
     QUERIES.update(reordered)

@@ -626,9 +626,23 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx: mergeable quantile sketch per order status."""
     orders = load(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        F.percentile_approx("o_totalprice", [0.5, 0.95], 10_000).alias("p50_p95"),
-        F.count(F.lit(1)).alias("n"),
+    # Driver-safe output: the sketch returns array<double>, which the
+    # driver's pandas canonicalizer cannot hash — split into two scalar
+    # columns (VERDICT r02 item 3).
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx(
+                "o_totalprice", [0.5, 0.95], 10_000
+            ).alias("p50_p95"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "o_orderstatus",
+            F.element_at("p50_p95", 1).alias("p50"),
+            F.element_at("p50_p95", 2).alias("p95"),
+            "n",
+        )
     )
 
 
@@ -899,7 +913,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM nation n,
     LATERAL (
         SELECT count(*) AS n_cust,
-               max(CAST(c_acctbal AS DECIMAL(18,2))) AS max_bal,
+               CAST(max(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal,
                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         FROM customer c
         WHERE c.c_nationkey = n.n_nationkey
@@ -919,7 +933,7 @@ def lateral_nation_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         FROM nation_lat_v n,
         LATERAL (
             SELECT count(*) AS n_cust,
-                   max(CAST(c_acctbal AS DECIMAL(18,2))) AS max_bal,
+                   CAST(max(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal,
                    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
             FROM customer_lat_v c
             WHERE c.c_nationkey = n.n_nationkey
@@ -935,12 +949,15 @@ def lateral_nation_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame
                list_sort(list(CAST(l_quantity AS INT))) AS qtys
         FROM lineitem GROUP BY l_orderkey
     )
-    SELECT orderkey, qtys,
+    SELECT orderkey,
+           array_to_string(qtys, ',') AS qtys_csv,
            CAST(len(qtys) AS BIGINT) AS n_items,
-           list_transform(qtys, x -> CAST(x * 2 AS INT)) AS doubled,
-           list_filter(qtys, x -> x > 25) AS big_qtys,
+           array_to_string(list_transform(qtys, x -> CAST(x * 2 AS INT)), ',')
+               AS doubled_csv,
+           coalesce(array_to_string(list_filter(qtys, x -> x > 25), ','), '')
+               AS big_qtys_csv,
            CAST(list_sum(qtys) AS BIGINT) AS sum_qty,
-           qtys[1:3] AS first3,
+           array_to_string(qtys[1:3], ',') AS first3_csv,
            list_contains(qtys, 50) AS has_50
     FROM arr
     """,
@@ -949,19 +966,25 @@ def array_hof_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array construction + higher-order functions: collect per-order
     quantities (sort_array normalizes the collect_list order), then
     transform / filter / aggregate / slice / contains — all JVM-side
-    expression work on integer arrays."""
+    expression work on integer arrays. Output serializes the array columns
+    to CSV strings (array_join / array_to_string) so the driver's pandas
+    canonicalizer can hash the rows (VERDICT r02 item 1); the HOF work
+    itself still runs on real array<int> values."""
     li = load(spark, sf_dir, "lineitem")
     arr = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_list(F.col("l_quantity").cast("int"))).alias("qtys")
     )
+    csv = lambda expr: F.expr(  # noqa: E731 — array<int> → '1,2,3'
+        f"array_join(transform({expr}, x -> CAST(x AS STRING)), ',')"
+    )
     return arr.select(
         F.col("l_orderkey").alias("orderkey"),
-        "qtys",
+        csv("qtys").alias("qtys_csv"),
         F.size("qtys").cast("bigint").alias("n_items"),
-        F.expr("transform(qtys, x -> CAST(x * 2 AS INT))").alias("doubled"),
-        F.expr("filter(qtys, x -> x > 25)").alias("big_qtys"),
+        csv("transform(qtys, x -> CAST(x * 2 AS INT))").alias("doubled_csv"),
+        csv("filter(qtys, x -> x > 25)").alias("big_qtys_csv"),
         F.expr("CAST(aggregate(qtys, 0L, (a, x) -> a + x) AS BIGINT)").alias("sum_qty"),
-        F.slice(F.col("qtys"), 1, 3).alias("first3"),
+        csv("slice(qtys, 1, 3)").alias("first3_csv"),
         F.array_contains("qtys", F.lit(50)).alias("has_50"),
     )
 
@@ -1248,8 +1271,9 @@ def udaf_weighted_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN ok IS NOT NULL AND nk IS NULL THEN 'delete'
                 WHEN ok IS NULL AND nk IS NOT NULL THEN 'insert'
                 WHEN len(diffs) > 0 THEN 'update' END AS cdc_action,
-           CASE WHEN ok IS NOT NULL AND nk IS NOT NULL THEN diffs
-                ELSE CAST([] AS VARCHAR[]) END AS changed_columns,
+           coalesce(array_to_string(
+               CASE WHEN ok IS NOT NULL AND nk IS NOT NULL THEN diffs
+                    ELSE CAST([] AS VARCHAR[]) END, ','), '') AS changed_columns,
            nv_p AS new_o_totalprice, nv_r AS new_o_orderpriority
     FROM d
     WHERE (ok IS NOT NULL AND nk IS NULL)
@@ -1262,7 +1286,10 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     changelog with per-row changed-column lists (operators/cdc.py — the
     inverse of the reference's keyed MERGE apply). Synthetic snapshots:
     old drops every 10th order, new drops every 7th, bumps price on %3
-    and priority on %5. One full-outer join on the key."""
+    and priority on %5. One full-outer join on the key. The operator API
+    keeps changed_columns as array<string>; only this registered query's
+    output flattens it to a CSV string so the driver can hash the rows
+    (VERDICT r02 item 2)."""
     from ..operators.cdc import snapshot_diff
 
     orders = load(spark, sf_dir, "orders")
@@ -1277,8 +1304,11 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderkey") % 5 == 0, F.lit("X-CHANGED"))
         .otherwise(F.col("o_orderpriority")).alias("o_orderpriority"),
     )
-    return snapshot_diff(
+    diff = snapshot_diff(
         old, new, ["o_orderkey"], ["o_totalprice", "o_orderpriority"]
+    )
+    return diff.withColumn(
+        "changed_columns", F.array_join("changed_columns", ",")
     )
 
 

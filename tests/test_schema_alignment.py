@@ -49,29 +49,71 @@ def test_output_dtypes_align(name, spark, sf_dir, duck):
 def test_registry_rotation_prioritizes_unverified():
     """Dict order = recheck, then never-green-in-any-driver-report, then
     settled-green — so a 50-entry driver cap always lands on the queries
-    that still need a verdict. Derived from the CORRECTNESS_r*.json files
-    at import time (no per-round list maintenance)."""
-    import json
-
-    from fn_rq_report_etl_dev_spark.workloads import _RECHECK, QUERIES
+    that still need a verdict. The expected green set is derived the SAME
+    way the rotation derives it (_driver_green_queries globs every
+    CORRECTNESS_r*.json), so this test stays correct as new rounds land
+    their reports."""
+    from fn_rq_report_etl_dev_spark.workloads import (
+        _RECHECK,
+        QUERIES,
+        _driver_green_queries,
+    )
 
     names = list(QUERIES)
     assert len(names) == len(set(names))
-    r01 = json.load(open("CORRECTNESS_r01.json"))
-    green = {
-        k
-        for k, v in r01.items()
-        if v.get("hash_match") is True or v.get("err") == "no_oracle"
-    }
+    green = set(_driver_green_queries())
     # recheck first, in order
     assert names[: len(_RECHECK)] == [n for n in _RECHECK if n in QUERIES]
-    # red cells (reported but not green) are NOT settled: o17 was red in r01
-    assert "o17_lenient_cast" in names[:2]
     # every settled-green query sorts after every fresh query
-    settled_pos = [names.index(n) for n in green if n in QUERIES and n not in _RECHECK]
-    fresh_pos = [
-        names.index(n)
-        for n in names
-        if n not in green and n not in _RECHECK
+    settled_pos = [
+        names.index(n) for n in green if n in QUERIES and n not in _RECHECK
     ]
-    assert min(settled_pos) > max(fresh_pos)
+    fresh_pos = [
+        names.index(n) for n in names if n not in green and n not in _RECHECK
+    ]
+    if settled_pos and fresh_pos:
+        assert min(settled_pos) > max(fresh_pos)
+
+
+def test_rotation_fronts_unverified_tpch_under_simulated_r03():
+    """Simulate the round-3 state: greens = every green row in the
+    committed r01+r02 reports. The 11 TPC-H entries with no verdict yet
+    plus the 4 r02-red (now fixed) queries must ALL land inside the
+    driver's 50-slot window."""
+    from fn_rq_report_etl_dev_spark.workloads import (
+        QUERIES,
+        _driver_green_queries,
+        _ordered_names,
+    )
+
+    ordered = _ordered_names(
+        sorted(QUERIES), _driver_green_queries(), recheck=[]
+    )
+    window = set(ordered[:50])
+    must_verify = {
+        "q8_market_share", "q9_product_profit", "q10_returned_items",
+        "q12_late_shipment_priority", "q14_promo_revenue",
+        "q15_top_supplier", "q16_part_supplier_counts",
+        "q17_small_quantity_revenue", "q19_disjunctive_revenue",
+        "q21_waiting_suppliers", "q22_dormant_customers",
+        "approx_quantiles_price", "array_hof_showcase",
+        "cdc_snapshot_diff", "lateral_nation_customer_stats",
+    }
+    missing = must_verify - window
+    assert not missing, f"outside the 50-slot driver window: {missing}"
+
+
+def test_no_driver_unhashable_output_types(spark, sf_dir):
+    """Schema lint (VERDICT r02): the driver canonicalizes results with
+    pandas sort_values + hash, which crashes on array/map/struct cells and
+    hash-diverges on Decimal vs DuckDB's float. No registered query may
+    expose such a column — operators can use complex types internally, but
+    registered outputs must flatten (to_json / array_join / element_at)
+    and cast money to DOUBLE."""
+    offenders = []
+    for name, fn in QUERIES.items():
+        for f in fn(spark, sf_dir).schema.fields:
+            s = f.dataType.simpleString()
+            if s.startswith(("array", "map", "struct", "decimal")):
+                offenders.append((name, f.name, s))
+    assert not offenders, f"driver-unhashable output columns: {offenders}"
