@@ -136,15 +136,22 @@ def soundfile_audio_decoder() -> Callable[[bytes], list[float] | None]:
 
 def wave_audio_decoder() -> Callable[[bytes], list[float] | None]:
     """REAL audio decode with zero external dependencies: stdlib ``wave``
-    parses PCM WAV (8/16/32-bit, any channel count) → mono float in
+    parses PCM WAV (8/16/24/32-bit, any channel count) → mono float in
     [-1, 1] → FEATURE_DIM equal-width amplitude histogram, normalized —
     the same output contract as the Pillow/soundfile codecs. This is the
     in-container proof that the decode path is genuinely wired, not a
-    stub: no fake, no import gate."""
+    stub: no fake, no import gate.
+
+    The inner loops are numpy-vectorized (``np.frombuffer`` with explicit
+    little-endian dtypes — WAV PCM is little-endian regardless of host
+    byte order — and ``np.bincount`` for the histogram); the only
+    per-element Python is the header parse."""
 
     def decode(payload: bytes) -> list[float] | None:
         import io
         import wave
+
+        import numpy as np
 
         if payload is None:
             return None
@@ -152,32 +159,34 @@ def wave_audio_decoder() -> Callable[[bytes], list[float] | None]:
             width = wf.getsampwidth()
             n_ch = wf.getnchannels()
             raw = wf.readframes(wf.getnframes())
-        import array as _array
-
         if width == 1:  # unsigned 8-bit
-            samples = [(b - 128) / 128.0 for b in raw]
+            samples = (
+                np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+            ) / 128.0
         elif width == 2:
-            a = _array.array("h")
-            a.frombytes(raw)
-            samples = [s / 32768.0 for s in a]
+            samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        elif width == 3:  # packed signed 24-bit little-endian
+            b = np.frombuffer(raw, dtype=np.uint8)
+            b = b[: (b.size // 3) * 3].reshape(-1, 3).astype(np.int64)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            v -= (v & 0x800000) << 1  # sign-extend bit 23
+            samples = v.astype(np.float64) / 8388608.0
         elif width == 4:
-            a = _array.array("i")
-            a.frombytes(raw)
-            samples = [s / 2147483648.0 for s in a]
+            samples = (
+                np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+            )
         else:
             raise ValueError(f"unsupported PCM sample width {width}")
         if n_ch > 1:  # average interleaved channels to mono
-            samples = [
-                sum(samples[i : i + n_ch]) / n_ch
-                for i in range(0, len(samples) - n_ch + 1, n_ch)
-            ]
-        counts = [0] * FEATURE_DIM
-        for s in samples:
-            # clamp then bucket [-1,1] into FEATURE_DIM equal bins
-            b = int((min(max(s, -1.0), 1.0) + 1.0) / 2.0 * FEATURE_DIM)
-            counts[min(b, FEATURE_DIM - 1)] += 1
-        n = len(samples) or 1
-        return [c / n for c in counts]
+            samples = samples[: (samples.size // n_ch) * n_ch]
+            samples = samples.reshape(-1, n_ch).mean(axis=1)
+        # clamp then bucket [-1,1] into FEATURE_DIM equal bins (truncating,
+        # like int() did in the scalar version)
+        b = np.floor((np.clip(samples, -1.0, 1.0) + 1.0) / 2.0 * FEATURE_DIM)
+        b = np.minimum(b.astype(np.int64), FEATURE_DIM - 1)
+        counts = np.bincount(b, minlength=FEATURE_DIM)
+        n = samples.size or 1
+        return [float(c) / n for c in counts]
 
     return decode
 
@@ -186,9 +195,15 @@ def ppm_image_decoder() -> Callable[[bytes], list[float] | None]:
     """REAL image decode with zero external dependencies: binary PPM (P6,
     RGB) and PGM (P5, grayscale) header parse + raw raster → Rec.601 luma
     → FEATURE_DIM luminance histogram, normalized. Same contract as
-    :func:`pillow_image_decoder`."""
+    :func:`pillow_image_decoder`.
+
+    Raster work is numpy-vectorized (``np.frombuffer`` + ``np.bincount``);
+    16-bit samples (maxval 256-65535) are handled per the PNM spec as
+    2-byte big-endian, instead of being silently misparsed."""
 
     def decode(payload: bytes) -> list[float] | None:
+        import numpy as np
+
         if payload is None:
             return None
         # header: magic, whitespace/comments, width, height, maxval, 1 ws
@@ -208,32 +223,143 @@ def ppm_image_decoder() -> Callable[[bytes], list[float] | None]:
             i = j
         i += 1  # single whitespace after maxval
         magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
-        raster = payload[i:]
+        if not 0 < maxval < 65536:
+            raise ValueError(f"invalid PNM maxval {maxval}")
+        # per spec: maxval < 256 → 1 byte/sample; otherwise 2 bytes, MSB first
+        dtype = np.uint8 if maxval < 256 else np.dtype(">u2")
+        raster = np.frombuffer(payload, dtype=dtype, offset=i)
         if magic == b"P6":
-            lum = [
-                (299 * raster[k] + 587 * raster[k + 1] + 114 * raster[k + 2]) / 1000.0
-                for k in range(0, 3 * w * h, 3)
-            ]
+            if raster.size < 3 * w * h:
+                raise ValueError("truncated P6 raster")
+            rgb = raster[: 3 * w * h].reshape(-1, 3).astype(np.int64)
+            lum = (299 * rgb[:, 0] + 587 * rgb[:, 1] + 114 * rgb[:, 2]) / 1000.0
         elif magic == b"P5":
-            lum = [float(raster[k]) for k in range(w * h)]
+            if raster.size < w * h:
+                raise ValueError("truncated P5 raster")
+            lum = raster[: w * h].astype(np.float64)
         else:
             raise ValueError(f"not a binary PPM/PGM: magic {magic!r}")
-        counts = [0] * FEATURE_DIM
-        for v in lum:
-            b = int(v / (maxval + 1) * FEATURE_DIM)
-            counts[min(b, FEATURE_DIM - 1)] += 1
-        n = len(lum) or 1
-        return [c / n for c in counts]
+        b = np.floor(lum / (maxval + 1) * FEATURE_DIM)
+        b = np.minimum(b.astype(np.int64), FEATURE_DIM - 1)
+        counts = np.bincount(b, minlength=FEATURE_DIM)
+        n = lum.size or 1
+        return [float(c) / n for c in counts]
+
+    return decode
+
+
+def encode_y4m(luma_frames: list[bytes], w: int, h: int) -> bytes:
+    """Minimal YUV4MPEG2 (C420) encoder: luma planes in, zeroed chroma —
+    the inverse of ``y4m_video_decoder`` for tests and synthetic fixtures."""
+    parts = [b"YUV4MPEG2 W%d H%d F2:1 Ip A1:1 C420\n" % (w, h)]
+    for y in luma_frames:
+        if len(y) != w * h:
+            raise ValueError(f"luma plane must be {w * h} bytes, got {len(y)}")
+        parts.append(b"FRAME\n" + y + bytes(w * h // 2))
+    return b"".join(parts)
+
+
+def _parse_y4m_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a YUV4MPEG2 stream header → (width, height, frame_size,
+    raster_start). Raises ValueError on anything that isn't y4m."""
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("no y4m header line")
+    header = payload[:nl].split(b" ")
+    if header[0] != b"YUV4MPEG2":
+        raise ValueError(f"not a y4m stream: magic {header[0]!r}")
+    w = h = None
+    subsamp = b"420"
+    for tok in header[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            subsamp = tok[1:]
+    if not w or not h:
+        raise ValueError("y4m header missing W/H")
+    if subsamp.startswith(b"420"):
+        frame_size = w * h * 3 // 2
+    elif subsamp.startswith(b"422"):
+        frame_size = w * h * 2
+    elif subsamp.startswith(b"444"):
+        frame_size = w * h * 3
+    elif subsamp.startswith(b"mono"):
+        frame_size = w * h
+    else:
+        raise ValueError(f"unsupported y4m chroma {subsamp!r}")
+    return w, h, frame_size, nl + 1
+
+
+def _y4m_frames(
+    payload: bytes, frame_stride: int
+) -> Iterator[tuple[int, "object"]]:
+    """Yield (frame_idx, luma-plane ndarray) for every ``frame_stride``-th
+    frame of a YUV4MPEG2 payload. The Y plane leads each frame in all
+    planar layouts, so luma extraction never touches chroma bytes."""
+    import numpy as np
+
+    w, h, frame_size, pos = _parse_y4m_header(payload)
+    idx = 0
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        pos = fnl + 1
+        if pos + frame_size > len(payload):
+            raise ValueError("truncated y4m frame")
+        if idx % frame_stride == 0:
+            yield idx, np.frombuffer(payload, np.uint8, count=w * h, offset=pos)
+        pos += frame_size
+        idx += 1
+
+
+def _luma_hist(y) -> list[float]:
+    import numpy as np
+
+    b = (y.astype(np.int64) * FEATURE_DIM) // 256
+    counts = np.bincount(b, minlength=FEATURE_DIM)
+    n = y.size or 1
+    return [float(c) / n for c in counts]
+
+
+def y4m_video_decoder(
+    frame_stride: int = 2,
+) -> Callable[[bytes], list[float] | None]:
+    """REAL video decode with zero external dependencies: YUV4MPEG2
+    (``.y4m``) rawvideo parse — stream header (W/H/C tags), ``FRAME``
+    markers, planar YUV rasters. Samples every ``frame_stride``-th frame
+    (the decode half of ``frame_sample_plan``), takes the Y plane (luma is
+    stored directly — no colorspace math), and averages the per-frame
+    FEATURE_DIM luminance histograms into one asset-level feature vector,
+    same contract as the image/audio codecs. numpy-vectorized per frame;
+    compressed video containers (H.264/VP9/...) stay import-gated behind
+    whatever codec the deployment injects as ``decode_fn``."""
+
+    def decode(payload: bytes) -> list[float] | None:
+        import numpy as np
+
+        if payload is None:
+            return None
+        total = np.zeros(FEATURE_DIM, dtype=np.float64)
+        n_frames = 0
+        for _idx, y in _y4m_frames(payload, frame_stride):
+            total += np.asarray(_luma_hist(y))
+            n_frames += 1
+        if n_frames == 0:
+            raise ValueError("y4m stream contains no frames")
+        return [float(v) / n_frames for v in total]
 
     return decode
 
 
 def codec_for_mime(mime: str) -> Callable[[bytes], list[float] | None]:
-    """Dispatch a real codec by MIME type. WAV audio and PPM/PGM images
-    decode with stdlib-only codecs (always available); other image/audio
-    types import-gate Pillow / soundfile. NotImplementedError only for
-    MIME classes with no codec wired (video needs a frame sampler — see
-    ``frame_sample_plan`` for the planning half)."""
+    """Dispatch a real codec by MIME type. WAV audio, PPM/PGM images and
+    y4m rawvideo decode with stdlib+numpy codecs (always available); other
+    image/audio types import-gate Pillow / soundfile. NotImplementedError
+    only for MIME classes with no codec wired (compressed video needs an
+    injected decoder)."""
     if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
         return wave_audio_decoder()
     if mime in (
@@ -242,6 +368,8 @@ def codec_for_mime(mime: str) -> Callable[[bytes], list[float] | None]:
         "image/x-portable-anymap",
     ):
         return ppm_image_decoder()
+    if mime in ("video/x-yuv4mpegpipe", "video/yuv4mpeg"):
+        return y4m_video_decoder()
     if mime.startswith("image/"):
         return pillow_image_decoder()
     if mime.startswith("audio/"):
@@ -293,3 +421,52 @@ def decode_features(
             )
 
     return assets.mapInPandas(run, FEATURES_SCHEMA)
+
+
+FRAME_FEATURES_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType(), False),
+    T.StructField("frame_idx", T.LongType(), True),
+    T.StructField("features", T.ArrayType(T.FloatType()), True),
+    T.StructField("decode_ok", T.BooleanType(), True),
+])
+
+
+def decode_frames(assets: DataFrame, frame_stride: int = 2) -> DataFrame:
+    """The execution half of ``frame_sample_plan``: expand each video
+    asset into one row per SAMPLED frame with real per-frame luma-histogram
+    features — a fan-out ``mapInPandas`` (one input row yields many output
+    rows, all inside the same Arrow batch; no explode shuffle, no driver
+    involvement). Corrupt payloads degrade to a single
+    ``decode_ok=False`` row so joins against the plan stay total.
+
+    Scale: fan-out is bounded per-task by (assets per partition ×
+    frames per asset / stride); repartition the asset table to size tasks,
+    exactly like ``decode_features``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, feats, oks = [], [], [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    for idx, y in _y4m_frames(bytes(payload), frame_stride):
+                        ids.append(asset_id)
+                        idxs.append(idx)
+                        feats.append(_luma_hist(y))
+                        oks.append(True)
+                except Exception:
+                    ids.append(asset_id)
+                    idxs.append(None)
+                    feats.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="object"),
+                    "features": feats,
+                    "decode_ok": oks,
+                }
+            )
+
+    return assets.mapInPandas(run, FRAME_FEATURES_SCHEMA)

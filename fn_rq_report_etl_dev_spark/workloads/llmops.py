@@ -630,6 +630,64 @@ def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "multimodal_video_decode",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id AS asset_id,
+               unnest(range(0, CAST(floor(n_chars / 100) AS BIGINT) + 1))
+                   AS frame_idx
+        FROM documents
+    )
+    SELECT asset_id, frame_idx,
+           CAST(((asset_id * 37 + frame_idx * 11) % 256) // 32 AS BIGINT)
+               AS luma_bucket
+    FROM f
+    WHERE frame_idx % 2 = 0
+    """,
+)
+def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video decode end-to-end, ORACLE-CHECKED: synthesize a real
+    YUV4MPEG2 payload per document (one constant-luma frame per 100 chars,
+    luma = (doc_id*37 + frame_idx*11) % 256), run the stdlib y4m frame
+    decoder through mapInPandas at stride 2, and emit each sampled frame's
+    dominant luminance bucket. Because each synthetic frame is constant,
+    the decoded histogram is a one-hot vector whose argmax DuckDB can
+    compute in closed form — a genuine encode→decode round-trip verified
+    by SQL. Payload synthesis and frame fan-out both stay executor-side
+    (Arrow batches, no driver collect); FEATURE_DIM buckets over 256 luma
+    values → bucket = luma // 32."""
+    import pandas as pd
+
+    from ..operators.multimodal import decode_frames, encode_y4m
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n_frames = int(n_chars) // 100 + 1
+                frames = [
+                    bytes([(int(doc_id) * 37 + i * 11) % 256] * 8)
+                    for i in range(n_frames)
+                ]
+                payloads.append(encode_y4m(frames, w=4, h=2))
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(synth, "asset_id long, payload binary")
+    frames = decode_frames(assets, frame_stride=2)
+    return frames.select(
+        "asset_id",
+        "frame_idx",
+        (F.expr("array_position(features, array_max(features))") - 1)
+        .cast("bigint")
+        .alias("luma_bucket"),
+    )
+
+
+@workload(
     "udtf_sentence_split",
     oracle=r"""
     SELECT doc_id,

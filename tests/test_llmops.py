@@ -298,6 +298,104 @@ def test_multimodal_stdlib_ppm_decode(spark):
     assert sum(g) == 1.0 and g[0] == 0.25 and g[FEATURE_DIM - 1] == 0.25
 
 
+def _make_y4m(luma_frames: list[bytes], w: int = 4, h: int = 2) -> bytes:
+    """Synthesize a C420 YUV4MPEG2 payload from raw luma planes."""
+    parts = [b"YUV4MPEG2 W%d H%d F2:1 Ip A1:1 C420\n" % (w, h)]
+    for y in luma_frames:
+        assert len(y) == w * h
+        parts.append(b"FRAME\n" + y + bytes(w * h // 2))  # zero chroma
+    return b"".join(parts)
+
+
+def test_multimodal_stdlib_y4m_video_decode(spark):
+    """REAL video decode with no optional deps: YUV4MPEG2 rawvideo through
+    the full Arrow mapInPandas path. Default stride 2 samples frames
+    0 and 2 (both all-dark) of a dark/bright alternation, so the darkest
+    luminance bucket takes the whole histogram; a corrupt payload degrades
+    to decode_ok=False without failing the job."""
+    from fn_rq_report_etl_dev_spark.operators.multimodal import codec_for_mime
+
+    dark, bright = bytes(8), bytes([255] * 8)
+    good = _make_y4m([dark, bright, dark, bright])
+    rows = [(1, bytearray(good)), (2, bytearray(b"YUV4MPEG2 garbage"))]
+    df = spark.createDataFrame(rows, "asset_id long, raw binary")
+    assets = to_asset_table(df, "asset_id", "raw", "video/x-yuv4mpegpipe")
+    out = {
+        r["asset_id"]: r
+        for r in decode_features(
+            assets, decode_fn=codec_for_mime("video/x-yuv4mpegpipe")
+        ).collect()
+    }
+    f = out[1]["features"]
+    assert out[1]["decode_ok"] is True and len(f) == FEATURE_DIM
+    assert f[0] == 1.0 and sum(f) == 1.0
+    assert out[2]["decode_ok"] is False and out[2]["features"] is None
+    # stride 1 sees the bright frames too: exact 50/50 split
+    g = codec_for_mime("video/x-yuv4mpegpipe")
+    from fn_rq_report_etl_dev_spark.operators.multimodal import y4m_video_decoder
+
+    g1 = y4m_video_decoder(frame_stride=1)(good)
+    assert g1[0] == 0.5 and g1[FEATURE_DIM - 1] == 0.5
+
+
+def test_multimodal_decode_frames_fanout(spark):
+    """decode_frames = the execution half of frame_sample_plan: one output
+    row per sampled frame with per-frame luma features, fanned out inside
+    mapInPandas (no explode shuffle). Corrupt assets keep a single
+    decode_ok=False row."""
+    from fn_rq_report_etl_dev_spark.operators.multimodal import decode_frames
+
+    dark, bright = bytes(8), bytes([255] * 8)
+    good = _make_y4m([dark, bright, dark])
+    rows = [(1, bytearray(good)), (2, bytearray(b"not video"))]
+    df = spark.createDataFrame(rows, "asset_id long, raw binary")
+    assets = to_asset_table(df, "asset_id", "raw", "video/x-yuv4mpegpipe")
+    out = decode_frames(assets, frame_stride=1).collect()
+    by_key = {(r["asset_id"], r["frame_idx"]): r for r in out}
+    assert len(out) == 4  # 3 frames + 1 failure row
+    assert by_key[(1, 0)]["features"][0] == 1.0
+    assert by_key[(1, 1)]["features"][FEATURE_DIM - 1] == 1.0
+    assert by_key[(1, 2)]["features"][0] == 1.0
+    assert by_key[(2, None)]["decode_ok"] is False
+    # stride 2 skips the bright middle frame
+    sampled = decode_frames(assets.filter("asset_id = 1"), frame_stride=2).collect()
+    assert sorted(r["frame_idx"] for r in sampled) == [0, 2]
+
+
+def test_multimodal_wav_24bit_and_pgm_16bit():
+    """ADVICE r02 hardening: 24-bit PCM decodes (sign-extended little-
+    endian), and 16-bit PNM parses as 2-byte big-endian samples instead of
+    being silently misread."""
+    import io
+    import wave as wave_mod
+
+    from fn_rq_report_etl_dev_spark.operators.multimodal import (
+        ppm_image_decoder,
+        wave_audio_decoder,
+    )
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(3)
+        wf.setframerate(8000)
+        # -2^23 (min), 0, +2^23-1 (max) as 3-byte little-endian
+        frames = (
+            (-8388608).to_bytes(3, "little", signed=True)
+            + (0).to_bytes(3, "little", signed=True)
+            + (8388607).to_bytes(3, "little", signed=True)
+        )
+        wf.writeframes(frames)
+    f = wave_audio_decoder()(buf.getvalue())
+    assert f[0] > 0 and f[FEATURE_DIM // 2] > 0 and f[FEATURE_DIM - 1] > 0
+    assert abs(sum(f) - 1.0) < 1e-9
+
+    # 16-bit PGM: maxval 65535, big-endian samples 0 and 65535
+    pgm16 = b"P5\n2 1\n65535\n" + (0).to_bytes(2, "big") + (65535).to_bytes(2, "big")
+    g = ppm_image_decoder()(pgm16)
+    assert g[0] == 0.5 and g[FEATURE_DIM - 1] == 0.5
+
+
 def test_udtf_sql_registration_lateral_join(spark):
     """UDTFs are SQL-surface citizens too: register the table function and
     call it from SQL with a correlated LATERAL join — the form a SQL-only
