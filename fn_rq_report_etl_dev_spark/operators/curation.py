@@ -197,6 +197,10 @@ def unigram_frequency_scores(
     the difference between a reducer receiving ~7% of the corpus and
     receiving ~1 row per doc. Occurrence weighting is recovered exactly
     as sum(k_w · bits_w). The corpus-total row is a broadcast scalar.
+
+    Lifetime: the persisted (doc, word) table lives until the session
+    releases it — long-lived sessions call
+    ``session.release_intermediates`` after consuming the result.
     """
     doc_word = (
         _tokens(df, id_col, text_col)

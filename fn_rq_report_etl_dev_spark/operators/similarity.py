@@ -204,7 +204,17 @@ def signlsh_topk(
     exclude_self: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign-LSH
-    bucket — the cross join becomes an equi-join on the bucket key."""
+    bucket — the cross join becomes an equi-join on the bucket key.
+
+    .. note:: TEACHING VARIANT — prefer :func:`rademacher_topk`. The
+       bucket bits here are axis-aligned (sign of the first ``n_bits``
+       raw dimensions), so recall degrades when those dimensions are
+       sign-skewed; rademacher buckets mix ALL dimensions per bit, track
+       angular similarity properly, and support multi-table recall
+       boosting at the same one-scan/one-equi-join plan shape. This
+       variant stays because its bucket expression is trivially
+       SQL-expressible (the DuckDB oracle re-derives it verbatim) and it
+       isolates the bucketing idea from the hyperplane math."""
     return _bucketed_topk(
         queries, corpus, sign_bucket(F.col(vec_col), n_bits),
         id_col=id_col, vec_col=vec_col, k=k, exclude_self=exclude_self,

@@ -236,6 +236,10 @@ def incremental_lsh_candidates(
     |new| ≪ |corpus| the join output is proportional to the batch's true
     near-dup rate, and the shuffle key (band, band_hash) spreads hot
     templates across ``bands`` reducers.
+
+    Lifetime: the persisted banded table (it feeds both join sides) lives
+    until the session releases it — long-lived sessions call
+    ``session.release_intermediates`` after consuming the result.
     """
     assert k % bands == 0, "k must divide evenly into bands"
     r = k // bands

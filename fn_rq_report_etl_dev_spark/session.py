@@ -57,3 +57,32 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_intermediates(spark: SparkSession) -> int:
+    """Free every persisted intermediate in the session: CacheManager
+    entries (DataFrame.persist) and loose persisted RDDs (localCheckpoint
+    blocks live outside the CacheManager, so clearCache alone misses
+    them). Returns the number of loose RDD entries released.
+
+    Library operators persist fan-out intermediates whose useful lifetime
+    is the consumption of the DataFrame they return —
+    ``unigram_frequency_scores`` (per-doc token counts feed the frequency
+    table, the corpus total, and the scoring join),
+    ``incremental_lsh_candidates`` (the banded signature table feeds both
+    sides of the asymmetric join), ``corpus_prep_pipeline`` (fan-out
+    points shared by the mixing and sharding branches),
+    ``build_ivf_index`` (the cell assignment, deliberately long-lived).
+    Spark's CacheManager holds those entries until an explicit unpersist
+    even after the last reference is dropped, so a long-lived session
+    interleaving many pipeline runs should call this between runs (it is
+    what ``bench.py``'s per-query isolation uses). Rebuild the IVF index
+    (or re-persist ``IvfIndex.assigned``) after calling this if you still
+    need it."""
+    spark.catalog.clearCache()
+    n = 0
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        it.next()._2().unpersist(False)
+        n += 1
+    return n

@@ -428,6 +428,8 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # input twice (group counts + ranked selection) and the shard step
     # re-joins the picked set — without these, every reference re-executes
     # the whole normalize→gate→dedup chain (measured: 47 exchanges → 13).
+    # Lifetime: released by session.release_intermediates (long-lived
+    # sessions call it after consuming the result).
     sdocs = kept.select("doc_id", "lang").join(survivors, "doc_id").persist()
     picked = (
         temperature_allocation(

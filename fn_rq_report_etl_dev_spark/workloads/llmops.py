@@ -280,8 +280,11 @@ _BUCKET_SQL = " || ".join(
     """,
 )
 def ann_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-3: sign-bit LSH bucket (8 planes) — the cross join
-    becomes a bucket equi-join; the 100 TB scale path."""
+    """Approximate top-3: sign-bit LSH bucket (8 axis-aligned planes) —
+    the cross join becomes a bucket equi-join. TEACHING VARIANT kept for
+    its verbatim-SQL oracle; production callers should use
+    ann_rademacher_topk (proper random hyperplanes, multi-table recall)
+    — same plan shape, strictly better recall geometry."""
     emb = load(spark, sf_dir, "embeddings")
     out = signlsh_topk(
         emb.filter(F.col("vec_id") < 8), emb, k=3, n_bits=8, exclude_self=True

@@ -198,6 +198,98 @@ def run_stream_window_counts(
         raise query.exception()
 
 
+# Expected output of the watermark-boundary dedup timeline below. The
+# interesting semantics (state eviction, late-row drop) are streaming-only
+# — no batch SQL can re-derive them — so the oracle pins the exact
+# expected row set for the deterministic synthetic timeline: the dedup
+# operator's contract, written down.
+_DEDUP_BOUNDARY_ORACLE = """
+    SELECT * FROM (VALUES
+        (CAST('A' AS VARCHAR), TIMESTAMP '2024-03-15 12:00:00',
+         CAST('a0' AS VARCHAR)),
+        ('B', TIMESTAMP '2024-03-15 12:00:00', 'b0'),
+        ('C', TIMESTAMP '2024-03-15 13:00:00', 'c0'),
+        ('A', TIMESTAMP '2024-03-15 13:01:00', 'a1')
+    ) AS t(doc_key, ts, payload)
+    """
+
+
+@workload("streaming_dedup_watermark_boundary", oracle=_DEDUP_BOUNDARY_ORACLE)
+def streaming_dedup_watermark_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` semantics ACROSS watermark
+    boundaries, driver-checked (round-2 ask): three checkpointed
+    micro-batches with a 10-minute watermark delay.
+
+    - batch 1: A@12:00 (×2, identical in-batch dup → one row), B@12:00.
+      Watermark after: 11:50.
+    - batch 2: B re-delivered @12:05 — state live (12:00 + 10 min ≥
+      watermark) → DROPPED. C@13:00 emitted. Watermark after: 12:50,
+      which evicts A's and B's state (expiry 12:10 < 12:50).
+    - batch 3: A re-delivered @13:01 — state EVICTED → re-admitted
+      (the second A row: within-watermark dedup is not forever-dedup).
+      B@12:45 is below the 12:50 watermark → dropped as late.
+
+    The timeline is synthetic and deterministic (``sf_dir`` unused); the
+    oracle is the expected row set, which IS the operator contract.
+    In-batch duplicates carry identical payloads so the kept-row choice
+    can't introduce nondeterminism."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from ..streaming.micro_batch import stream_dedup
+
+    schema = T.StructType([
+        T.StructField("doc_key", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("payload", T.StringType(), True),
+    ])
+    root = tempfile.mkdtemp(prefix="rq_stream_dedup_wm_")
+    landing = os.path.join(root, "landing")
+    checkpoint = os.path.join(root, "checkpoint")
+    out = os.path.join(root, "out")
+    os.makedirs(landing)
+
+    def land(rows: list) -> None:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    def drain() -> None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = stream_dedup(
+                spark, landing, schema, ["doc_key"], "ts", out, checkpoint,
+                watermark="10 minutes",
+            )
+            q.awaitTermination()
+            if q.exception() is not None:
+                raise q.exception()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    d = datetime
+    land([
+        ("A", d(2024, 3, 15, 12, 0), "a0"),
+        ("A", d(2024, 3, 15, 12, 0), "a0"),
+        ("B", d(2024, 3, 15, 12, 0), "b0"),
+    ])
+    drain()
+    land([
+        ("B", d(2024, 3, 15, 12, 5), "b-redelivered"),
+        ("C", d(2024, 3, 15, 13, 0), "c0"),
+    ])
+    drain()
+    land([
+        ("A", d(2024, 3, 15, 13, 1), "a1"),
+        ("B", d(2024, 3, 15, 12, 45), "b-below-watermark"),
+    ])
+    drain()
+
+    return spark.read.schema(schema).parquet(out)
+
+
 @workload("streaming_window_counts", oracle=_WINDOW_ORACLE)
 def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked event-time windowed aggregation (the Structured

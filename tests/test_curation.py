@@ -397,3 +397,34 @@ def test_temperature_allocation_invariants(spark):
     # deterministic: same seed, same selection
     again = temperature_allocation(df, "lang", total_budget=100, id_col="doc_id")
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_release_intermediates_frees_operator_persists(spark):
+    """Library persist lifetime contract: operators persist fan-out
+    intermediates (unigram doc_word, banded LSH tables, pipeline fan-out
+    points); release_intermediates drops them ALL — CacheManager entries
+    and loose persisted RDDs — so a long-lived session doesn't accumulate
+    executor cache across pipeline runs."""
+    from fn_rq_report_etl_dev_spark.operators.curation import (
+        unigram_frequency_scores,
+    )
+    from fn_rq_report_etl_dev_spark.session import release_intermediates
+
+    release_intermediates(spark)  # clean slate (other tests may persist)
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "c d e f")], "doc_id long, text string"
+    )
+    unigram_frequency_scores(docs, "doc_id", "text").count()
+
+    def n_persisted() -> int:
+        sc = spark.sparkContext
+        n = 0
+        it = sc._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()
+            n += 1
+        return n
+
+    assert n_persisted() > 0  # the operator did persist something
+    release_intermediates(spark)
+    assert n_persisted() == 0

@@ -192,3 +192,19 @@ def test_quality_rules_null_policy(spark):
         "txt_matches": 1,    # "!!" only — NULL exempt
         "cat_accepted": 1,   # "z" only — NULL exempt
     }
+
+
+def test_daily_batch_envelope_sf01(spark):
+    """Committed performance envelope for the reference-parity pipeline
+    (VERDICT r02 item 5): one warm sf0.1 daily batch — the number that
+    maps to the reference's 90-minute budget — must stay under 15 s, so
+    suite growth can't silently erode it. The first run is a JIT/codegen
+    warm-up (cold-start cost is session overhead, not pipeline cost —
+    bench.py warms the same way); the second run is the SLO measurement.
+    Measured baseline on this machine: ~8.2 s warm at local[32]."""
+    import bench
+
+    sf_dir = "/root/testdata/sf0.1"
+    bench.time_pipeline_daily_batch(spark, sf_dir)  # warm-up
+    sec = bench.time_pipeline_daily_batch(spark, sf_dir)
+    assert sec < 15.0, f"daily batch envelope blown: {sec:.1f}s >= 15s"
