@@ -43,6 +43,12 @@ def latest_per_key(
     its salt group no matter which salt it drew, the result is identical
     to the unsalted form for any salt assignment (asserted in tests).
     Phase 2's input is ~|keys| × n_salts rows, so its shuffle is noise.
+
+    When to salt (measured, SCALING.md §skew): on Spark ≥3.5 the default
+    ``InferWindowGroupLimit`` rule already pre-reduces the rn=1 filter
+    map-side, making the unsalted form skew-safe — leave ``n_salts=None``.
+    Salting wins (5.4× on a 90%-one-key table) only where that rule can't
+    fire: older engines, or window shapes needing more than a top-N prefix.
     """
     ordering = [
         (F.col(c).desc_nulls_last() if descending else F.col(c).asc_nulls_first())

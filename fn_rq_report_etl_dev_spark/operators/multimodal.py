@@ -227,18 +227,24 @@ def ppm_image_decoder() -> Callable[[bytes], list[float] | None]:
             raise ValueError(f"invalid PNM maxval {maxval}")
         # per spec: maxval < 256 → 1 byte/sample; otherwise 2 bytes, MSB first
         dtype = np.uint8 if maxval < 256 else np.dtype(">u2")
-        raster = np.frombuffer(payload, dtype=dtype, offset=i)
         if magic == b"P6":
-            if raster.size < 3 * w * h:
-                raise ValueError("truncated P6 raster")
-            rgb = raster[: 3 * w * h].reshape(-1, 3).astype(np.int64)
-            lum = (299 * rgb[:, 0] + 587 * rgb[:, 1] + 114 * rgb[:, 2]) / 1000.0
+            n_samples = 3 * w * h
         elif magic == b"P5":
-            if raster.size < w * h:
-                raise ValueError("truncated P5 raster")
-            lum = raster[: w * h].astype(np.float64)
+            n_samples = w * h
         else:
             raise ValueError(f"not a binary PPM/PGM: magic {magic!r}")
+        # explicit count: trailing bytes after the raster (some writers emit
+        # a final newline) must not make the 2-byte parse choke on an odd
+        # buffer tail, and truncation stays a clear error either way.
+        avail = (len(payload) - i) // np.dtype(dtype).itemsize
+        if avail < n_samples:
+            raise ValueError(f"truncated {magic.decode()} raster")
+        raster = np.frombuffer(payload, dtype=dtype, offset=i, count=n_samples)
+        if magic == b"P6":
+            rgb = raster.reshape(-1, 3).astype(np.int64)
+            lum = (299 * rgb[:, 0] + 587 * rgb[:, 1] + 114 * rgb[:, 2]) / 1000.0
+        else:
+            lum = raster.astype(np.float64)
         b = np.floor(lum / (maxval + 1) * FEATURE_DIM)
         b = np.minimum(b.astype(np.int64), FEATURE_DIM - 1)
         counts = np.bincount(b, minlength=FEATURE_DIM)

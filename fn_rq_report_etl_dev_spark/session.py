@@ -9,6 +9,7 @@ rely on AQE coalescing, which is enabled here).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -86,3 +87,25 @@ def release_intermediates(spark: SparkSession) -> int:
         it.next()._2().unpersist(False)
         n += 1
     return n
+
+
+@contextmanager
+def released(spark: SparkSession):
+    """Scope persisted intermediates to a block (VERDICT r03 #6): run any
+    workloads — including ones whose operators persist fan-out
+    intermediates (``q21_waiting_suppliers``, ``corpus_prep_pipeline``,
+    ``unigram_frequency_scores``, ``incremental_lsh_candidates``, the IVF
+    index build) — and free every cache entry and loose persisted RDD on
+    exit, success or failure::
+
+        with released(spark):
+            force(QUERIES["q21_waiting_suppliers"](spark, sf_dir))
+        # CacheManager is empty again here
+
+    The release is session-wide (Spark's CacheManager has no per-scope
+    accounting), so don't wrap a block whose caller still needs an earlier
+    persist — re-persist (e.g. ``IvfIndex.assigned``) after the block."""
+    try:
+        yield spark
+    finally:
+        release_intermediates(spark)

@@ -76,6 +76,11 @@ class TradeInApiReader(DataSourceReader):
             for k in ("provider_id", "location_type", "location_type_ids", "company_id")
             if k in options
         }
+        # Retry knobs (reference defaults: 3 attempts, 5 s linear backoff,
+        # rqtradein_etl.py:211-227) — configurable so tests and callers with
+        # different SLAs can tune them.
+        self.max_retries = int(options.get("max_retries", 3))
+        self.backoff_seconds = int(options.get("backoff_seconds", 5))
 
     def partitions(self) -> Sequence[InputPartition]:
         # One task per day slice — the unit of retry AND of parallelism.
@@ -89,12 +94,14 @@ class TradeInApiReader(DataSourceReader):
                 return
             with open(path, encoding="utf-8") as fh:
                 rows = json.load(fh)
-        else:  # pragma: no cover — network path, exercised only in prod
+        else:  # network path — tested against a loopback http.server
             from .json_api import fetch_json_batch
 
             rows = fetch_json_batch(
                 self.url,
                 params={**self.params, "StartDate": day, "StopDate": day},
+                max_retries=self.max_retries,
+                backoff_seconds=self.backoff_seconds,
             )
         for row in rows:
             yield _project(row)
@@ -111,22 +118,48 @@ class TradeInApiStreamReader(SimpleDataSourceStreamReader):
     Day granularity keeps offsets tiny (one ISO date string) and replays
     deterministic: ``readBetweenOffsets`` re-derives any committed batch
     from its [start, end) day range alone.
+
+    Two availability modes:
+    - ``landing``: a directory of per-day JSON files; a day is available
+      once its file lands (the air-gapped/replay mode).
+    - ``url`` + ``available_through``: poll the HTTP API day-by-day up to
+      an explicit high-water date. The caller (or an outer restart loop)
+      advances ``available_through``; keeping it explicit — instead of
+      wall-clock "today" — makes every micro-batch replay-deterministic.
     """
 
     def __init__(self, options: dict):
         self.landing = options.get("landing")
-        if not self.landing:
-            raise ValueError("streaming rq_tradein_api requires 'landing'")
+        self.url = options.get("url")
+        if not self.landing and not self.url:
+            raise ValueError("streaming rq_tradein_api requires 'landing' or 'url'")
         start = options.get("start_date")
         if not start:
             raise ValueError("streaming rq_tradein_api requires 'start_date'")
         date.fromisoformat(start)  # validate
         self.start = start
+        self.available_through = options.get("available_through")
+        if self.url and not self.landing:
+            if not self.available_through:
+                raise ValueError(
+                    "streaming rq_tradein_api over 'url' requires "
+                    "'available_through' (explicit high-water date)"
+                )
+            date.fromisoformat(self.available_through)  # validate
+        self.params = {
+            k: options[k]
+            for k in ("provider_id", "location_type", "location_type_ids", "company_id")
+            if k in options
+        }
+        self.max_retries = int(options.get("max_retries", 3))
+        self.backoff_seconds = int(options.get("backoff_seconds", 5))
 
     def initialOffset(self) -> dict:
         return {"next_day": self.start}
 
     def _landed_days(self) -> list[str]:
+        if not self.landing:
+            return _date_range(self.start, self.available_through)
         return sorted(
             f[: -len(".json")]
             for f in os.listdir(self.landing)
@@ -134,6 +167,19 @@ class TradeInApiStreamReader(SimpleDataSourceStreamReader):
         )
 
     def _read_days(self, days: list[str]) -> Iterator[tuple]:
+        if not self.landing:
+            from .json_api import fetch_json_batch
+
+            for day in days:
+                rows = fetch_json_batch(
+                    self.url,
+                    params={**self.params, "StartDate": day, "StopDate": day},
+                    max_retries=self.max_retries,
+                    backoff_seconds=self.backoff_seconds,
+                )
+                for row in rows:
+                    yield _project(row)
+            return
         for day in days:
             with open(os.path.join(self.landing, f"{day}.json"), encoding="utf-8") as fh:
                 for row in json.load(fh):

@@ -31,6 +31,26 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Declared output schemas (DDL) for the workloads whose BUILDER already runs
+# Spark jobs (checkpointed streaming drains, iterative label propagation,
+# IVF k-means) — schema lints use these instead of executing the workload
+# (ADVICE r03); tests/test_oracle_parity.py cross-checks declared vs actual
+# whenever it executes the query anyway.
+EAGER_SCHEMAS: dict[str, str] = {
+    "streaming_merge_equivalence": (
+        "user_id bigint, event_id bigint, ts timestamp, event_type string, "
+        "value double, merge_action string"
+    ),
+    "streaming_window_counts": (
+        "window_start timestamp, n_events bigint, min_event_id bigint, "
+        "max_event_id bigint"
+    ),
+    "streaming_dedup_watermark_boundary": "doc_key string, ts timestamp, payload string",
+    "dedup_cluster_components": "doc_id bigint, component bigint",
+    "ann_ivf_topk": "query_id bigint, neighbor_id bigint, rank bigint, cos_r double",
+    "ann_ivf_recall": "n_probe bigint, bf_pairs bigint, recall_ok bigint",
+}
+
 
 def workload(name: str, oracle: str | None = None):
     """Register a workload builder (and optionally its DuckDB oracle)."""

@@ -523,7 +523,14 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (lineitem in three roles). Adapted lateness: shipdate >
     orderdate + 60d (no commit/receipt dates). The late set l1 is computed
     once and persisted; the EXISTS becomes a left-semi and the NOT EXISTS
-    a left-anti, both shuffling on l_orderkey; supplier/nation broadcast."""
+    a left-anti, both shuffling on l_orderkey; supplier/nation broadcast.
+
+    The persist's useful lifetime is the consumption of the returned
+    DataFrame (it feeds three join roles in one plan). Spark keeps the
+    CacheManager entry after that; long-lived sessions release it with
+    ``session.release_intermediates`` or by running the query under
+    ``with session.released(spark):`` (bench.py's per-query isolation
+    does the former)."""
     li = load(spark, sf_dir, "lineitem")
     orders_f = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = load(spark, sf_dir, "supplier")

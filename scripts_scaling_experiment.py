@@ -1,6 +1,12 @@
-"""Scaling evidence for SCALING.md: full-table merge vs bucketed
-incremental merge as target size grows while the daily batch stays fixed.
-Run: python scripts_scaling_experiment.py"""
+"""Scaling evidence for SCALING.md.
+
+Experiments (select with argv, default: all):
+  merge — full-table merge vs bucketed incremental merge as target size
+          grows while the daily batch stays fixed.
+  skew  — unsalted vs salted latest_per_key on a 90%-one-key table
+          (VERDICT r03 #7): where the two-phase salted window wins.
+
+Run: python scripts_scaling_experiment.py [merge|skew]"""
 import sys, os, time, tempfile, json
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F
@@ -12,6 +18,66 @@ from fn_rq_report_etl_dev_spark.operators.merge_partitioned import (
 from pyspark.sql import types as T
 
 spark = get_spark(app_name="scaling")
+EXPERIMENT = sys.argv[1] if len(sys.argv) > 1 else "all"
+
+
+def _force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def skew_experiment():
+    """90% of rows share ONE key. Two regimes measured (SCALING.md §skew):
+
+    - group_limit=on (Spark ≥3.5 default): `InferWindowGroupLimit` pushes
+      the rn=1 filter MAP-SIDE, pre-reducing the hot key to one row per map
+      task before the shuffle — the unsalted window is already skew-safe
+      and salting only adds a second window pass.
+    - group_limit=off (older engines, or window shapes the rule can't
+      rewrite — full rank lists, lag chains, whole-partition aggregates):
+      the unsalted form funnels 0.9*N rows into ONE reducer; n_salts=32
+      spreads them 32 ways and re-ranks the ≤32 winners.
+
+    Uniform keys are the control — salting must cost ~nothing there."""
+    from fn_rq_report_etl_dev_spark.operators.dedup import latest_per_key
+
+    GROUP_LIMIT_RULE = "org.apache.spark.sql.catalyst.optimizer.InferWindowGroupLimit"
+    n_rows = 32_000_000
+    n_keys = n_rows // 100
+    out = []
+    for dist in ("skew90", "uniform"):
+        base = (spark.range(n_rows).withColumnRenamed("id", "rid")
+                .withColumn("u", F.rand(seed=7)))
+        if dist == "skew90":
+            k = F.when(F.col("u") < 0.9, F.lit(0)).otherwise(
+                (F.col("rid") % n_keys) + 1)
+        else:
+            k = F.col("rid") % n_keys
+        df = (base.withColumn("k", k.cast("long"))
+              .withColumn("ts", (F.col("rid") * 7919) % n_rows)
+              .drop("u"))
+        _force(latest_per_key(df.limit(1_000_000), ["k"], ["ts", "rid"]))  # warm
+        for mode, excluded in (("on", ""), ("off", GROUP_LIMIT_RULE)):
+            spark.conf.set("spark.sql.optimizer.excludedRules", excluded)
+            timings = {}
+            for label, n_salts in (("unsalted", None), ("salted32", 32)):
+                t0 = time.perf_counter()
+                _force(latest_per_key(df, ["k"], ["ts", "rid"], n_salts=n_salts))
+                timings[label] = round(time.perf_counter() - t0, 2)
+            row = {"experiment": "skew_dedup", "rows": n_rows, "dist": dist,
+                   "window_group_limit": mode, **timings}
+            out.append(row)
+            print(json.dumps(row))
+        spark.conf.unset("spark.sql.optimizer.excludedRules")
+        # identical results regardless of salting (counts as cheap proxy)
+        n_un = latest_per_key(df, ["k"], ["ts", "rid"]).count()
+        n_sa = latest_per_key(df, ["k"], ["ts", "rid"], n_salts=32).count()
+        assert n_un == n_sa, (n_un, n_sa)
+    return out
+
+
+if EXPERIMENT == "skew":
+    skew_experiment()
+    sys.exit(0)
 SCHEMA = T.StructType([
     T.StructField("k", T.LongType(), True),
     T.StructField("v", T.StringType(), True),

@@ -12,6 +12,14 @@ from fn_rq_report_etl_dev_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        'perf: wall-clock envelope tests (machine-dependent; exclude from '
+        'correctness-only runs with -m "not perf")',
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     # Fewer shuffle partitions than prod default: tiny test data.

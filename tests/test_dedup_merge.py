@@ -202,3 +202,16 @@ def test_merge_scd2_branches(spark):
     assert str(rows[("c", "new", True)]["valid_from"]).startswith("2024-06-01")
     # d absent from snapshot: stays current
     assert rows[("d", "open", True)]["valid_to"] is None
+
+
+def test_delta_backend_gate_raises_clearly(spark, tmp_path):
+    """delta-spark is not installed in this container (COVERAGE.md: env
+    constraint) — the Delta MERGE backend must fail fast with a pointer to
+    the join-rewrite backend, not an opaque ModuleNotFoundError mid-job."""
+    import pytest
+
+    from fn_rq_report_etl_dev_spark.operators.merge import merge_upsert_delta
+
+    src = spark.range(3).withColumnRenamed("id", "k")
+    with pytest.raises(ImportError, match="merge_upsert"):
+        merge_upsert_delta(spark, str(tmp_path / "t"), src, key="k")

@@ -1,0 +1,177 @@
+"""Real-HTTP integration for O1/O2 (VERDICT r03 next-round #5): a stdlib
+``http.server`` loopback fixture serves the trade-in JSON API, and both the
+driver-side ``fetch_json_batch`` AND the Spark 4 ``TradeInApiDataSource``
+(batch partitions + streaming offsets) fetch from it over a real TCP
+socket — zero mocked ``http_get``. Includes the reference's
+2-failures-then-success retry sequence (rqtradein_etl.py:211-227).
+
+The server runs in the pytest process on 127.0.0.1:<ephemeral>; Spark's
+Python workers (separate processes) reach it over loopback, so the
+executor-side fetch path is exercised for real.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+
+from fn_rq_report_etl_dev_spark.sources.datasource import (
+    FORMAT_NAME,
+    TradeInApiDataSource,
+)
+from fn_rq_report_etl_dev_spark.sources.json_api import fetch_json_batch
+
+DAYS = {
+    "2026-08-01": [
+        {"SaleInvoiceID": "1", "TradeInStatus": "OK", "Extra": "dropped"},
+        {"SaleInvoiceID": "2"},
+    ],
+    "2026-08-02": [{"SaleInvoiceID": "3", "TradeInAmount": "19.99"}],
+    "2026-08-03": [{"SaleInvoiceID": "4"}],
+}
+
+
+class _ApiState:
+    """Mutable server-side state shared across requests (lives in the
+    pytest process; workers only see HTTP responses)."""
+
+    def __init__(self):
+        self.fail_remaining: dict[str, int] = {}  # day -> 500s left to serve
+        self.requests: list[str] = []  # StartDate of every GET, in order
+        self.lock = threading.Lock()
+
+
+@pytest.fixture()
+def api_server():
+    state = _ApiState()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 — http.server API
+            qs = parse_qs(urlparse(self.path).query)
+            day = qs.get("StartDate", [""])[0]
+            with state.lock:
+                state.requests.append(day)
+                failing = state.fail_remaining.get(day, 0)
+                if failing > 0:
+                    state.fail_remaining[day] = failing - 1
+            if failing > 0:
+                self.send_response(500)
+                self.end_headers()
+                self.wfile.write(b"transient upstream error")
+                return
+            body = json.dumps(DAYS.get(day, [])).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # keep pytest output clean
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}/tradein"
+    try:
+        yield url, state
+    finally:
+        server.shutdown()
+        thread.join(timeout=5)
+
+
+def test_fetch_json_batch_over_real_http(api_server):
+    url, state = api_server
+    rows = fetch_json_batch(url, params={"StartDate": "2026-08-01", "StopDate": "2026-08-01"})
+    assert rows == DAYS["2026-08-01"]
+    # unknown day -> empty array, not an error
+    assert fetch_json_batch(url, params={"StartDate": "2099-01-01"}) == []
+
+
+def test_fetch_retries_two_failures_then_succeeds(api_server):
+    """The reference's observed sequence: two transport failures, then a
+    200 on the third attempt (3-attempt linear backoff budget)."""
+    url, state = api_server
+    state.fail_remaining["2026-08-02"] = 2
+    rows = fetch_json_batch(
+        url,
+        params={"StartDate": "2026-08-02", "StopDate": "2026-08-02"},
+        backoff_seconds=0,
+    )
+    assert rows == DAYS["2026-08-02"]
+    assert state.requests.count("2026-08-02") == 3  # 500, 500, 200
+
+
+def test_fetch_exhausted_retries_raise(api_server):
+    url, state = api_server
+    state.fail_remaining["2026-08-01"] = 99
+    with pytest.raises(Exception):
+        fetch_json_batch(
+            url,
+            params={"StartDate": "2026-08-01", "StopDate": "2026-08-01"},
+            backoff_seconds=0,
+        )
+    assert state.requests.count("2026-08-01") == 3  # exactly max_retries
+
+
+def test_datasource_batch_fetches_from_executors(api_server, spark):
+    """Batch mode, url option: one InputPartition per day, each fetched by
+    a Spark Python worker over loopback HTTP, including a per-day retry
+    (day 2 serves 500 twice before succeeding)."""
+    url, state = api_server
+    state.fail_remaining["2026-08-02"] = 2
+    spark.dataSource.register(TradeInApiDataSource)
+    df = (
+        spark.read.format(FORMAT_NAME)
+        .option("url", url)
+        .option("start_date", "2026-08-01")
+        .option("stop_date", "2026-08-03")
+        .option("backoff_seconds", "0")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3
+    rows = {r["SaleInvoiceID"]: r for r in df.collect()}
+    assert set(rows) == {"1", "2", "3", "4"}
+    assert rows["3"]["TradeInAmount"] == "19.99"
+    assert rows["2"]["TradeInTransactionID"] is None  # absent key -> NULL
+    assert state.requests.count("2026-08-02") == 3  # retry happened worker-side
+
+
+def test_stream_reader_http_offsets_exactly_once(api_server, spark, tmp_path):
+    """Streaming mode over url: drain 1 covers days 1-2 (available_through
+    high-water), the caller advances the high-water to day 3, drain 2 with
+    the SAME checkpoint emits ONLY day 3 — offsets advance over real HTTP
+    fetches and committed days are never re-fetched."""
+    url, state = api_server
+    spark.dataSource.register(TradeInApiDataSource)
+    checkpoint = str(tmp_path / "ckpt")
+    target = str(tmp_path / "out")
+
+    def drain(available_through: str):
+        q = (
+            spark.readStream.format(FORMAT_NAME)
+            .option("url", url)
+            .option("start_date", "2026-08-01")
+            .option("available_through", available_through)
+            .option("backoff_seconds", "0")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", target)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert q.exception() is None
+
+    drain("2026-08-02")
+    got = sorted(r["SaleInvoiceID"] for r in spark.read.parquet(target).collect())
+    assert got == ["1", "2", "3"]
+
+    drain("2026-08-03")
+    got = sorted(r["SaleInvoiceID"] for r in spark.read.parquet(target).collect())
+    assert got == ["1", "2", "3", "4"]  # day 1-2 not re-emitted

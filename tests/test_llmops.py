@@ -395,6 +395,14 @@ def test_multimodal_wav_24bit_and_pgm_16bit():
     g = ppm_image_decoder()(pgm16)
     assert g[0] == 0.5 and g[FEATURE_DIM - 1] == 0.5
 
+    # ADVICE r03: some PNM writers emit a trailing newline after the
+    # raster; an odd tail must not break the 2-byte big-endian parse.
+    assert ppm_image_decoder()(pgm16 + b"\n") == g
+    # truncated 16-bit raster still errors clearly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="truncated"):
+        ppm_image_decoder()(pgm16[:-1])
+
 
 def test_udtf_sql_registration_lateral_join(spark):
     """UDTFs are SQL-surface citizens too: register the table function and

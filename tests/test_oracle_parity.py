@@ -11,7 +11,7 @@ from decimal import Decimal
 
 import pytest
 
-from fn_rq_report_etl_dev_spark.workloads import ORACLES, QUERIES
+from fn_rq_report_etl_dev_spark.workloads import EAGER_SCHEMAS, ORACLES, QUERIES
 from tests.conftest import duck_connection as _duck
 
 
@@ -44,6 +44,14 @@ def _canon(rows, colnames):
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_duckdb_oracle(name, spark, sf_dir):
     sdf = QUERIES[name](spark, sf_dir)
+    if name in EAGER_SCHEMAS:
+        # schema lints trust the declaration instead of executing eager
+        # builders (ADVICE r03) — verify declared == actual here, where
+        # the query executes anyway. Name+dtype comparison (nullability is
+        # irrelevant to the driver's hash and differs for literal columns).
+        assert _name_dtypes(sdf.schema) == _declared_name_dtypes(name), (
+            f"{name}: EAGER_SCHEMAS declaration stale"
+        )
     spark_cols = [c.lower() for c in sdf.columns]
     spark_rows = [tuple(r) for r in sdf.collect()]
 
@@ -68,6 +76,25 @@ def test_every_query_runs_and_entry_smokes(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def _name_dtypes(schema):
+    return [(f.name, f.dataType.simpleString()) for f in schema.fields]
+
+
+def _declared_name_dtypes(name):
+    from pyspark.sql import types as T
+
+    return _name_dtypes(T.StructType.fromDDL(EAGER_SCHEMAS[name]))
+
+
+def test_eager_schema_declarations_for_no_oracle_queries(spark, sf_dir):
+    """EAGER_SCHEMAS entries without a DuckDB oracle (only ann_ivf_topk)
+    aren't covered by the parametrized parity check above — verify the
+    declaration against the actual schema here."""
+    for name in set(EAGER_SCHEMAS) - set(ORACLES):
+        actual = QUERIES[name](spark, sf_dir).schema
+        assert _name_dtypes(actual) == _declared_name_dtypes(name), name
 
 
 def test_sessionize_gap_is_microsecond_exact(spark):

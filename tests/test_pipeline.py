@@ -194,6 +194,7 @@ def test_quality_rules_null_policy(spark):
     }
 
 
+@pytest.mark.perf
 def test_daily_batch_envelope_sf01(spark):
     """Committed performance envelope for the reference-parity pipeline
     (VERDICT r02 item 5): one warm sf0.1 daily batch — the number that
@@ -201,7 +202,11 @@ def test_daily_batch_envelope_sf01(spark):
     suite growth can't silently erode it. The first run is a JIT/codegen
     warm-up (cold-start cost is session overhead, not pipeline cost —
     bench.py warms the same way); the second run is the SLO measurement.
-    Measured baseline on this machine: ~8.2 s warm at local[32]."""
+    Measured baseline on this machine: ~8.2 s warm at local[32].
+
+    Marked ``perf`` (ADVICE r03): a wall-clock bound is machine-dependent;
+    exclude it from correctness-only runs with ``-m "not perf"``. It stays
+    in the default run on this box, where ~1.8x headroom is real signal."""
     import bench
 
     sf_dir = "/root/testdata/sf0.1"
