@@ -2,11 +2,14 @@
 shapes expressible over the testdata star schema (SURVEY.md §2.1 joins /
 aggregation / subquery checklist, widened to the full canonical suite).
 
-Covered here: Q4 (EXISTS), Q6 (selective scan-agg), Q8 (market share,
-two-role nation), Q9 (profit roll-up), Q10 (top-k returned-item revenue),
-Q12 (conditional priority counts), Q14 (promo ratio), Q15 (scalar-max
+Covered here: Q4 (EXISTS), Q6 (selective scan-agg), Q7 (two-nation
+volume, symmetric disjunctive pair filter), Q8 (market share, two-role
+nation), Q9 (profit roll-up), Q10 (top-k returned-item revenue),
+Q12 (conditional priority counts), Q13 (left-outer order-count
+distribution, agg-of-agg), Q14 (promo ratio), Q15 (scalar-max
 top supplier), Q16 (distinct-supplier counts with exclusion), Q17
-(correlated avg subquery), Q19 (disjunctive pushdown), Q21 (waiting
+(correlated avg subquery), Q18 (large-volume customers,
+aggregate-then-join), Q19 (disjunctive pushdown), Q21 (waiting
 suppliers, EXISTS + NOT EXISTS self-joins), Q22 (dormant customers,
 scalar avg + anti join).
 
@@ -566,6 +569,139 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey, "left_semi")
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@workload(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND ((sn.n_name = 'NATION_5' AND cn.n_name = 'NATION_10')
+        OR (sn.n_name = 'NATION_10' AND cn.n_name = 'NATION_5'))
+    GROUP BY sn.n_name, cn.n_name, CAST(year(l_shipdate) AS BIGINT)
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: trade volume between a nation PAIR by ship year — the
+    two-role-nation join where the filter is a symmetric disjunction over
+    both roles. Both nation dims broadcast (25 rows); the disjunctive pair
+    predicate evaluates after the broadcast joins, so the only shuffles
+    are lineitem→orders (orderkey) and the final 2×2×2-group aggregate.
+    Revenue sums in DECIMAL(18,4), cast to double only at output."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_5") & (F.col("cust_nation") == "NATION_10")
+    ) | ((F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_5"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+@workload(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+          FROM customer
+          LEFT JOIN orders ON c_custkey = o_custkey
+                          AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of customers by order count — the
+    LEFT OUTER join with a filter INSIDE the join condition (customers
+    with zero qualifying orders must still appear with c_count = 0),
+    then a second aggregate over the first's output. Adapted: the
+    o_comment NOT LIKE exclusion becomes an o_orderpriority exclusion
+    (no comment column). Two shuffles: custkey for the join+count (one
+    exchange, reused), then the tiny c_count regroup."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@workload(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c_name, c_custkey, o.o_orderkey, o_orderdate, o_totalprice,
+           CAST(big.sum_qty_dec AS DOUBLE) AS sum_qty
+    FROM (SELECT l_orderkey,
+                 sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_dec
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250) big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds a threshold, with
+    their customer — aggregate-then-join (the IN-subquery of the spec
+    decorrelated into a HAVING aggregate used as the join's left side).
+    The lineitem aggregate and the orders join share the l_orderkey
+    exchange; quantity sums in DECIMAL so the >250 cut and the output are
+    bit-identical across engines."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec2("l_quantity")).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
     )
 
 
