@@ -565,3 +565,158 @@ def ivf_topk(
         n_probe=n_probe,
         exclude_self=exclude_self,
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8-quantized candidate generation + exact rerank
+# ---------------------------------------------------------------------------
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding",
+    qvec_col: str = "qvec", qscale_col: str = "qscale",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``scale = max|x| / 127``,
+    ``q = clip(round(x / scale), -127, 127)``, packed into a BINARY column
+    (one byte per dimension — 8× smaller than the double array).
+
+    This is the storage/bandwidth scale play for 100 TB embedding tables:
+    the candidate-generation scan streams 1/8th the bytes, and the int8
+    dot product is exact integer arithmetic (deterministic, SIMD-friendly
+    in numpy). Arrow-batched pandas UDF, no per-row Python.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import PandasUDFType
+
+    def pack(vs):
+        out = []
+        for v in vs:
+            a = np.asarray(v, dtype=np.float64)
+            s = np.abs(a).max() / 127.0 if a.size else 1.0
+            if s == 0.0:
+                s = 1.0
+            out.append(
+                np.clip(np.rint(a / s), -127, 127).astype(np.int8).tobytes()
+            )
+        return pd.Series(out)
+
+    def scale(vs):
+        out = []
+        for v in vs:
+            a = np.asarray(v, dtype=np.float64)
+            s = np.abs(a).max() / 127.0 if a.size else 1.0
+            out.append(s if s != 0.0 else 1.0)
+        return pd.Series(out)
+
+    v = as_double(F.col(vec_col))
+    return df.withColumn(
+        qvec_col, F.pandas_udf("binary", PandasUDFType.SCALAR)(pack)(v)
+    ).withColumn(
+        qscale_col, F.pandas_udf("double", PandasUDFType.SCALAR)(scale)(v)
+    )
+
+
+def _int8_score_udf():
+    """Approximate cosine from packed int8 vectors:
+    ``(qa·qb) * sa * sb / (na * nb)`` — the integer dot is exact, the
+    scales/norms are per-row doubles, so the score is deterministic."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import PandasUDFType
+
+    def score(qa, qb, sa, sb, na, nb):
+        ma = np.stack([np.frombuffer(x, dtype=np.int8) for x in qa]).astype(np.int32)
+        mb = np.stack([np.frombuffer(x, dtype=np.int8) for x in qb]).astype(np.int32)
+        d = np.einsum("ij,ij->i", ma, mb).astype(np.float64)
+        return pd.Series(
+            d * sa.to_numpy() * sb.to_numpy() / (na.to_numpy() * nb.to_numpy())
+        )
+
+    return F.pandas_udf("double", PandasUDFType.SCALAR)(score)
+
+
+def quantized_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 32,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Two-stage exact-by-rerank ANN (the production quantized-index
+    pattern, cf. FAISS IndexScalarQuantizer + refine):
+
+    stage 1 (candidate gen): score int8-quantized vectors — the corpus
+      pass reads packed BINARY (8× fewer bytes than double arrays) and an
+      Arrow-batched numpy integer dot; keep the top ``m`` per query.
+    stage 2 (rerank): join the m candidate ids back to the full-precision
+      vectors (|Q|·m rows, tiny) and compute the EXACT sequential-fold
+      double cosine; keep the top ``k``.
+
+    With ``m`` comfortably above ``k`` (default 32 vs 5) the output equals
+    exact brute force whenever quantization error doesn't demote a true
+    top-k neighbor below rank m — int8 on unit-ish vectors keeps relative
+    dot error ~1e-2, far inside the top-32 margin (asserted exactly vs
+    ``brute_force_topk`` in tests and by the driver's SQL oracle).
+    Returns (query_id, neighbor_id, rank, cos) like ``brute_force_topk``.
+    """
+    q = quantize_int8(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        ),
+        "qv", "q_qvec", "q_scale",
+    ).withColumn("q_norm", norm(F.col("qv")))
+    c = quantize_int8(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+        ),
+        "cv", "c_qvec", "c_scale",
+    ).withColumn("c_norm", norm(F.col("cv")))
+
+    # stage 1 streams ONLY the packed columns — the double arrays never
+    # enter the cross product.
+    cand = F.broadcast(q.drop("qv")).crossJoin(c.drop("cv"))
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    cand = cand.select(
+        "query_id",
+        "neighbor_id",
+        _int8_score_udf()(
+            F.col("q_qvec"), F.col("c_qvec"),
+            F.col("q_scale"), F.col("c_scale"),
+            F.col("q_norm"), F.col("c_norm"),
+        ).alias("qcos"),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        cand.withColumn("__r", F.row_number().over(w1))
+        .filter(F.col("__r") <= m)
+        .select("query_id", "neighbor_id")
+    )
+
+    # stage 2: exact rerank on |Q|·m rows.
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    rer = (
+        shortlist.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

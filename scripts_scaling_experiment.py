@@ -17,8 +17,10 @@ from fn_rq_report_etl_dev_spark.operators.merge_partitioned import (
     ensure_bucketed_target, merge_into_bucketed_target)
 from pyspark.sql import types as T
 
-spark = get_spark(app_name="scaling")
 EXPERIMENT = sys.argv[1] if len(sys.argv) > 1 else "all"
+# bloom experiment reads shuffle metrics from the UI REST API
+_conf = {"spark.ui.enabled": "true"} if EXPERIMENT == "bloom" else None
+spark = get_spark(app_name="scaling", extra_conf=_conf)
 
 
 def _force(df):
@@ -75,8 +77,91 @@ def skew_experiment():
     return out
 
 
+def bloom_join_experiment():
+    """Runtime bloom-filter join pruning (`InjectRuntimeFilter`,
+    `spark.sql.optimizer.runtime.bloomFilter.*`): a selective dim filter
+    builds a bloom filter that prunes the FACT side's shuffle BEFORE the
+    join. Modeled on the 100 TB case — dim too big to broadcast
+    (autoBroadcast disabled to stand in for a multi-GB dim), 64M-row
+    parquet fact.
+
+    Preconditions discovered while making the rule fire (SCALING.md
+    §bloom): (1) both sides must be FILE scans (a `spark.range` source
+    never triggers injection); (2) the creation-side predicate must be
+    "likely selective" — literal equality/comparison/IN/LIKE; a bare
+    boolean column (`WHERE sel`) does NOT qualify; (3) the creation side's
+    SIZE ESTIMATE must fit creationSideThreshold — without CBO stats a
+    filter's estimate equals its child's, so the default 10 MB skips any
+    dim scan over ~10 MB (raised to 1 GB here; on a stats-enabled
+    warehouse ANALYZE TABLE fixes the estimate instead).
+
+    Shuffle bytes/records are read from the UI REST API — the
+    scale-relevant metric (local NVMe wall-clock undersells a win that is
+    mostly network at cluster scale)."""
+    import tempfile
+    import urllib.request
+
+    ui = spark.conf.get("spark.ui.enabled", "false") == "true"
+    d = tempfile.mkdtemp(prefix="rtflt-")
+    (spark.range(64_000_000).withColumnRenamed("id", "k")
+     .withColumn("v", (F.col("k") % 997).cast("double"))
+     .withColumn("pad", F.md5(F.col("k").cast("string")))
+     .write.parquet(f"{d}/fact"))
+    (spark.range(2_000_000).withColumnRenamed("id", "k")
+     .withColumn("grp", (F.col("k") % 100).cast("int"))
+     .withColumn("attr", F.md5(F.col("k").cast("string")))
+     .write.parquet(f"{d}/dim"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+
+    def build():
+        fact = spark.read.parquet(f"{d}/fact")
+        dim = spark.read.parquet(f"{d}/dim").filter("grp = 0")  # 1% selective
+        return fact.join(dim, "k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+
+    app = spark.sparkContext.applicationId
+
+    def shuffle_totals():
+        if not ui:
+            return 0, 0
+        url = f"http://localhost:4040/api/v1/applications/{app}/stages?status=complete"
+        st = json.loads(urllib.request.urlopen(url).read())
+        return (sum(s.get("shuffleWriteBytes", 0) for s in st),
+                sum(s.get("shuffleWriteRecords", 0) for s in st))
+
+    out = []
+    for mode in ("true", "false"):
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", mode)
+        if mode == "true":
+            assert "might_contain" in build()._jdf.queryExecution().optimizedPlan().toString()
+        _force(build())  # warm
+        b0, r0 = shuffle_totals()
+        t0 = time.perf_counter(); _force(build())
+        b1, r1 = shuffle_totals()
+        row = {"experiment": "bloom_join", "bloom": mode,
+               "sec": round(time.perf_counter() - t0, 2),
+               "shuffle_mb": round((b1 - b0) / 1e6, 1),
+               "shuffle_records": r1 - r0}
+        out.append(row)
+        print(json.dumps(row))
+    for key in ("spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold",
+                "spark.sql.optimizer.runtime.bloomFilter.enabled",
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+                "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"):
+        spark.conf.unset(key)
+    return out
+
+
 if EXPERIMENT == "skew":
     skew_experiment()
+    sys.exit(0)
+if EXPERIMENT == "bloom":
+    bloom_join_experiment()
     sys.exit(0)
 SCHEMA = T.StructType([
     T.StructField("k", T.LongType(), True),

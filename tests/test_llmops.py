@@ -432,3 +432,46 @@ def test_udtf_sql_registration_lateral_join(spark):
     assert [(r["doc_id"], r["idx"], r["word"]) for r in rows] == [
         (1, 0, "alpha"), (1, 1, "beta"), (2, 0, "gamma"),
     ]
+
+
+def test_quantized_rerank_equals_bruteforce(spark, sf_dir):
+    """Int8 candidate gen + exact rerank must lose nothing vs brute force
+    at a 32-vs-5 margin (the workload's oracle depends on this)."""
+    from pyspark.sql import functions as F
+
+    from fn_rq_report_etl_dev_spark.operators.similarity import (
+        brute_force_topk,
+        quantized_rerank_topk,
+    )
+    from fn_rq_report_etl_dev_spark.workloads import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cos"], 12))
+        for r in quantized_rerank_topk(q, emb, k=5, m=32, exclude_self=True).collect()
+    }
+    exp = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cos"], 12))
+        for r in brute_force_topk(q, emb, k=5, exclude_self=True).collect()
+    }
+    assert got == exp and len(got) == 40
+
+
+def test_quantize_int8_packing_roundtrip(spark):
+    """qvec is one int8 byte per dimension; dequantized values stay within
+    scale/2 of the original (round-to-nearest), and the zero vector maps
+    to scale 1.0 without dividing by zero."""
+    import numpy as np
+
+    from fn_rq_report_etl_dev_spark.operators.similarity import quantize_int8
+
+    rows = [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    q1 = np.frombuffer(out[1]["qvec"], dtype=np.int8)
+    s1 = out[1]["qscale"]
+    assert len(q1) == 4
+    assert np.all(np.abs(q1 * s1 - np.array(rows[0][1])) <= s1 / 2 + 1e-12)
+    assert out[2]["qscale"] == 1.0
+    assert np.frombuffer(out[2]["qvec"], dtype=np.int8).tolist() == [0, 0, 0, 0]

@@ -120,3 +120,40 @@ def test_simhash64_verify_is_integer_bitcount(spark, sf_dir):
     df = QUERIES["dedup_simhash64"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "bit_count" in plan
+
+
+def test_q7_broadcasts_nations_and_pushes_shipdate(spark, sf_dir):
+    df = QUERIES["q7_volume_shipping"](spark, sf_dir)
+    assert has_pushed_filters(df)  # l_shipdate window reaches the scan
+    plan = formatted_plan(df)
+    # both nation roles (and supplier) broadcast — no shuffle for dims
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q13_left_outer_keeps_filter_in_join_condition(spark, sf_dir):
+    df = QUERIES["q13_customer_order_distribution"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # the o_orderpriority exclusion prunes the orders SCAN (it's on the
+    # preserved side's build input, so pushdown is safe), never customers
+    assert has_pushed_filters(df)
+    # two aggregates (per-custkey count, then distribution regroup)
+    assert plan.count("HashAggregate") >= 4  # 2 logical aggs x partial+final
+
+
+def test_q18_aggregate_then_join_single_lineitem_exchange(spark, sf_dir):
+    df = QUERIES["q18_large_volume_customers"](spark, sf_dir)
+    # lineitem shuffles ONCE on l_orderkey for the HAVING aggregate; the
+    # orders join reuses that distribution (plus at most the customer
+    # side's exchanges) — pin the ceiling so a plan regression (e.g. an
+    # extra repartition between agg and join) can't sneak in.
+    assert exchange_count(df) <= 3
+
+
+def test_quantized_rerank_stage1_streams_packed_bytes_only(spark, sf_dir):
+    df = QUERIES["ann_quantized_rerank_topk"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # stage-1 candidate gen is broadcast-paired (queries side), and the
+    # full-precision arrays re-enter only via the stage-2 rerank joins
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # Arrow-batched python stages: quantize (x2 sides) + int8 score
+    assert plan.count("ArrowEvalPython") >= 3
