@@ -543,6 +543,69 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "text_heavy_hitters_cms",
+    oracle=r"""
+    WITH w AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        FROM documents
+    ),
+    counts AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+    top AS (SELECT word, n
+            FROM (SELECT word, n,
+                         row_number() OVER (ORDER BY n DESC, word) AS rk
+                  FROM counts)
+            WHERE rk <= 20),
+    grid AS (
+        SELECT d.d,
+               ('0x' || substr(md5(d.d::VARCHAR || ':' || word), 1, 8))::BIGINT
+                   % 4096 AS bucket,
+               count(*) AS cnt
+        FROM w, (VALUES (0), (1), (2), (3)) AS d(d)
+        GROUP BY 1, 2
+    ),
+    probes AS (
+        SELECT t.word, t.n, d.d,
+               ('0x' || substr(md5(d.d::VARCHAR || ':' || t.word), 1, 8))::BIGINT
+                   % 4096 AS bucket
+        FROM top t, (VALUES (0), (1), (2), (3)) AS d(d)
+    )
+    SELECT p.word, CAST(p.n AS BIGINT) AS n, CAST(min(g.cnt) AS BIGINT) AS cms_est
+    FROM probes p JOIN grid g ON g.d = p.d AND g.bucket = p.bucket
+    GROUP BY p.word, p.n
+    """,
+)
+def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (operators/sketches.py) next
+    to the exact counts: the d×w grid's partial counts combine map-side,
+    so the shuffle is ≤ d·w rows regardless of corpus size — the
+    fixed-memory alternative to the full |vocab| shuffle of
+    ``text_vocab_topk``. The oracle REPLAYS the identical md5 sketch in
+    SQL, so the driver value-checks the estimates themselves (est ≥ true
+    by construction), not just a bound."""
+    from pyspark.sql import Window
+
+    from ..operators.sketches import cm_estimate, countmin_table
+
+    docs = load(spark, sf_dir, "documents")
+    w_df = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+    )
+    counts = w_df.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    top = (
+        counts.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("word"))
+            ),
+        )
+        .filter(F.col("rk") <= 20)
+        .select("word", "n")
+    )
+    cms = countmin_table(w_df, "word", width=4096, depth=4)
+    return cm_estimate(cms, top, "word", width=4096, depth=4)
+
+
+@workload(
     "ann_quantized_rerank_topk",
     oracle="""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

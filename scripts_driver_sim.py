@@ -50,10 +50,19 @@ def main() -> int:
     import duckdb
     from pyspark.sql import SparkSession
 
+    import os
+
+    # Overridable parallelism/partitioning: the driver's session config is
+    # unknown, so determinism must hold under ANY task split — re-running
+    # with e.g. SPARK_SIM_MASTER=local[3] SPARK_SIM_SHUFFLE=7 is the
+    # cheap audit that no result depends on shuffle/partition order.
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(os.environ.get("SPARK_SIM_MASTER", "local[8]"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_SIM_SHUFFLE", "8"),
+        )
         .getOrCreate()
     )
     con = duckdb.connect()

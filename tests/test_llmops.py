@@ -475,3 +475,23 @@ def test_quantize_int8_packing_roundtrip(spark):
     assert np.all(np.abs(q1 * s1 - np.array(rows[0][1])) <= s1 / 2 + 1e-12)
     assert out[2]["qscale"] == 1.0
     assert np.frombuffer(out[2]["qvec"], dtype=np.int8).tolist() == [0, 0, 0, 0]
+
+
+def test_countmin_never_underestimates_and_grid_is_bounded(spark):
+    """CM invariants on a synthetic stream: est >= true for every item,
+    and the grid has at most depth*width rows (the fixed shuffle bound)."""
+    from fn_rq_report_etl_dev_spark.operators.sketches import (
+        cm_estimate,
+        countmin_table,
+    )
+
+    rows = [("a",)] * 50 + [("b",)] * 20 + [(f"x{i}",) for i in range(200)]
+    items = spark.createDataFrame(rows, "word string")
+    cms = countmin_table(items, "word", width=64, depth=4)
+    assert cms.count() <= 4 * 64
+    cand = items.distinct()
+    est = {r["word"]: r["cms_est"] for r in cm_estimate(cms, cand, "word", width=64, depth=4).collect()}
+    true = {"a": 50, "b": 20, **{f"x{i}": 1 for i in range(200)}}
+    assert all(est[w] >= n for w, n in true.items())
+    # heavy hitters stay well-separated from the tail at this width
+    assert est["a"] >= 50 and est["b"] >= 20
