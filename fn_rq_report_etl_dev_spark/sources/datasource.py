@@ -29,11 +29,15 @@ import os
 from collections.abc import Iterator, Sequence
 from datetime import date, timedelta
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 from ..schemas import STAGING_SCHEMA, TRADEIN_COLUMNS
@@ -206,10 +210,127 @@ class TradeInApiStreamReader(SimpleDataSourceStreamReader):
         pass
 
 
+@dataclass
+class TradeInWriteCommit(WriterCommitMessage):
+    part_file: str | None  # landing mode: staged part path; HTTP mode: None
+    n_rows: int
+
+
+class TradeInApiWriter(DataSourceWriter):
+    """Write side of the trade-in API format — the reference's bulk-insert
+    sink (O13, rqtradein_etl.py:330-340) as a first-class
+    ``df.write.format("rq_tradein_api")``. Two modes, mirroring the reader:
+
+    - ``landing`` + ``day``: each task stages its partition as a JSON part
+      file under ``{landing}/.staging-{day}-{job}/``; the driver-side
+      ``commit`` concatenates the parts into ``{landing}/{day}.json``
+      atomically (tmp + rename) and drops the staging dir, so readers
+      never observe a half-written day and a failed job leaves the
+      previous day file untouched (``abort`` removes the staging dir).
+      Replaces any existing day file — the reference's daily re-fetch +
+      idempotent re-merge contract (SURVEY §3.1), where a day batch is a
+      unit that supersedes its previous version.
+    - ``url``: each task POSTs its partition as a JSON array with the
+      same linear-backoff retry as the fetch path. HTTP has no
+      transaction: a failed job may leave some partitions delivered —
+      exactly the reference's exposure, absorbed downstream by the
+      key-idempotent merge (O16). ``commit`` is then bookkeeping only.
+
+    NULL fields are omitted from the JSON (the reader's ``row.get`` →
+    NULL projection restores them), so a landing round-trip is lossless.
+    """
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        self.landing = options.get("landing")
+        self.url = options.get("url")
+        if not self.landing and not self.url:
+            raise ValueError("rq_tradein_api writer requires 'landing' or 'url'")
+        self.day = options.get("day")
+        if self.landing and not self.day:
+            raise ValueError("rq_tradein_api landing writer requires 'day'")
+        if self.day:
+            date.fromisoformat(self.day)  # validate
+        self.max_retries = int(options.get("max_retries", 3))
+        self.backoff_seconds = int(options.get("backoff_seconds", 5))
+        self.columns = [f.name for f in schema.fields]
+        # one staging namespace per write job: concurrent jobs never mix
+        import uuid
+
+        self.job_id = uuid.uuid4().hex[:12]
+
+    def _staging_dir(self) -> str:
+        return os.path.join(self.landing, f".staging-{self.day}-{self.job_id}")
+
+    def write(self, iterator) -> TradeInWriteCommit:
+        rows = [
+            {c: row[c] for c in self.columns if row[c] is not None}
+            for row in iterator
+        ]
+        if self.landing:
+            import uuid
+
+            os.makedirs(self._staging_dir(), exist_ok=True)
+            part = os.path.join(
+                self._staging_dir(), f"part-{uuid.uuid4().hex}.json"
+            )
+            with open(part, "w", encoding="utf-8") as fh:
+                json.dump(rows, fh)
+            return TradeInWriteCommit(part_file=part, n_rows=len(rows))
+        # HTTP mode: POST with the same retry envelope as the fetch path.
+        import time
+        import urllib.request
+
+        body = json.dumps(rows).encode()
+        last_exc: Exception | None = None
+        for attempt in range(1, self.max_retries + 1):
+            try:
+                req = urllib.request.Request(
+                    self.url,
+                    data=body,
+                    headers={"Content-Type": "application/json"},
+                    method="POST",
+                )
+                with urllib.request.urlopen(req, timeout=120) as resp:
+                    resp.read()
+                return TradeInWriteCommit(part_file=None, n_rows=len(rows))
+            except Exception as exc:  # noqa: BLE001 — retry any transport error
+                last_exc = exc
+                if attempt == self.max_retries:
+                    raise
+                time.sleep(self.backoff_seconds * attempt)
+        raise last_exc  # unreachable; satisfies type checkers
+
+    def commit(self, messages) -> None:
+        if not self.landing:
+            return
+        import shutil
+
+        parts = sorted(
+            m.part_file for m in messages if m is not None and m.part_file
+        )
+        merged: list[dict] = []
+        for p in parts:
+            with open(p, encoding="utf-8") as fh:
+                merged.extend(json.load(fh))
+        tmp = os.path.join(self.landing, f".tmp-{self.day}-{self.job_id}.json")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(merged, fh)
+        os.replace(tmp, os.path.join(self.landing, f"{self.day}.json"))
+        shutil.rmtree(self._staging_dir(), ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        if self.landing:
+            import shutil
+
+            shutil.rmtree(self._staging_dir(), ignore_errors=True)
+
+
 class TradeInApiDataSource(DataSource):
     """``spark.dataSource.register(TradeInApiDataSource)`` then
-    ``spark.read.format("rq_tradein_api").option(...).load()`` (batch) or
-    ``spark.readStream.format("rq_tradein_api")...`` (incremental days)."""
+    ``spark.read.format("rq_tradein_api").option(...).load()`` (batch),
+    ``spark.readStream.format("rq_tradein_api")...`` (incremental days),
+    or ``df.write.format("rq_tradein_api").option(...)`` (day-file /
+    HTTP-POST sink)."""
 
     @classmethod
     def name(cls) -> str:
@@ -223,3 +344,6 @@ class TradeInApiDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> TradeInApiStreamReader:
         return TradeInApiStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> TradeInApiWriter:
+        return TradeInApiWriter(self.options, schema, overwrite)

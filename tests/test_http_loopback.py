@@ -42,6 +42,8 @@ class _ApiState:
     def __init__(self):
         self.fail_remaining: dict[str, int] = {}  # day -> 500s left to serve
         self.requests: list[str] = []  # StartDate of every GET, in order
+        self.post_fail_remaining = 0  # 500s to serve before accepting POSTs
+        self.posts: list[list[dict]] = []  # accepted POST bodies
         self.lock = threading.Lock()
 
 
@@ -69,6 +71,20 @@ def api_server():
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+
+        def do_POST(self):  # noqa: N802 — http.server API
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n)
+            with state.lock:
+                if state.post_fail_remaining > 0:
+                    state.post_fail_remaining -= 1
+                    failing = True
+                else:
+                    failing = False
+                    state.posts.append(json.loads(body))
+            self.send_response(500 if failing else 200)
+            self.end_headers()
+            self.wfile.write(b"" if failing else b"ok")
 
         def log_message(self, *args):  # keep pytest output clean
             pass
@@ -175,3 +191,93 @@ def test_stream_reader_http_offsets_exactly_once(api_server, spark, tmp_path):
     drain("2026-08-03")
     got = sorted(r["SaleInvoiceID"] for r in spark.read.parquet(target).collect())
     assert got == ["1", "2", "3", "4"]  # day 1-2 not re-emitted
+
+
+def _staging_df(spark, rows):
+    from fn_rq_report_etl_dev_spark.schemas import STAGING_SCHEMA, TRADEIN_COLUMNS
+    from fn_rq_report_etl_dev_spark.sources.datasource import _project
+
+    return spark.createDataFrame([_project(r) for r in rows], STAGING_SCHEMA)
+
+
+def test_writer_landing_roundtrip_through_reader(spark, tmp_path):
+    """Sink → source round trip: write a day file via the writer (staged
+    parts merged atomically on commit), read it back through the batch
+    reader — same rows, NULLs restored, no staging residue."""
+    spark.dataSource.register(TradeInApiDataSource)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows = [
+        {"SaleInvoiceID": "1", "TradeInStatus": "OK"},
+        {"SaleInvoiceID": "2", "TradeInAmount": "19.99"},
+        {"SaleInvoiceID": "3"},
+    ]
+    (
+        _staging_df(spark, rows).repartition(3)
+        .write.format(FORMAT_NAME)
+        .option("landing", str(landing))
+        .option("day", "2026-08-05")
+        .mode("append")
+        .save()
+    )
+    assert (landing / "2026-08-05.json").exists()
+    assert not [p for p in landing.iterdir() if p.name.startswith(".staging")]
+    back = (
+        spark.read.format(FORMAT_NAME)
+        .option("landing", str(landing))
+        .option("start_date", "2026-08-05")
+        .load()
+    )
+    got = {r["SaleInvoiceID"]: r for r in back.collect()}
+    assert set(got) == {"1", "2", "3"}
+    assert got["2"]["TradeInAmount"] == "19.99"
+    assert got["3"]["TradeInStatus"] is None  # NULL restored via row.get
+    assert got["1"]["TradeInStatus"] == "OK"
+
+
+def test_writer_replaces_day_file_atomically(spark, tmp_path):
+    """A re-write of the same day supersedes the previous file (the
+    reference's daily re-fetch contract) — never merges with it."""
+    spark.dataSource.register(TradeInApiDataSource)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def write(rows):
+        (
+            _staging_df(spark, rows)
+            .write.format(FORMAT_NAME)
+            .option("landing", str(landing))
+            .option("day", "2026-08-06")
+            .mode("append")
+            .save()
+        )
+
+    write([{"SaleInvoiceID": "1"}])
+    write([{"SaleInvoiceID": "2"}, {"SaleInvoiceID": "3"}])
+    back = (
+        spark.read.format(FORMAT_NAME)
+        .option("landing", str(landing))
+        .option("start_date", "2026-08-06")
+        .load()
+    )
+    assert sorted(r["SaleInvoiceID"] for r in back.collect()) == ["2", "3"]
+
+
+def test_writer_http_posts_all_partitions_with_retry(api_server, spark):
+    """HTTP sink: every partition POSTs its JSON array from an executor;
+    transient 500s are retried with the same envelope as the fetch path."""
+    url, state = api_server
+    state.post_fail_remaining = 2  # first two POST attempts fail
+    spark.dataSource.register(TradeInApiDataSource)
+    rows = [{"SaleInvoiceID": str(i), "TradeInStatus": "OK"} for i in range(6)]
+    (
+        _staging_df(spark, rows).repartition(2)
+        .write.format(FORMAT_NAME)
+        .option("url", url)
+        .option("backoff_seconds", "0")
+        .mode("append")
+        .save()
+    )
+    delivered = sorted(r["SaleInvoiceID"] for batch in state.posts for r in batch)
+    assert delivered == sorted(str(i) for i in range(6))
+    assert len(state.posts) == 2  # one accepted POST per partition
