@@ -34,6 +34,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -325,12 +326,74 @@ class TradeInApiWriter(DataSourceWriter):
             shutil.rmtree(self._staging_dir(), ignore_errors=True)
 
 
+class TradeInApiStreamWriter(DataSourceStreamWriter):
+    """Streaming HTTP delivery sink: each micro-batch's partitions POST
+    their rows as JSON arrays (same retry envelope as the fetch path);
+    the driver appends one line per committed epoch to
+    ``{commit_log}`` — replayable bookkeeping of what was delivered.
+
+    Delivery semantics are at-least-once ACROSS failures (a task retried
+    after a partial epoch re-POSTs its partition; HTTP has no
+    transaction) and exactly-once per SUCCESSFUL epoch via the engine's
+    checkpoint — the same contract the reference's re-scan-and-absorb
+    pipeline exposes, absorbed downstream by the key-idempotent merge
+    (O16)."""
+
+    def __init__(self, options: dict):
+        self.url = options.get("url")
+        if not self.url:
+            raise ValueError("streaming rq_tradein_api writer requires 'url'")
+        self.commit_log = options.get("commit_log")
+        self.max_retries = int(options.get("max_retries", 3))
+        self.backoff_seconds = int(options.get("backoff_seconds", 5))
+
+    def write(self, iterator) -> TradeInWriteCommit:
+        import time
+        import urllib.request
+
+        rows = [
+            {k: v for k, v in row.asDict().items() if v is not None}
+            for row in iterator
+        ]
+        if not rows:
+            return TradeInWriteCommit(part_file=None, n_rows=0)
+        body = json.dumps(rows).encode()
+        last_exc: Exception | None = None
+        for attempt in range(1, self.max_retries + 1):
+            try:
+                req = urllib.request.Request(
+                    self.url,
+                    data=body,
+                    headers={"Content-Type": "application/json"},
+                    method="POST",
+                )
+                with urllib.request.urlopen(req, timeout=120) as resp:
+                    resp.read()
+                return TradeInWriteCommit(part_file=None, n_rows=len(rows))
+            except Exception as exc:  # noqa: BLE001 — retry any transport error
+                last_exc = exc
+                if attempt == self.max_retries:
+                    raise
+                time.sleep(self.backoff_seconds * attempt)
+        raise last_exc  # unreachable; satisfies type checkers
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803 — Spark API
+        if self.commit_log:
+            n = sum(m.n_rows for m in messages if m is not None)
+            with open(self.commit_log, "a", encoding="utf-8") as fh:
+                fh.write(json.dumps({"batch_id": batchId, "n_rows": n}) + "\n")
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803 — Spark API
+        pass  # nothing to roll back; see class docstring
+
+
 class TradeInApiDataSource(DataSource):
     """``spark.dataSource.register(TradeInApiDataSource)`` then
     ``spark.read.format("rq_tradein_api").option(...).load()`` (batch),
     ``spark.readStream.format("rq_tradein_api")...`` (incremental days),
-    or ``df.write.format("rq_tradein_api").option(...)`` (day-file /
-    HTTP-POST sink)."""
+    ``df.write.format("rq_tradein_api").option(...)`` (day-file /
+    HTTP-POST sink), or ``df.writeStream.format("rq_tradein_api")``
+    (per-micro-batch HTTP delivery)."""
 
     @classmethod
     def name(cls) -> str:
@@ -347,3 +410,6 @@ class TradeInApiDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> TradeInApiWriter:
         return TradeInApiWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> TradeInApiStreamWriter:  # noqa: N802
+        return TradeInApiStreamWriter(self.options)

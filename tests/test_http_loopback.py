@@ -281,3 +281,50 @@ def test_writer_http_posts_all_partitions_with_retry(api_server, spark):
     delivered = sorted(r["SaleInvoiceID"] for batch in state.posts for r in batch)
     assert delivered == sorted(str(i) for i in range(6))
     assert len(state.posts) == 2  # one accepted POST per partition
+
+
+def test_stream_writer_delivers_each_day_batch_once(api_server, spark, tmp_path):
+    """End-to-end streaming replication: the streaming READER drains
+    landed days from a directory; the streaming WRITER POSTs each
+    micro-batch to the API over real HTTP. Drain 1 delivers days 1-2;
+    day 3 lands; drain 2 (same checkpoint) delivers ONLY day 3 — the
+    engine's offset log gives exactly-once delivery per successful epoch,
+    and the commit log records each epoch's row count."""
+    url, state = api_server
+    spark.dataSource.register(TradeInApiDataSource)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for day in ("2026-08-01", "2026-08-02"):
+        (landing / f"{day}.json").write_text(json.dumps(DAYS[day]))
+    checkpoint = str(tmp_path / "ckpt")
+    commit_log = str(tmp_path / "commits.jsonl")
+
+    def drain():
+        q = (
+            spark.readStream.format(FORMAT_NAME)
+            .option("landing", str(landing))
+            .option("start_date", "2026-08-01")
+            .load()
+            .writeStream.format(FORMAT_NAME)
+            .option("url", url)
+            .option("commit_log", commit_log)
+            .option("backoff_seconds", "0")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert q.exception() is None
+
+    drain()
+    delivered = sorted(r["SaleInvoiceID"] for b in state.posts for r in b)
+    assert delivered == ["1", "2", "3"]
+
+    (landing / "2026-08-03.json").write_text(json.dumps(DAYS["2026-08-03"]))
+    drain()
+    delivered = sorted(r["SaleInvoiceID"] for b in state.posts for r in b)
+    assert delivered == ["1", "2", "3", "4"]  # days 1-2 not re-delivered
+
+    import pathlib
+    commits = [json.loads(l) for l in pathlib.Path(commit_log).read_text().splitlines()]
+    assert sum(c["n_rows"] for c in commits) == 4
