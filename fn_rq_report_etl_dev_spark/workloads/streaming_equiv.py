@@ -77,7 +77,7 @@ def run_stream_merge(
     # for the per-batch dedup window + merge join. Pin it small for the
     # stream's lifetime and restore after.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         query = (
             spark.readStream.schema(schema)
@@ -182,7 +182,7 @@ def run_stream_window_counts(
     # conf after — the choice is baked into the checkpoint, so reruns
     # against the same checkpoint keep it regardless of session setting.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         query = (
             agg.writeStream.foreachBatch(handle)
@@ -257,7 +257,7 @@ def streaming_dedup_watermark_boundary(spark: SparkSession, sf_dir: str) -> Data
 
     def drain() -> None:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
         try:
             q = stream_dedup(
                 spark, landing, schema, ["doc_key"], "ts", out, checkpoint,
