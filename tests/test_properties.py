@@ -299,3 +299,69 @@ def test_incremental_lsh_equals_full_lsh_cross_restriction(spark, docs, mod):
         if is_new[a] != is_new[b]
     }
     assert inc == expect
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-1, 1, allow_nan=False, allow_infinity=False, width=32),
+            min_size=4, max_size=4,
+        ),
+        min_size=3, max_size=10,
+    ),
+)
+def test_quantized_rerank_full_shortlist_equals_bruteforce(spark, vecs):
+    """With the shortlist as wide as the corpus, the int8 candidate stage
+    cannot drop anything, so the exact rerank must reproduce brute force
+    EXACTLY for arbitrary vectors — the invariant that makes the
+    quantized path trustworthy independent of quantization error."""
+    from fn_rq_report_etl_dev_spark.operators.similarity import (
+        brute_force_topk,
+        quantized_rerank_topk,
+    )
+
+    rows = [
+        (i, [float(v[0]) + 1.5] + [float(x) for x in v[1:]])  # non-zero norm
+        for i, v in enumerate(vecs)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    m = len(rows)
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], round(r["cos"], 9))
+        for r in quantized_rerank_topk(df, df, k=2, m=m, exclude_self=True).collect()
+    )
+    exp = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], round(r["cos"], 9))
+        for r in brute_force_topk(df, df, k=2, exclude_self=True).collect()
+    )
+    assert got == exp
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    words=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+        min_size=1, max_size=120,
+    ),
+)
+def test_cms_never_underestimates_property(spark, words):
+    """Count-min invariant under forced collisions (width 8, depth 2):
+    every estimate ≥ the true count, for arbitrary multisets."""
+    from collections import Counter
+
+    from fn_rq_report_etl_dev_spark.operators.sketches import (
+        cm_estimate,
+        countmin_table,
+    )
+
+    items = spark.createDataFrame([(w,) for w in words], "word string")
+    cms = countmin_table(items, "word", width=8, depth=2)
+    est = {
+        r["word"]: r["cms_est"]
+        for r in cm_estimate(
+            cms, items.distinct(), "word", width=8, depth=2
+        ).collect()
+    }
+    true = Counter(words)
+    assert all(est[w] >= n for w, n in true.items())
