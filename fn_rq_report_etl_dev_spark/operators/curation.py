@@ -346,3 +346,77 @@ def temperature_allocation(
             F.col("__alloc").alias("group_alloc"),
         )
     )
+
+
+def boilerplate_segments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_words: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document boilerplate detection — the scalable form of exact
+    substring dedup (cf. "Deduplicating Training Data Makes Language
+    Models Better": exact duplicated spans dominate web corpora). Text is
+    cut into NON-overlapping ``seg_words``-word segments; a segment whose
+    md5 occurs in ≥ ``min_docs`` DISTINCT documents is boilerplate
+    (navigation chrome, license headers, templated spans).
+
+    Returns one row per document: ``(id, n_segments, n_boiler,
+    clean_n_words)`` where ``clean_n_words`` counts words in non-boiler
+    segments (the tail shorter than ``seg_words`` is never flagged).
+
+    Scale shape: one explode to |segments| rows, one groupBy on the
+    segment hash (Zipf-headed but bounded per hash by ``count distinct
+    id`` partial aggregation), one hash-join back — all shuffles keyed by
+    md5, no quadratic pair space anywhere.
+    """
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n_words = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(F.size(words))
+    n_segs = F.floor(n_words / seg_words).cast("bigint")
+    # guard the empty case: Spark's sequence(0, -1) produces a DESCENDING
+    # [0, -1] (implicit step sign), which would mint bogus segments for
+    # sub-seg_words docs — caught by the planted-template unit test.
+    seg_hashes = F.when(
+        n_segs > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(words, i * seg_words + 1, seg_words))
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    segs = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            n_words.alias("__n_words"),
+            F.posexplode(seg_hashes).alias("seg_idx", "seg_hash"),
+        )
+    )
+    boiler = (
+        segs.groupBy("seg_hash")
+        .agg(F.countDistinct("__id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("seg_hash", F.lit(1).alias("__is_boiler"))
+    )
+    per_doc = (
+        segs.join(boiler, "seg_hash", "left")
+        .groupBy("__id", "__n_words")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.coalesce(F.col("__is_boiler"), F.lit(0))).alias("n_boiler"),
+        )
+    )
+    # documents with fewer than seg_words words have zero segments and
+    # never reach per_doc via the explode — restore them with zeros.
+    base = df.select(F.col(id_col).alias("__id"), n_words.alias("__n_words"))
+    out = base.join(per_doc.drop("__n_words"), "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce(F.col("n_segments"), F.lit(0)).cast("bigint").alias("n_segments"),
+        F.coalesce(F.col("n_boiler"), F.lit(0)).cast("bigint").alias("n_boiler"),
+        (
+            F.col("__n_words")
+            - F.coalesce(F.col("n_boiler"), F.lit(0)) * seg_words
+        ).cast("bigint").alias("clean_n_words"),
+    )
+    return out

@@ -441,3 +441,45 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_shards(picked, "doc_id", seed="42", n_shards=16).join(
         picked, "doc_id"
     ).select("doc_id", "lang", "shard", "pos")
+
+
+@workload(
+    "curation_boilerplate_segments",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        FROM documents
+    ),
+    segs AS (
+        SELECT doc_id, i AS seg_idx,
+               md5(array_to_string(ws[i*10+1 : i*10+10], ' ')) AS seg_hash
+        FROM w, UNNEST(range(0, CAST(floor(len(ws) / 10) AS BIGINT))) AS t(i)
+    ),
+    boiler AS (
+        SELECT seg_hash FROM segs
+        GROUP BY seg_hash HAVING count(DISTINCT doc_id) >= 2
+    ),
+    per AS (
+        SELECT s.doc_id, count(*) AS n_segments,
+               sum(CASE WHEN b.seg_hash IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+        FROM segs s LEFT JOIN boiler b USING (seg_hash)
+        GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_segments, 0) AS BIGINT) AS n_segments,
+           CAST(coalesce(p.n_boiler, 0) AS BIGINT) AS n_boiler,
+           CAST(len(string_split_regex(trim(lower(d.text)), '\s+'))
+                - coalesce(p.n_boiler, 0) * 10 AS BIGINT) AS clean_n_words
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+)
+def curation_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate segments (exact-substring dedup at
+    segment granularity, cf. Lee et al. 2022): non-overlapping 10-word
+    blocks hashed with md5; a hash in ≥2 distinct docs is boilerplate.
+    All shuffles keyed by the segment hash — no pair space. The oracle
+    replays the identical segmentation in DuckDB."""
+    from ..operators.curation import boilerplate_segments
+
+    docs = load(spark, sf_dir, "documents")
+    return boilerplate_segments(docs, "doc_id", "text", seg_words=10, min_docs=2)

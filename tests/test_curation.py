@@ -428,3 +428,28 @@ def test_release_intermediates_frees_operator_persists(spark):
     assert n_persisted() > 0  # the operator did persist something
     release_intermediates(spark)
     assert n_persisted() == 0
+
+
+def test_boilerplate_segments_flags_planted_template(spark):
+    """A 10-word template planted in 3 docs is flagged in each; unique
+    tails are not; a short doc (< 10 words) yields zero segments but
+    keeps its word count."""
+    from fn_rq_report_etl_dev_spark.operators.curation import boilerplate_segments
+
+    template = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, template + " unique alpha beta gamma delta epsilon zeta eta theta iota"),
+        (2, template + " other words entirely different from the first document tail indeed"),
+        (3, template),
+        (4, "completely unrelated words that appear nowhere else in this corpus here"),
+        (5, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           boilerplate_segments(df, "doc_id", "text", seg_words=10, min_docs=2).collect()}
+    assert out[1]["n_segments"] == 2 and out[1]["n_boiler"] == 1
+    assert out[2]["n_segments"] == 2 and out[2]["n_boiler"] == 1
+    assert out[3]["n_segments"] == 1 and out[3]["n_boiler"] == 1
+    assert out[4]["n_boiler"] == 0
+    assert out[5]["n_segments"] == 0 and out[5]["clean_n_words"] == 2
+    assert out[1]["clean_n_words"] == 20 - 10
