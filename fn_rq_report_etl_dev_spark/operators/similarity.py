@@ -448,6 +448,17 @@ def build_ivf_index(
     )
     X = np.asarray([r["cv"] for r in sample_rows], dtype=np.float64)  # (n, d)
     k = min(n_cells, len(X))
+    if k == 0:
+        # empty corpus (or an all-empty partition range at scale): a valid
+        # zero-cell index — queries probe nothing and return no rows,
+        # instead of k-means crashing on a 0×d sample.
+        spark = corpus.sparkSession
+        centroids = spark.createDataFrame([], "cell int, centroid array<double>")
+        assigned = c.select(
+            "neighbor_id", "cv", F.lit(None).cast("int").alias("cell")
+        ).limit(0)
+        c.unpersist()
+        return IvfIndex(centroids, assigned)
     C = X[:k].copy()  # init = first k hash-ordered vectors (deterministic)
     for _ in range(max_iter):
         d2 = (C * C).sum(axis=1)[None, :] - 2.0 * X @ C.T  # (n, k) + const

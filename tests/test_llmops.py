@@ -495,3 +495,21 @@ def test_countmin_never_underestimates_and_grid_is_bounded(spark):
     assert all(est[w] >= n for w, n in true.items())
     # heavy hitters stay well-separated from the tail at this width
     assert est["a"] >= 50 and est["b"] >= 20
+
+
+def test_ivf_handles_empty_corpus(spark):
+    """A zero-row corpus yields a valid zero-cell index and empty query
+    results — not a k-means crash on a 0xd sample (empty partitions and
+    empty days are routine at scale; scripts_empty_audit.py sweeps all
+    registered queries)."""
+    from fn_rq_report_etl_dev_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_query,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    idx = build_ivf_index(empty, n_cells=8, seed=42)
+    assert idx.centroids.count() == 0
+    out = ivf_query(idx, empty, k=3, n_probe=2)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "rank", "cos"]
