@@ -122,12 +122,15 @@ def main() -> None:
         release_intermediates(spark)
         spark._jvm.System.gc()
 
+    # Every workload that queries the shared IVF index: the persisted cell
+    # assignment must be restored before timing ANY of them (isolate()
+    # drops it), or the timing conflates the distributed assignment pass
+    # into query latency (ADVICE r02; generalized in r04 when
+    # ann_ivf_recall joined the family).
+    IVF_CONSUMERS = {"ann_ivf_topk", "ann_ivf_recall"}
+
     def timed_run(name: str) -> float:
-        if name == "ann_ivf_topk":
-            # isolate() after earlier queries dropped the index's persisted
-            # cell-assignment blocks (clearCache doesn't exempt it) — without
-            # this, ann_ivf_topk re-runs the distributed assignment pass and
-            # the timing conflates build into query again (ADVICE r02).
+        if name in IVF_CONSUMERS:
             idx = _ivf_index(spark, sf_dir)
             idx.assigned.persist()
             idx.assigned.count()
@@ -145,20 +148,23 @@ def main() -> None:
     # can't separate sandbox drift from plan regressions — r02→r03 showed a
     # uniform 1.38x drift on byte-identical queries). Repeats are isolated
     # (caches dropped between runs) so every run measures the cold plan:
-    #   >= 2 s  : single shot (repeat budget cap — these queries' cost is
-    #             real work, and noise is proportionally small);
-    #   1–2 s   : min of 2;
-    #   < 1 s   : median of 3 (the entries where a 50 ms scheduler hiccup
-    #             is a 20% swing).
+    #   first run < 4 s : take a second run — this also catches the case
+    #             where a normally-fast query's FIRST run was inflated by
+    #             a GC pause (deciding repeats off run 1 alone would record
+    #             the outlier single-shot);
+    #   min < 1 s : third run, report the median (the entries where a
+    #             50 ms scheduler hiccup is a 20% swing);
+    #   else    : report the min (>= 4 s queries stay single-shot — their
+    #             cost is real work and noise is proportionally small).
     for name in sorted(QUERIES):
         if name in SIDE_TIMED:
             continue
         runs = [timed_run(name)]
         isolate()
-        if runs[0] < 2.0:
+        if runs[0] < 4.0:
             runs.append(timed_run(name))
             isolate()
-        if runs[0] < 1.0:
+        if min(runs) < 1.0:
             runs.append(timed_run(name))
             isolate()
         runs.sort()
@@ -181,6 +187,11 @@ def main() -> None:
             {
                 "queries": timings,
                 "side_timings": side,
+                # r04+: `value` excludes the side-timed checkpointed-
+                # streaming fixture (17.6 s of state-store overhead on 7
+                # rows in r03) — comparisons to r01-r03 totals must add
+                # side_timings back.
+                "excluded_from_value": sorted(side),
                 "sf": sf,
                 "unit": "sec",
                 "metric": "workload_suite_runtime",

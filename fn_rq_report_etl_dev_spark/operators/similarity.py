@@ -601,31 +601,29 @@ def quantize_int8(
 
     from pyspark.sql.functions import PandasUDFType
 
+    # ONE pandas UDF returning a struct: the vector column crosses the
+    # JVM→Python Arrow boundary once and max|x| is computed once per row
+    # (two separate pack/scale UDFs would double the quantization pass —
+    # in the operator whose whole point is scan-byte economy).
     def pack(vs):
-        out = []
+        qv, sc = [], []
         for v in vs:
             a = np.asarray(v, dtype=np.float64)
             s = np.abs(a).max() / 127.0 if a.size else 1.0
             if s == 0.0:
                 s = 1.0
-            out.append(
-                np.clip(np.rint(a / s), -127, 127).astype(np.int8).tobytes()
-            )
-        return pd.Series(out)
-
-    def scale(vs):
-        out = []
-        for v in vs:
-            a = np.asarray(v, dtype=np.float64)
-            s = np.abs(a).max() / 127.0 if a.size else 1.0
-            out.append(s if s != 0.0 else 1.0)
-        return pd.Series(out)
+            qv.append(np.clip(np.rint(a / s), -127, 127).astype(np.int8).tobytes())
+            sc.append(s)
+        return pd.DataFrame({"qvec": qv, "qscale": sc})
 
     v = as_double(F.col(vec_col))
-    return df.withColumn(
-        qvec_col, F.pandas_udf("binary", PandasUDFType.SCALAR)(pack)(v)
-    ).withColumn(
-        qscale_col, F.pandas_udf("double", PandasUDFType.SCALAR)(scale)(v)
+    packed = F.pandas_udf("qvec binary, qscale double", PandasUDFType.SCALAR)(pack)
+    tmp = "__quantize_packed"
+    return (
+        df.withColumn(tmp, packed(v))
+        .withColumn(qvec_col, F.col(f"{tmp}.qvec"))
+        .withColumn(qscale_col, F.col(f"{tmp}.qscale"))
+        .drop(tmp)
     )
 
 

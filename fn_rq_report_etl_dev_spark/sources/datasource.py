@@ -164,6 +164,12 @@ class TradeInApiStreamReader(SimpleDataSourceStreamReader):
 
     def _landed_days(self) -> list[str]:
         if not self.landing:
+            if self.available_through < self.start:
+                # high-water before the configured start (no data published
+                # yet, or an outer restart loop set it to yesterday): an
+                # idle empty batch, matching landing mode's empty listing —
+                # never a ValueError that kills the stream on every poll.
+                return []
             return _date_range(self.start, self.available_through)
         return sorted(
             f[: -len(".json")]
@@ -277,29 +283,13 @@ class TradeInApiWriter(DataSourceWriter):
             with open(part, "w", encoding="utf-8") as fh:
                 json.dump(rows, fh)
             return TradeInWriteCommit(part_file=part, n_rows=len(rows))
-        # HTTP mode: POST with the same retry envelope as the fetch path.
-        import time
-        import urllib.request
+        from .json_api import post_json_batch
 
-        body = json.dumps(rows).encode()
-        last_exc: Exception | None = None
-        for attempt in range(1, self.max_retries + 1):
-            try:
-                req = urllib.request.Request(
-                    self.url,
-                    data=body,
-                    headers={"Content-Type": "application/json"},
-                    method="POST",
-                )
-                with urllib.request.urlopen(req, timeout=120) as resp:
-                    resp.read()
-                return TradeInWriteCommit(part_file=None, n_rows=len(rows))
-            except Exception as exc:  # noqa: BLE001 — retry any transport error
-                last_exc = exc
-                if attempt == self.max_retries:
-                    raise
-                time.sleep(self.backoff_seconds * attempt)
-        raise last_exc  # unreachable; satisfies type checkers
+        post_json_batch(
+            self.url, rows,
+            max_retries=self.max_retries, backoff_seconds=self.backoff_seconds,
+        )
+        return TradeInWriteCommit(part_file=None, n_rows=len(rows))
 
     def commit(self, messages) -> None:
         if not self.landing:
@@ -348,8 +338,7 @@ class TradeInApiStreamWriter(DataSourceStreamWriter):
         self.backoff_seconds = int(options.get("backoff_seconds", 5))
 
     def write(self, iterator) -> TradeInWriteCommit:
-        import time
-        import urllib.request
+        from .json_api import post_json_batch
 
         rows = [
             {k: v for k, v in row.asDict().items() if v is not None}
@@ -357,25 +346,11 @@ class TradeInApiStreamWriter(DataSourceStreamWriter):
         ]
         if not rows:
             return TradeInWriteCommit(part_file=None, n_rows=0)
-        body = json.dumps(rows).encode()
-        last_exc: Exception | None = None
-        for attempt in range(1, self.max_retries + 1):
-            try:
-                req = urllib.request.Request(
-                    self.url,
-                    data=body,
-                    headers={"Content-Type": "application/json"},
-                    method="POST",
-                )
-                with urllib.request.urlopen(req, timeout=120) as resp:
-                    resp.read()
-                return TradeInWriteCommit(part_file=None, n_rows=len(rows))
-            except Exception as exc:  # noqa: BLE001 — retry any transport error
-                last_exc = exc
-                if attempt == self.max_retries:
-                    raise
-                time.sleep(self.backoff_seconds * attempt)
-        raise last_exc  # unreachable; satisfies type checkers
+        post_json_batch(
+            self.url, rows,
+            max_retries=self.max_retries, backoff_seconds=self.backoff_seconds,
+        )
+        return TradeInWriteCommit(part_file=None, n_rows=len(rows))
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803 — Spark API
         if self.commit_log:

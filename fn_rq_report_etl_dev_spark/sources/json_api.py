@@ -96,3 +96,39 @@ def read_json_landing(spark: SparkSession, path: str, schema: T.StructType = STA
     """Distributed schema-on-read over a landing directory of JSON batches —
     the 100 TB-scale replacement for the driver-side fetch."""
     return spark.read.schema(schema).json(path)
+
+
+def post_json_batch(
+    url: str,
+    rows: list[dict],
+    max_retries: int = 3,
+    backoff_seconds: int = 5,
+    timeout: int = 120,
+    sleep: Callable[[float], None] = time.sleep,
+) -> None:
+    """POST a JSON array with the same linear-backoff retry envelope as
+    :func:`fetch_json_batch` — the one shared delivery path for both the
+    batch and streaming writers (stdlib urllib: runs executor-side with no
+    extra dependency)."""
+    import json as _json
+    import urllib.request
+
+    body = _json.dumps(rows).encode()
+    last_exc: Exception | None = None
+    for attempt in range(1, max_retries + 1):
+        try:
+            req = urllib.request.Request(
+                url,
+                data=body,
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                resp.read()
+            return
+        except Exception as exc:  # noqa: BLE001 — retry any transport error
+            last_exc = exc
+            if attempt == max_retries:
+                raise
+            sleep(backoff_seconds * attempt)
+    raise last_exc  # unreachable; satisfies type checkers

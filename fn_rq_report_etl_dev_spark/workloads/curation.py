@@ -468,8 +468,9 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id,
            CAST(coalesce(p.n_segments, 0) AS BIGINT) AS n_segments,
            CAST(coalesce(p.n_boiler, 0) AS BIGINT) AS n_boiler,
-           CAST(len(string_split_regex(trim(lower(d.text)), '\s+'))
-                - coalesce(p.n_boiler, 0) * 10 AS BIGINT) AS clean_n_words
+           CAST(CASE WHEN d.text IS NULL THEN 0
+                     ELSE len(string_split_regex(trim(lower(d.text)), '\s+'))
+                END - coalesce(p.n_boiler, 0) * 10 AS BIGINT) AS clean_n_words
     FROM documents d LEFT JOIN per p USING (doc_id)
     """,
 )

@@ -1,12 +1,14 @@
 """Scaling evidence for SCALING.md.
 
-Experiments (select with argv, default: all):
+Experiments (select with argv, default: all three in sequence):
   merge — full-table merge vs bucketed incremental merge as target size
           grows while the daily batch stays fixed.
   skew  — unsalted vs salted latest_per_key on a 90%-one-key table
           (VERDICT r03 #7): where the two-phase salted window wins.
+  bloom — runtime bloom-filter join pruning: shuffle bytes with the
+          InjectRuntimeFilter rule on vs off.
 
-Run: python scripts_scaling_experiment.py [merge|skew]"""
+Run: python scripts_scaling_experiment.py [merge|skew|bloom|all]"""
 import sys, os, time, tempfile, json
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F
@@ -19,7 +21,7 @@ from pyspark.sql import types as T
 
 EXPERIMENT = sys.argv[1] if len(sys.argv) > 1 else "all"
 # bloom experiment reads shuffle metrics from the UI REST API
-_conf = {"spark.ui.enabled": "true"} if EXPERIMENT == "bloom" else None
+_conf = {"spark.ui.enabled": "true"} if EXPERIMENT in ("bloom", "all") else None
 spark = get_spark(app_name="scaling", extra_conf=_conf)
 
 
@@ -215,3 +217,7 @@ for target_rows in (500_000, 2_000_000, 8_000_000):
                     "bucketed_uniform_batch_s": bkt_uniform_s,
                     "bucketed_aligned_batch_s": bkt_aligned_s})
     print(json.dumps(results[-1]))
+
+if EXPERIMENT == "all":
+    skew_experiment()
+    bloom_join_experiment()

@@ -328,3 +328,26 @@ def test_stream_writer_delivers_each_day_batch_once(api_server, spark, tmp_path)
     import pathlib
     commits = [json.loads(l) for l in pathlib.Path(commit_log).read_text().splitlines()]
     assert sum(c["n_rows"] for c in commits) == 4
+
+
+def test_stream_reader_idles_when_high_water_precedes_start(api_server, spark, tmp_path):
+    """available_through before start_date (no data published yet, or an
+    outer loop set the high-water to yesterday) must yield an idle empty
+    batch — not a ValueError that kills the stream on every poll."""
+    url, state = api_server
+    spark.dataSource.register(TradeInApiDataSource)
+    q = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("url", url)
+        .option("start_date", "2026-08-02")
+        .option("available_through", "2026-08-01")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.exception() is None
+    assert state.requests == []  # nothing fetched
