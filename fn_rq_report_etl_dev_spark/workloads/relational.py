@@ -1620,3 +1620,57 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY l_returnflag, l_linestatus
         """
     )
+
+
+@workload(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+    SELECT step, n_users FROM (
+        SELECT 1 AS ord, 'view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM v
+        UNION ALL
+        SELECT 2, 'view>click', CAST(count(*) AS BIGINT) FROM c
+        UNION ALL
+        SELECT 3, 'view>click>purchase', CAST(count(*) AS BIGINT) FROM p
+    ) ORDER BY ord
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view → click → purchase, strictly
+    increasing timestamps): the product-analytics staple. Step k's
+    earliest qualifying time is the min event time AFTER step k-1's —
+    computed as k passes of filter+groupBy(user) joined on user_id, each
+    reusing the same hash distribution; no per-user event collection, no
+    window over the whole event stream, so a power user with millions of
+    events costs one partial-aggregated key, not a task-sized array."""
+    ev = load(spark, sf_dir, "events")
+
+    def first_after(event_type: str, prev, prev_t: str, out_t: str):
+        e = ev.filter(F.col("event_type") == event_type)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(out_t))
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_t))
+        )
+
+    v = first_after("view", None, "", "t1")
+    c = first_after("click", v, "t1", "t2")
+    p = first_after("purchase", c, "t2", "t3")
+    steps = [("view", v), ("view>click", c), ("view>click>purchase", p)]
+    out = None
+    for name, df in steps:
+        row = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("step"), F.col("n_users").cast("bigint")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
