@@ -1674,3 +1674,57 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@workload(
+    "cohort_weekly_retention",
+    oracle="""
+    WITH first_signup AS (
+        SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (
+        SELECT f.cohort_week,
+               CAST(datediff('day', f.cohort_week,
+                             CAST(date_trunc('week', e.ts) AS DATE)) / 7
+                    AS BIGINT) AS week_offset,
+               e.user_id
+        FROM events e JOIN first_signup f ON f.user_id = e.user_id
+        WHERE e.ts >= f.cohort_week
+    )
+    SELECT cohort_week, week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by their first-signup week,
+    counted distinct in each subsequent activity week. Two shuffles, both
+    on user_id (first-signup agg, then the activity join reuses the
+    distribution); the final (cohort, offset) grid is tiny. date_trunc
+    week starts Monday in both engines; the offset is exact integer
+    day-arithmetic between week starts, so no cross-engine rounding."""
+    ev = load(spark, sf_dir, "events")
+    first_signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week"))
+    )
+    activity = (
+        ev.join(first_signup, "user_id")
+        .filter(F.col("ts").cast("date") >= F.col("cohort_week"))
+        .select(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.to_date(F.date_trunc("week", F.col("ts"))),
+                    F.col("cohort_week"),
+                )
+                / 7
+            ).cast("bigint").alias("week_offset"),
+            "user_id",
+        )
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
