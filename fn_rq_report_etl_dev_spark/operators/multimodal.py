@@ -191,55 +191,64 @@ def wave_audio_decoder() -> Callable[[bytes], list[float] | None]:
     return decode
 
 
+def _parse_pnm(payload: bytes):
+    """Parse a binary PNM (P5/P6) payload → (magic, w, h, maxval, raster)
+    with the raster as a 1-D numpy array of exactly w*h (P5) or 3*w*h (P6)
+    samples. Shared by the decode and resize operators.
+
+    Raster work is numpy-vectorized (``np.frombuffer``); 16-bit samples
+    (maxval 256-65535) are handled per the PNM spec as 2-byte big-endian,
+    instead of being silently misparsed; trailing bytes after the raster
+    (some writers emit a final newline) are ignored via an explicit
+    sample count, so an odd buffer tail can't break the 2-byte parse."""
+    import numpy as np
+
+    # header: magic, whitespace/comments, width, height, maxval, 1 ws
+    tokens: list[bytes] = []
+    i = 0
+    while len(tokens) < 4:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end of line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if not 0 < maxval < 65536:
+        raise ValueError(f"invalid PNM maxval {maxval}")
+    # per spec: maxval < 256 → 1 byte/sample; otherwise 2 bytes, MSB first
+    dtype = np.uint8 if maxval < 256 else np.dtype(">u2")
+    if magic == b"P6":
+        n_samples = 3 * w * h
+    elif magic == b"P5":
+        n_samples = w * h
+    else:
+        raise ValueError(f"not a binary PPM/PGM: magic {magic!r}")
+    avail = (len(payload) - i) // np.dtype(dtype).itemsize
+    if avail < n_samples:
+        raise ValueError(f"truncated {magic.decode()} raster")
+    raster = np.frombuffer(payload, dtype=dtype, offset=i, count=n_samples)
+    return magic, w, h, maxval, raster
+
+
 def ppm_image_decoder() -> Callable[[bytes], list[float] | None]:
     """REAL image decode with zero external dependencies: binary PPM (P6,
     RGB) and PGM (P5, grayscale) header parse + raw raster → Rec.601 luma
     → FEATURE_DIM luminance histogram, normalized. Same contract as
-    :func:`pillow_image_decoder`.
-
-    Raster work is numpy-vectorized (``np.frombuffer`` + ``np.bincount``);
-    16-bit samples (maxval 256-65535) are handled per the PNM spec as
-    2-byte big-endian, instead of being silently misparsed."""
+    :func:`pillow_image_decoder`."""
 
     def decode(payload: bytes) -> list[float] | None:
         import numpy as np
 
         if payload is None:
             return None
-        # header: magic, whitespace/comments, width, height, maxval, 1 ws
-        tokens: list[bytes] = []
-        i = 0
-        while len(tokens) < 4:
-            while i < len(payload) and payload[i : i + 1].isspace():
-                i += 1
-            if payload[i : i + 1] == b"#":  # comment to end of line
-                while i < len(payload) and payload[i : i + 1] != b"\n":
-                    i += 1
-                continue
-            j = i
-            while j < len(payload) and not payload[j : j + 1].isspace():
-                j += 1
-            tokens.append(payload[i:j])
-            i = j
-        i += 1  # single whitespace after maxval
-        magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
-        if not 0 < maxval < 65536:
-            raise ValueError(f"invalid PNM maxval {maxval}")
-        # per spec: maxval < 256 → 1 byte/sample; otherwise 2 bytes, MSB first
-        dtype = np.uint8 if maxval < 256 else np.dtype(">u2")
-        if magic == b"P6":
-            n_samples = 3 * w * h
-        elif magic == b"P5":
-            n_samples = w * h
-        else:
-            raise ValueError(f"not a binary PPM/PGM: magic {magic!r}")
-        # explicit count: trailing bytes after the raster (some writers emit
-        # a final newline) must not make the 2-byte parse choke on an odd
-        # buffer tail, and truncation stays a clear error either way.
-        avail = (len(payload) - i) // np.dtype(dtype).itemsize
-        if avail < n_samples:
-            raise ValueError(f"truncated {magic.decode()} raster")
-        raster = np.frombuffer(payload, dtype=dtype, offset=i, count=n_samples)
+        magic, w, h, maxval, raster = _parse_pnm(payload)
         if magic == b"P6":
             rgb = raster.reshape(-1, 3).astype(np.int64)
             lum = (299 * rgb[:, 0] + 587 * rgb[:, 1] + 114 * rgb[:, 2]) / 1000.0
@@ -252,6 +261,50 @@ def ppm_image_decoder() -> Callable[[bytes], list[float] | None]:
         return [float(c) / n for c in counts]
 
     return decode
+
+
+def encode_pgm(pixels, w: int, h: int) -> bytes:
+    """Minimal binary PGM (P5, maxval 255) encoder — the inverse of the
+    P5 half of :func:`_parse_pnm` for tests and synthetic fixtures."""
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.uint8).reshape(h, w)
+    return b"P5\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def pnm_resize(factor: int) -> Callable[[bytes], bytes]:
+    """REAL image resize with zero external dependencies: integer-factor
+    box downsample of a binary PGM/PPM raster, re-encoded as the same
+    format. Each output sample is the floor-mean of its ``factor×factor``
+    input block (``block_sum // factor²`` — exact integer arithmetic, so
+    the result is bit-deterministic and closed-form replayable by an SQL
+    oracle). Width and height must be divisible by ``factor``.
+
+    The returned callable is the decode_fn shape the Arrow
+    ``mapInPandas`` stage expects: numpy-vectorized per payload (one
+    reshape + sum, no per-pixel Python)."""
+    if factor < 1:
+        raise ValueError(f"resize factor must be >= 1, got {factor}")
+
+    def resize(payload: bytes) -> bytes:
+        import numpy as np
+
+        magic, w, h, maxval, raster = _parse_pnm(payload)
+        if w % factor or h % factor:
+            raise ValueError(
+                f"dimensions {w}x{h} not divisible by factor {factor}"
+            )
+        ow, oh = w // factor, h // factor
+        ch = 3 if magic == b"P6" else 1
+        a = raster.astype(np.int64).reshape(h, w, ch)
+        blocks = a.reshape(oh, factor, ow, factor, ch).sum(axis=(1, 3))
+        out = (blocks // (factor * factor)).astype(
+            np.uint8 if maxval < 256 else np.dtype(">u2")
+        )
+        header = b"%s\n%d %d\n%d\n" % (magic, ow, oh, maxval)
+        return header + out.tobytes()
+
+    return resize
 
 
 def encode_y4m(luma_frames: list[bytes], w: int, h: int) -> bytes:

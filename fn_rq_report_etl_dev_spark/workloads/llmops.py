@@ -543,6 +543,65 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "multimodal_image_resize",
+    oracle="""
+    WITH blocks AS (
+        SELECT d.doc_id AS asset_id,
+               b.by * 2 + b.bx AS px_idx,
+               sum((d.doc_id * 31 + (b.bx * 4 + t.x) + (b.by * 4 + t.y) * 8)
+                   % 256) AS s
+        FROM documents d,
+             (SELECT u.bx, v.by
+              FROM UNNEST(range(0, 2)) u(bx), UNNEST(range(0, 2)) v(by)) b,
+             (SELECT p.x, q.y
+              FROM UNNEST(range(0, 4)) p(x), UNNEST(range(0, 4)) q(y)) t
+        GROUP BY 1, 2
+    )
+    SELECT asset_id, CAST(px_idx AS BIGINT) AS px_idx,
+           CAST(s // 16 AS BIGINT) AS px_val
+    FROM blocks
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE end-to-end, ORACLE-CHECKED: synthesize a real binary
+    PGM per document (8×8 gradient, pixel = (doc_id*31 + x + y*8) % 256),
+    box-downsample ×4 with the stdlib ``pnm_resize`` operator through
+    Arrow ``mapInPandas``, re-parse the resized payload, and emit the four
+    output pixels. Box means are exact integer floor-division
+    (block_sum // 16), so DuckDB re-derives every output pixel in closed
+    form — a genuine encode→resize→decode round trip verified by SQL.
+    Everything stays executor-side; no driver collect."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import _parse_pnm, encode_pgm, pnm_resize
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    resize = pnm_resize(4)
+
+    def run(batches):
+        for pdf in batches:
+            ids, idxs, vals = [], [], []
+            for doc_id in pdf["doc_id"]:
+                x = np.arange(8)[None, :]
+                y = np.arange(8)[:, None]
+                px = (int(doc_id) * 31 + x + y * 8) % 256
+                small = resize(encode_pgm(px, 8, 8))
+                _, ow, oh, _, raster = _parse_pnm(small)
+                for i, v in enumerate(raster.tolist()):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    vals.append(int(v))
+            yield pd.DataFrame(
+                {"asset_id": ids, "px_idx": idxs, "px_val": vals}
+            )
+
+    return docs.mapInPandas(
+        run, "asset_id bigint, px_idx bigint, px_val bigint"
+    )
+
+
+@workload(
     "text_heavy_hitters_cms",
     oracle=r"""
     WITH w AS (

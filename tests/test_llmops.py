@@ -513,3 +513,35 @@ def test_ivf_handles_empty_corpus(spark):
     out = ivf_query(idx, empty, k=3, n_probe=2)
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "rank", "cos"]
+
+
+def test_pnm_resize_box_means_and_rgb(spark):
+    """pnm_resize: exact integer box means for P5; P6 keeps channels
+    separate; dimension-divisibility and identity-factor checks."""
+    import numpy as np
+
+    from fn_rq_report_etl_dev_spark.operators.multimodal import (
+        _parse_pnm,
+        encode_pgm,
+        pnm_resize,
+    )
+
+    # 4x4 gradient -> 2x2: each output is the floor-mean of a 2x2 block
+    px = np.arange(16).reshape(4, 4)
+    small = pnm_resize(2)(encode_pgm(px, 4, 4))
+    _, w, h, _, raster = _parse_pnm(small)
+    assert (w, h) == (2, 2)
+    assert raster.tolist() == [
+        (0 + 1 + 4 + 5) // 4, (2 + 3 + 6 + 7) // 4,
+        (8 + 9 + 12 + 13) // 4, (10 + 11 + 14 + 15) // 4,
+    ]
+    # factor 1 = identity raster
+    same = pnm_resize(1)(encode_pgm(px, 4, 4))
+    assert _parse_pnm(same)[4].tolist() == px.flatten().tolist()
+    # P6: channels stay independent
+    rgb = b"P6\n2 2\n255\n" + bytes([10, 20, 30, 10, 20, 30, 50, 60, 70, 50, 60, 70])
+    small_rgb = pnm_resize(2)(rgb)
+    assert _parse_pnm(small_rgb)[4].tolist() == [30, 40, 50]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="divisible"):
+        pnm_resize(3)(encode_pgm(px, 4, 4))
