@@ -108,3 +108,81 @@ def sessionize_with_state(
         "append",
         timeout_conf,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 state-v2 API)
+# ---------------------------------------------------------------------------
+
+RUNNING_TOTALS_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType(), True),
+    T.StructField("n_events", T.LongType(), True),
+    T.StructField("total_value", T.DoubleType(), True),
+])
+
+
+def running_totals_with_state(events: DataFrame) -> DataFrame:
+    """Per-key running totals on the Spark 4 ``transformWithStateInPandas``
+    API (the successor to ``applyInPandasWithState``: typed state handles
+    + timers instead of one opaque GroupState tuple). Each micro-batch
+    folds its rows into a ``ValueState`` and emits the key's NEW running
+    (count, sum) — the custom incremental-aggregate pattern for metrics
+    Spark's built-in streaming aggs can't express.
+
+    State is one fixed-width value per key; emitted rows are one per
+    key per micro-batch that touched it (update semantics). ``events``
+    is a streaming DataFrame with ``user_id`` and ``value``.
+
+    Environment-gated like the Delta merge backend (COVERAGE.md): the
+    state-v2 protocol talks protobuf between the JVM and the Python
+    state server, so it needs the ``protobuf`` package AND the RocksDB
+    state store provider (``spark.sql.streaming.stateStore.providerClass
+    = ...RocksDBStateStoreProvider``, bundled in Spark 4). Without
+    protobuf this raises at build time with a pointer to
+    :func:`sessionize_with_state` (applyInPandasWithState needs neither).
+    """
+    try:
+        import google.protobuf  # noqa: F401 — state-v2 wire protocol
+    except ImportError as exc:
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(the state-v2 JVM<->Python protocol is protobuf-encoded); "
+            "it is not installed in this environment. Use "
+            "sessionize_with_state (applyInPandasWithState) instead, or "
+            "install protobuf on a real cluster."
+        ) from exc
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, total DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            prev = self._totals.get() if self._totals.exists() else None
+            n, total = (prev[0], prev[1]) if prev else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
