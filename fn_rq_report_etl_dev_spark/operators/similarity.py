@@ -637,14 +637,33 @@ def _int8_score_udf():
     from pyspark.sql.functions import PandasUDFType
 
     def score(qa, qb, sa, sb, na, nb):
-        ma = np.stack([np.frombuffer(x, dtype=np.int8) for x in qa]).astype(np.int32)
-        mb = np.stack([np.frombuffer(x, dtype=np.int8) for x in qb]).astype(np.int32)
+        # one frombuffer over the concatenated batch (all vectors share a
+        # dim), not a per-row frombuffer+stack python loop — ~10x on big
+        # batches.
+        ma = np.frombuffer(b"".join(qa), dtype=np.int8).reshape(len(qa), -1).astype(np.int32)
+        mb = np.frombuffer(b"".join(qb), dtype=np.int8).reshape(len(qb), -1).astype(np.int32)
         d = np.einsum("ij,ij->i", ma, mb).astype(np.float64)
         return pd.Series(
             d * sa.to_numpy() * sb.to_numpy() / (na.to_numpy() * nb.to_numpy())
         )
 
     return F.pandas_udf("double", PandasUDFType.SCALAR)(score)
+
+
+def quantized_corpus(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """OFFLINE prep for :func:`quantized_rerank_topk`: the corpus with
+    packed int8 vectors, scales, and precomputed norms — write this to a
+    table once (like the IVF index build) so every query run reads only
+    the packed columns and never re-runs the quantization pass. Schema:
+    ``(neighbor_id, cv, c_qvec, c_scale, c_norm)``."""
+    return quantize_int8(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+        ),
+        "cv", "c_qvec", "c_scale",
+    ).withColumn("c_norm", norm(F.col("cv")))
 
 
 def quantized_rerank_topk(
@@ -655,6 +674,7 @@ def quantized_rerank_topk(
     k: int = 5,
     m: int = 32,
     exclude_self: bool = False,
+    corpus_packed: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage exact-by-rerank ANN (the production quantized-index
     pattern, cf. FAISS IndexScalarQuantizer + refine):
@@ -672,6 +692,11 @@ def quantized_rerank_topk(
     dot error ~1e-2, far inside the top-32 margin (asserted exactly vs
     ``brute_force_topk`` in tests and by the driver's SQL oracle).
     Returns (query_id, neighbor_id, rank, cos) like ``brute_force_topk``.
+
+    Pass ``corpus_packed`` (a persisted/stored :func:`quantized_corpus`)
+    to skip the inline quantization pass — at scale the packing is an
+    offline job exactly like the IVF index build (measured: inline
+    quantization dominates the query cost at 1M×64, SCALING.md §ann).
     """
     q = quantize_int8(
         queries.select(
@@ -679,12 +704,11 @@ def quantized_rerank_topk(
         ),
         "qv", "q_qvec", "q_scale",
     ).withColumn("q_norm", norm(F.col("qv")))
-    c = quantize_int8(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-        ),
-        "cv", "c_qvec", "c_scale",
-    ).withColumn("c_norm", norm(F.col("cv")))
+    c = (
+        corpus_packed
+        if corpus_packed is not None
+        else quantized_corpus(corpus, id_col, vec_col)
+    )
 
     # stage 1 streams ONLY the packed columns — the double arrays never
     # enter the cross product.
@@ -709,10 +733,9 @@ def quantized_rerank_topk(
         .select("query_id", "neighbor_id")
     )
 
-    # stage 2: exact rerank on |Q|·m rows.
-    cv = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    )
+    # stage 2: exact rerank on |Q|·m rows (full vectors come from the
+    # packed corpus relation, which carries cv alongside the int8 form).
+    cv = c.select("neighbor_id", "cv")
     qv = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )

@@ -221,3 +221,56 @@ for target_rows in (500_000, 2_000_000, 8_000_000):
 if EXPERIMENT == "all":
     skew_experiment()
     bloom_join_experiment()
+
+
+def ann_experiment():
+    """Quantized-rerank vs exact brute force at 1M×64 (SCALING.md §ann):
+    corpus synthesized from md5-derived doubles, packed ONCE offline
+    (quantized_corpus → parquet), then both paths answer the same 8
+    queries. Measures the prep-once lesson (inline quantization had
+    dominated query cost 6×) and the local compute tie — the quantized
+    path's real advantage is candidate-gen scan bytes (8× smaller), which
+    local NVMe does not surface."""
+    import tempfile
+
+    from fn_rq_report_etl_dev_spark.operators.similarity import (
+        brute_force_topk, quantized_corpus, quantized_rerank_topk)
+
+    d = tempfile.mkdtemp(prefix="ann-")
+    dim = 64
+    (spark.range(1_000_000).withColumnRenamed("id", "vec_id")
+     .withColumn("embedding", F.expr(
+         f"transform(sequence(0,{dim-1}), i -> "
+         "cast(conv(substring(md5(concat(cast(vec_id as string),':',"
+         "cast(i as string))),1,8),16,10) as double)/2147483648.0 - 1.0)"))
+     .write.parquet(f"{d}/emb"))
+    emb = spark.read.parquet(f"{d}/emb")
+    t0 = time.perf_counter()
+    quantized_corpus(emb).write.parquet(f"{d}/packed")
+    prep = round(time.perf_counter() - t0, 2)
+    packed = spark.read.parquet(f"{d}/packed")
+    q = emb.filter(F.col("vec_id") < 8)
+    _force(brute_force_topk(q, emb, k=5, exclude_self=True))  # warm
+    out = [{"experiment": "ann_quantized", "label": "quantize_prep_once", "sec": prep}]
+    for label, fn in (
+        ("bruteforce", lambda: brute_force_topk(q, emb, k=5, exclude_self=True)),
+        ("quantized_prepacked", lambda: quantized_rerank_topk(
+            q, emb, k=5, m=32, exclude_self=True, corpus_packed=packed)),
+    ):
+        t0 = time.perf_counter(); _force(fn())
+        out.append({"experiment": "ann_quantized", "label": label,
+                    "sec": round(time.perf_counter() - t0, 2)})
+        print(json.dumps(out[-1]))
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in quantized_rerank_topk(q, emb, k=5, m=32, exclude_self=True,
+                                          corpus_packed=packed).collect()}
+    exp = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in brute_force_topk(q, emb, k=5, exclude_self=True).collect()}
+    assert got == exp, "quantized rerank diverged from brute force at 1M"
+    print(json.dumps(out[0]))
+    return out
+
+
+if EXPERIMENT == "ann":
+    ann_experiment()
+    sys.exit(0)
