@@ -434,7 +434,10 @@ def build_ivf_index(
     """
     import numpy as np
 
-    c = corpus.select(
+    # NULL embeddings are not indexable: drop them here (documented
+    # contract — a 100 TB corpus always has rows whose embedding failed
+    # upstream; k-means would crash on a ragged sample otherwise).
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     ).persist()
 
@@ -503,9 +506,11 @@ def ivf_query(
 ) -> DataFrame:
     """Query half of IVF: rank cells per query by centroid distance
     (broadcast — centroids are tiny), probe the best ``n_probe`` cells via
-    an equi-join on cell id, exact cosine re-rank within candidates."""
+    an equi-join on cell id, exact cosine re-rank within candidates.
+    NULL-embedding queries have no meaningful neighbors and are dropped
+    (same contract as the index build)."""
     centroids, assigned = index.centroids, index.assigned
-    q = queries.select(
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
     # Rank cells per query by centroid distance; probe the best n_probe.
@@ -657,9 +662,10 @@ def quantized_corpus(
     packed int8 vectors, scales, and precomputed norms — write this to a
     table once (like the IVF index build) so every query run reads only
     the packed columns and never re-runs the quantization pass. Schema:
-    ``(neighbor_id, cv, c_qvec, c_scale, c_norm)``."""
+    ``(neighbor_id, cv, c_qvec, c_scale, c_norm)``. NULL embeddings are
+    not indexable and are dropped (same contract as the IVF build)."""
     return quantize_int8(
-        corpus.select(
+        corpus.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
         ),
         "cv", "c_qvec", "c_scale",
@@ -699,7 +705,7 @@ def quantized_rerank_topk(
     quantization dominates the query cost at 1M×64, SCALING.md §ann).
     """
     q = quantize_int8(
-        queries.select(
+        queries.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
         ),
         "qv", "q_qvec", "q_scale",

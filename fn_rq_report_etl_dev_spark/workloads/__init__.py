@@ -110,11 +110,11 @@ from . import curation, streaming_equiv, tpch_extra  # noqa: E402,F401
 # no per-round list maintenance.
 
 # Changed after their last driver verdict — must be re-verified.
-# Round 3: empty — the round-2 entries (o17_lenient_cast,
-# sessionize_events) settled green in CORRECTNESS_r02 and are unchanged;
-# the four r02-red queries fixed this round were never green, so the
-# no-green-row rule already fronts them without burning _RECHECK slots.
-_RECHECK: list[str] = []
+# Round 4: the NULL-injection hardening added isNotNull filters to the
+# IVF query path and the map workload (fixtures carry no NULLs, so
+# results are byte-identical — but the PLAN changed, which invalidates
+# the standing verdict by the byte-identical rule).
+_RECHECK: list[str] = ["map_functions_roundtrip", "ann_ivf_topk"]
 
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -1112,7 +1112,8 @@ def sliding_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per AS (
         SELECT user_id, event_type, count(*) AS n
-        FROM events GROUP BY user_id, event_type
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY user_id, event_type
     ),
     t AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_types FROM per GROUP BY user_id)
     SELECT p.user_id, p.event_type, p.n, t.n_types
@@ -1124,8 +1125,10 @@ def map_functions_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     a map (map_from_entries ∘ collect_list ∘ struct), interrogated with
     size(), then exploded back to rows. Map iteration order is engine-
     private, but the exploded ROW SET is deterministic — which is exactly
-    what the order-insensitive hash checks."""
-    events = load(spark, sf_dir, "events")
+    what the order-insensitive hash checks. NULL event types are excluded
+    up front — map keys cannot be NULL (NULL_MAP_KEY), and a dirty corpus
+    always has some."""
+    events = load(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
     per = events.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
     packed = per.groupBy("user_id").agg(
         F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("tc")
