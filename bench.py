@@ -142,7 +142,10 @@ def main() -> None:
     # their cost is state-store/commit fixture overhead on rows of synthetic
     # data (17.6 s on 7 rows in r03 — 20% of the suite total), which says
     # nothing about plan quality. They stay registered for correctness.
-    SIDE_TIMED = {"streaming_dedup_watermark_boundary"}
+    SIDE_TIMED = {
+        "streaming_dedup_watermark_boundary",
+        "streaming_interval_join",
+    }
 
     # Noise-robust per-query timing (VERDICT r03 #3: single-shot timings
     # can't separate sandbox drift from plan regressions — r02→r03 showed a

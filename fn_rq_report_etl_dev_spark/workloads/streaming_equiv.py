@@ -312,3 +312,121 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_stream_window_counts(spark, landing, checkpoint, wh, events.schema)
 
     return wh.read(spark, _WINDOW_TARGET)
+
+
+# Expected output of the stream-stream interval join timeline below — the
+# emission/late-drop semantics are streaming-only, so the oracle pins the
+# exact expected row set (same pattern as _DEDUP_BOUNDARY_ORACLE).
+_INTERVAL_JOIN_ORACLE = """
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), TIMESTAMP '2024-03-15 12:00:00',
+         TIMESTAMP '2024-03-15 12:05:00'),
+        (CAST(1 AS BIGINT), TIMESTAMP '2024-03-15 13:00:00',
+         TIMESTAMP '2024-03-15 13:05:00')
+    ) AS t(user_id, view_ts, click_ts)
+    """
+
+
+@workload("streaming_interval_join", oracle=_INTERVAL_JOIN_ORACLE)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time INTERVAL JOIN with watermarks, driver-
+    checked: clicks attribute to a view of the same user within
+    [view_ts, view_ts + 10 min], both sides watermarked 5 minutes, two
+    checkpointed AvailableNow drains.
+
+    - drain 1: V(u1@12:00), V(u2@12:00), V(u1@13:00) ⋈ C(u1@12:05,
+      match), C(u2@12:20, OUTSIDE the 10-min window → no row),
+      C(u3@12:00, no view). Global watermark after: min(view 12:55,
+      click 12:15) = 12:15.
+    - drain 2 (same checkpoint): C(u1@13:05) matches the still-live
+      V(u1@13:00); C(u1@12:02) is BELOW the persisted 12:15 watermark →
+      dropped as late even though a matching view exists. If the
+      watermark did not survive the restart, the late click would emit
+      and the hash would diverge — a green row certifies cross-restart
+      watermark enforcement, not just the join predicate.
+
+    Scale semantics: the interval bound + watermark make BOTH state
+    stores self-evicting (a view's state dies once the watermark passes
+    view_ts + 10 min), which is what keeps an unbounded two-stream join
+    runnable forever. Timeline synthetic/deterministic; ``sf_dir``
+    unused."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    d = datetime
+    root = tempfile.mkdtemp(prefix="rq_stream_ij_")
+    views_dir = os.path.join(root, "views")
+    clicks_dir = os.path.join(root, "clicks")
+    checkpoint = os.path.join(root, "checkpoint")
+    out = os.path.join(root, "out")
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ])
+
+    def land(path: str, rows: list) -> None:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    def drain() -> None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        try:
+            views = (
+                spark.readStream.schema(schema).parquet(views_dir)
+                .withColumnRenamed("ts", "view_ts")
+                .withWatermark("view_ts", "5 minutes")
+            )
+            clicks = (
+                spark.readStream.schema(schema).parquet(clicks_dir)
+                .withColumnRenamed("ts", "click_ts")
+                .withColumnRenamed("user_id", "c_user_id")
+                .withWatermark("click_ts", "5 minutes")
+            )
+            joined = views.join(
+                clicks,
+                (F.col("user_id") == F.col("c_user_id"))
+                & (F.col("click_ts") >= F.col("view_ts"))
+                & (
+                    F.col("click_ts")
+                    <= F.col("view_ts") + F.expr("INTERVAL 10 MINUTES")
+                ),
+            ).select("user_id", "view_ts", "click_ts")
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            if q.exception() is not None:
+                raise q.exception()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    land(views_dir, [
+        (1, d(2024, 3, 15, 12, 0)),
+        (2, d(2024, 3, 15, 12, 0)),
+        (1, d(2024, 3, 15, 13, 0)),
+    ])
+    land(clicks_dir, [
+        (1, d(2024, 3, 15, 12, 5)),
+        (2, d(2024, 3, 15, 12, 20)),
+        (3, d(2024, 3, 15, 12, 0)),
+    ])
+    drain()
+    land(clicks_dir, [
+        (1, d(2024, 3, 15, 13, 5)),
+        (1, d(2024, 3, 15, 12, 2)),
+    ])
+    drain()
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("view_ts", T.TimestampType(), True),
+        T.StructField("click_ts", T.TimestampType(), True),
+    ])
+    return spark.read.schema(out_schema).parquet(out)
