@@ -157,3 +157,26 @@ def test_quantized_rerank_stage1_streams_packed_bytes_only(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # Arrow-batched python stages: quantize (x2 sides) + int8 score
     assert plan.count("ArrowEvalPython") >= 3
+
+
+def test_dynamic_partition_pruning_fires_on_selective_dim(spark, tmp_path):
+    """DPP: a partitioned fact joined to a literal-filtered dim must get a
+    dynamicpruning PartitionFilter on the fact SCAN (only matching
+    partition directories are read — the 100 TB star-join staple). Same
+    'likely selective' precondition as the runtime bloom filter
+    (SCALING.md): a literal equality qualifies, a bare boolean column
+    does NOT."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path)
+    (spark.range(10_000).withColumn("day", (F.col("id") % 30).cast("int"))
+     .withColumn("v", F.rand(seed=1))
+     .write.partitionBy("day").parquet(d + "/fact"))
+    (spark.range(30).withColumn("day", F.col("id").cast("int"))
+     .withColumn("grp", (F.col("id") % 7).cast("int"))
+     .drop("id").write.parquet(d + "/dim"))
+    fact = spark.read.parquet(d + "/fact")
+    dim = spark.read.parquet(d + "/dim").filter("grp = 5")
+    j = fact.join(dim, "day").agg(F.sum("v").alias("s"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan
