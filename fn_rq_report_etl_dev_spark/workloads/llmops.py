@@ -127,6 +127,74 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "split_leakage_check",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}, {_LSH_CTE},
+    counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    common AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_common
+        FROM cand c
+        JOIN shingles sa ON sa.doc_id = c.id_a
+        JOIN shingles sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+        GROUP BY c.id_a, c.id_b
+    ),
+    near AS (
+        SELECT id_a, id_b,
+               n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) AS jaccard
+        FROM common
+        JOIN counts ca ON ca.doc_id = id_a
+        JOIN counts cb ON cb.doc_id = id_b
+        WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= 0.5
+    ),
+    sp AS (
+        SELECT doc_id,
+               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER
+                         % 100 < 90 THEN 'train'
+                    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER
+                         % 100 < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT n.id_a, n.id_b, sa.split AS split_a, sb.split AS split_b,
+           round(n.jaccard, 6) AS jaccard_r
+    FROM near n
+    JOIN sp sa ON sa.doc_id = n.id_a
+    JOIN sp sb ON sb.doc_id = n.id_b
+    WHERE sa.split <> sb.split
+    """,
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE detection — the eval-integrity gate every
+    training pipeline needs: verified near-dup pairs (LSH recall + exact
+    Jaccard ≥ 0.5) whose two documents landed in DIFFERENT splits of the
+    deterministic 90/5/5 assignment. Any emitted row is an eval example
+    effectively present in training data. Pure composition of existing
+    operators: one LSH pass + candidate-restricted verify + two
+    broadcastable hash-split projections — no new shuffle shapes."""
+    from ..operators.text_dedup import ngram_jaccard_on_candidates
+
+    docs = load(spark, sf_dir, "documents")
+    near = ngram_jaccard_on_candidates(docs, "doc_id", "text", min_jaccard=0.5)
+    pct = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 100
+    )
+    sp = docs.select(
+        "doc_id",
+        F.when(pct < 90, "train").when(pct < 95, "val").otherwise("test").alias("split"),
+    )
+    sa = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        near.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b",
+                F.round("jaccard", 6).alias("jaccard_r"))
+    )
+
+
 _SIMHASH_VOTES = ", ".join(
     "sum(CASE WHEN substr(h, {p}, 1) IN ('8','9','a','b','c','d','e','f') "
     "THEN 1 ELSE -1 END) AS v_{j}".format(p=j + 1, j=j)
