@@ -289,6 +289,8 @@ def pnm_resize(factor: int) -> Callable[[bytes], bytes]:
     def resize(payload: bytes) -> bytes:
         import numpy as np
 
+        if payload is None:  # decode_fn contract: NULL payload → NULL out
+            return None
         magic, w, h, maxval, raster = _parse_pnm(payload)
         if w % factor or h % factor:
             raise ValueError(

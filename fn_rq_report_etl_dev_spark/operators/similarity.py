@@ -644,7 +644,16 @@ def _int8_score_udf():
     def score(qa, qb, sa, sb, na, nb):
         # one frombuffer over the concatenated batch (all vectors share a
         # dim), not a per-row frombuffer+stack python loop — ~10x on big
-        # batches.
+        # batches. The reshape is only valid for a uniform dim — assert it,
+        # because a ragged batch whose total bytes happen to divide evenly
+        # would otherwise score misaligned slices SILENTLY (the old
+        # per-row np.stack raised on the same input).
+        dims_a = {len(x) for x in qa}
+        dims_b = {len(x) for x in qb}
+        if len(dims_a) > 1 or len(dims_b) > 1 or dims_a != dims_b:
+            raise ValueError(
+                f"mixed vector dimensions in int8 score batch: {dims_a} vs {dims_b}"
+            )
         ma = np.frombuffer(b"".join(qa), dtype=np.int8).reshape(len(qa), -1).astype(np.int32)
         mb = np.frombuffer(b"".join(qb), dtype=np.int8).reshape(len(qb), -1).astype(np.int32)
         d = np.einsum("ij,ij->i", ma, mb).astype(np.float64)

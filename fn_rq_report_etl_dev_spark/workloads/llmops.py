@@ -76,6 +76,34 @@ cand AS (
                 AND a.doc_id < b.doc_id
 )"""
 
+# The ONE deterministic 90/5/5 split definition — shared by
+# dataset_split_assign (the assignment) and split_leakage_check (the
+# integrity gate): if the formula drifted between them, the leakage
+# check would validate a different split than the one actually assigned.
+_SPLIT_PCT_SQL = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100"
+)
+_SPLIT_CASE_SQL = (
+    f"CASE WHEN {_SPLIT_PCT_SQL} < 90 THEN 'train' "
+    f"WHEN {_SPLIT_PCT_SQL} < 95 THEN 'val' ELSE 'test' END"
+)
+
+
+def _split_pct_col():
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 100
+    )
+
+
+def _split_col():
+    pct = _split_pct_col()
+    return (
+        F.when(pct < 90, F.lit("train"))
+        .when(pct < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
 
 @workload(
     "dedup_exact",
@@ -147,15 +175,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN counts cb ON cb.doc_id = id_b
         WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= 0.5
     ),
-    sp AS (
-        SELECT doc_id,
-               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER
-                         % 100 < 90 THEN 'train'
-                    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER
-                         % 100 < 95 THEN 'val'
-                    ELSE 'test' END AS split
-        FROM documents
-    )
+    sp AS (SELECT doc_id, {_SPLIT_CASE_SQL} AS split FROM documents)
     SELECT n.id_a, n.id_b, sa.split AS split_a, sb.split AS split_b,
            round(n.jaccard, 6) AS jaccard_r
     FROM near n
@@ -176,14 +196,7 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     near = ngram_jaccard_on_candidates(docs, "doc_id", "text", min_jaccard=0.5)
-    pct = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("bigint") % 100
-    )
-    sp = docs.select(
-        "doc_id",
-        F.when(pct < 90, "train").when(pct < 95, "val").otherwise("test").alias("split"),
-    )
+    sp = docs.select("doc_id", _split_col().alias("split"))
     sa = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
     sb = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
     return (
@@ -1325,19 +1338,11 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @workload(
     "dataset_split_assign",
-    oracle="""
-    WITH h AS (
-        SELECT doc_id, source,
-               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER
-                    AS BIGINT) % 100 AS pct
-        FROM documents
-    )
+    oracle=f"""
     SELECT doc_id, source,
-           CASE WHEN pct < 90 THEN 'train'
-                WHEN pct < 95 THEN 'val'
-                ELSE 'test' END AS split,
-           pct
-    FROM h
+           {_SPLIT_CASE_SQL} AS split,
+           CAST({_SPLIT_PCT_SQL} AS BIGINT) AS pct
+    FROM documents
     """,
 )
 def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1347,16 +1352,9 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles, scan-speed at 100 TB; downstream filters on `split` are
     pushdown-able predicates."""
     docs = load(spark, sf_dir, "documents")
-    pct = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("bigint") % 100
-    )
     return docs.select(
         "doc_id",
         "source",
-        F.when(pct < 90, F.lit("train"))
-        .when(pct < 95, F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split"),
-        pct.alias("pct"),
+        _split_col().alias("split"),
+        _split_pct_col().alias("pct"),
     )

@@ -1117,7 +1117,7 @@ def sliding_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     t AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_types FROM per GROUP BY user_id)
     SELECT p.user_id, p.event_type, p.n, t.n_types
-    FROM per p JOIN t ON p.user_id = t.user_id
+    FROM per p JOIN t ON p.user_id IS NOT DISTINCT FROM t.user_id
     """,
 )
 def map_functions_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
