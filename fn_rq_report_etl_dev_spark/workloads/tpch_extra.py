@@ -2,24 +2,37 @@
 shapes expressible over the testdata star schema (SURVEY.md §2.1 joins /
 aggregation / subquery checklist, widened to the full canonical suite).
 
-Covered here: Q4 (EXISTS), Q6 (selective scan-agg), Q7 (two-nation
+Covered here: Q2 (min-cost supplier, correlated per-group MIN),
+Q4 (EXISTS), Q6 (selective scan-agg), Q7 (two-nation
 volume, symmetric disjunctive pair filter), Q8 (market share, two-role
 nation), Q9 (profit roll-up), Q10 (top-k returned-item revenue),
+Q11 (important stock, fraction-of-total scalar subquery),
 Q12 (conditional priority counts), Q13 (left-outer order-count
 distribution, agg-of-agg), Q14 (promo ratio), Q15 (scalar-max
 top supplier), Q16 (distinct-supplier counts with exclusion), Q17
 (correlated avg subquery), Q18 (large-volume customers,
-aggregate-then-join), Q19 (disjunctive pushdown), Q21 (waiting
-suppliers, EXISTS + NOT EXISTS self-joins), Q22 (dormant customers,
-scalar avg + anti join).
+aggregate-then-join), Q19 (disjunctive pushdown), Q20 (excess-stock
+suppliers, nested semi-join chain), Q21 (waiting suppliers, EXISTS +
+NOT EXISTS self-joins), Q22 (dormant customers, scalar avg + anti
+join). With Q1/Q3/Q5 in relational.py, all 22 canonical shapes are
+registered.
 
 The testdata schema is TPC-H-ish but trimmed — no ``partsupp`` table and
 no ``l_commitdate``/``l_receiptdate``/``l_shipmode``/``p_container``/
 ``c_phone`` columns — so shapes that depend on them are adapted, keeping
 the *plan shape* (the thing that matters for engine coverage) intact:
 
-- Q2/Q11/Q20 (partsupp-centric) have no faithful adaptation and are
-  documented as out of scope in COVERAGE.md.
+- Q2/Q11/Q20 (partsupp-centric) run against a **pseudo-partsupp derived
+  from lineitem**: one aggregate per distinct ``(l_partkey, l_suppkey)``
+  pair with ``ps_supplycost = min(l_extendedprice)`` and
+  ``ps_availqty = sum(l_quantity)`` (Q20 uses returned quantity — see its
+  docstring), both exact DECIMAL so every downstream comparison is
+  bit-identical across engines. The derivation is itself the missing
+  table's construction, so each query pays one extra
+  groupBy(part, supp) shuffle the spec's versions don't have — a fair
+  trade for keeping the three canonical plan shapes (correlated
+  per-group MIN join-back, fraction-of-total scalar subquery, nested
+  semi-join chain) in the suite.
 - "late shipment" (Q4/Q12/Q21's commit-vs-receipt lag) becomes a
   shipdate-vs-orderdate lag, which preserves the compound join predicate
   referencing both sides.
@@ -745,4 +758,236 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.sum(_dec2("c_acctbal")).cast("double").alias("totacctbal"),
         )
+    )
+
+
+# Pseudo-partsupp (module docstring): the supply relation the testdata
+# lacks, derived once per query from lineitem. Exact DECIMAL measures so
+# min-equality joins and threshold comparisons are bit-identical in DuckDB.
+_PS_SQL = """
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           min(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS ps_availqty
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+"""
+
+
+def _pseudo_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(_dec2("l_extendedprice")).alias("ps_supplycost"),
+        F.sum(_dec2("l_quantity")).alias("ps_availqty"),
+    )
+
+
+@workload(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    eligible AS (
+        SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name
+        FROM ps
+        JOIN part     ON p_partkey = ps_partkey
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN region   ON r_regionkey = n_regionkey
+        WHERE r_name = 'EUROPE' AND p_type = 'LARGE' AND p_size <= 10),
+    minc AS (
+        SELECT ps_partkey AS m_partkey, min(ps_supplycost) AS min_cost
+        FROM eligible GROUP BY ps_partkey)
+    SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name,
+           p_partkey, p_name, CAST(ps_supplycost AS DOUBLE) AS supply_cost
+    FROM eligible
+    JOIN minc ON ps_partkey = m_partkey AND ps_supplycost = min_cost
+    JOIN part ON p_partkey = ps_partkey
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the cheapest supplier in
+    one region — the correlated scalar-MIN subquery, decorrelated the way
+    Catalyst would: per-part MIN over the eligible supply rows, equi-joined
+    back on (partkey, cost = min). Supply rows come from the pseudo-
+    partsupp (module docstring). Join order puts the broadcast part filter
+    FIRST so the 52k-pair supply relation shrinks ~30x before the
+    supplier/nation/region broadcasts; the only shuffles are the pseudo-
+    partsupp groupBy and the per-part MIN + join-back (same l_partkey key,
+    so AQE reuses the exchange). DECIMAL min-equality surfaces every tied
+    supplier, identically in DuckDB; the top-100 sort key chain ends in
+    (s_name, p_partkey), unique per row, so the LIMIT frontier is
+    deterministic."""
+    ps = _pseudo_partsupp(spark, sf_dir)
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    )
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eligible = (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(region), nat.n_regionkey == region.r_regionkey, "left_semi")
+        .select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name",
+                "p_partkey", "p_name")
+    )
+    minc = eligible.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        eligible.join(
+            minc,
+            (eligible.ps_partkey == minc.m_partkey)
+            & (eligible.ps_supplycost == minc.min_cost),
+        )
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("ps_supplycost").cast("double").alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@workload(
+    "q11_important_stock",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    natps AS (
+        SELECT ps_partkey,
+               CAST(ps_supplycost * ps_availqty AS DECIMAL(30,4)) AS val
+        FROM ps
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_7')
+    SELECT ps_partkey, CAST(part_value_dec AS DOUBLE) AS part_value
+    FROM (SELECT ps_partkey, sum(val) AS part_value_dec
+          FROM natps GROUP BY ps_partkey)
+    WHERE CAST(part_value_dec AS DOUBLE)
+          > (SELECT CAST(sum(val) AS DOUBLE) FROM natps) * 0.001
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose stock value in one nation exceeds a
+    fraction of the nation's total stock value — a scalar subquery that
+    aggregates the SAME relation as the outer group-by. The nation-
+    filtered supply rows are persisted so the per-part and total
+    aggregates share one computation; the 1-row total broadcasts back as
+    a cross join (no shuffle). Value = supplycost x availqty, exact
+    DECIMAL(30,4) summed then compared in double on both engines, so the
+    0.001-fraction cut is bit-identical. The persist's lifetime is the
+    returned plan's consumption; bench/driver isolation releases it."""
+    ps = _pseudo_partsupp(spark, sf_dir)
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    natps = (
+        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey, "left_semi")
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty"))
+            .cast("decimal(30,4)")
+            .alias("val"),
+        )
+        .persist()
+    )
+    total = natps.agg(F.sum("val").cast("double").alias("total_value"))
+    return (
+        natps.groupBy("ps_partkey")
+        .agg(F.sum("val").alias("part_value_dec"))
+        .join(F.broadcast(total))
+        .filter(
+            F.col("part_value_dec").cast("double")
+            > F.col("total_value") * F.lit(0.001)
+        )
+        .select(
+            "ps_partkey",
+            F.col("part_value_dec").cast("double").alias("part_value"),
+        )
+    )
+
+
+@workload(
+    "q20_excess_stock_suppliers",
+    oracle="""
+    WITH avail AS (
+        SELECT l_partkey AS a_pk, l_suppkey AS a_sk,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS returned_qty
+        FROM lineitem WHERE l_returnflag = 'R'
+        GROUP BY l_partkey, l_suppkey),
+    shipped AS (
+        SELECT l_partkey AS sh_pk, l_suppkey AS sh_sk,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_1997
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_partkey, l_suppkey)
+    SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (
+          SELECT a_sk FROM avail
+          JOIN shipped ON sh_pk = a_pk AND sh_sk = a_sk
+          WHERE a_pk IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+            AND CAST(returned_qty AS DOUBLE)
+                > 0.5 * CAST(qty_1997 AS DOUBLE))
+    """,
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers of one nation holding excess stock of
+    promotable parts — the doubly-nested IN chain (supplier IN (supply
+    pairs WHERE part IN promo-parts AND availqty > 0.5 x year-shipped)),
+    expressed as the semi-join chain Catalyst decorrelates it into.
+    Adapted availqty: quantity RETURNED per (part, supplier)
+    (l_returnflag = 'R' — goods back on the shelf), which keeps the
+    spec's stock-vs-demand comparison selective (~25% of pairs) where a
+    lineitem-sum availqty would trivially satisfy it (module docstring).
+    Both grouped aggregates shuffle on the same (partkey, suppkey) key
+    and equi-join without a third exchange; the part LIKE filter and the
+    nation filter broadcast; the final IN is a left-semi against
+    supplier. Exact DECIMAL sums compared in double on both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    avail = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy(F.col("l_partkey").alias("a_pk"), F.col("l_suppkey").alias("a_sk"))
+        .agg(F.sum(_dec2("l_quantity")).alias("returned_qty"))
+    )
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00"))
+        )
+        .groupBy(F.col("l_partkey").alias("sh_pk"), F.col("l_suppkey").alias("sh_sk"))
+        .agg(F.sum(_dec2("l_quantity")).alias("qty_1997"))
+    )
+    red_parts = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    qual = (
+        avail.join(F.broadcast(red_parts), avail.a_pk == F.col("p_partkey"), "left_semi")
+        .join(shipped, (avail.a_pk == shipped.sh_pk) & (avail.a_sk == shipped.sh_sk))
+        .filter(
+            F.col("returned_qty").cast("double")
+            > F.lit(0.5) * F.col("qty_1997").cast("double")
+        )
+        .select(F.col("a_sk"))
+    )
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey, "left_semi")
+        .join(qual, supp.s_suppkey == qual.a_sk, "left_semi")
+        .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
     )
