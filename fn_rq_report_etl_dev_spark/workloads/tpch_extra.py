@@ -815,12 +815,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     back on (partkey, cost = min). Supply rows come from the pseudo-
     partsupp (module docstring). Join order puts the broadcast part filter
     FIRST so the 52k-pair supply relation shrinks ~30x before the
-    supplier/nation/region broadcasts; the only shuffles are the pseudo-
-    partsupp groupBy and the per-part MIN + join-back (same l_partkey key,
-    so AQE reuses the exchange). DECIMAL min-equality surfaces every tied
-    supplier, identically in DuckDB; the top-100 sort key chain ends in
-    (s_name, p_partkey), unique per row, so the LIMIT frontier is
-    deterministic."""
+    supplier/nation/region broadcasts. ``eligible`` feeds both the MIN
+    aggregate and the join-back, so it is persisted (one pseudo-partsupp
+    shuffle, not two; released by bench/driver isolation), and ``minc``
+    is explicitly broadcast — its cardinality is bounded by the filtered
+    part dimension, never the fact table, so the join-back is a
+    broadcast hash join at any scale instead of a sort-merge shuffle.
+    DECIMAL min-equality surfaces every tied supplier, identically in
+    DuckDB; the top-100 sort key chain ends in (s_name, p_partkey),
+    unique per row, so the LIMIT frontier is deterministic (top-100 runs
+    as TakeOrderedAndProject — no global sort shuffle)."""
     ps = _pseudo_partsupp(spark, sf_dir)
     part = load(spark, sf_dir, "part").filter(
         (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
@@ -835,13 +839,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nat.n_regionkey == region.r_regionkey, "left_semi")
         .select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name",
                 "p_partkey", "p_name")
+        .persist()
     )
     minc = eligible.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
         F.min("ps_supplycost").alias("min_cost")
     )
     return (
         eligible.join(
-            minc,
+            F.broadcast(minc),
             (eligible.ps_partkey == minc.m_partkey)
             & (eligible.ps_supplycost == minc.min_cost),
         )

@@ -15,6 +15,7 @@ from fn_rq_report_etl_dev_spark.workloads import QUERIES
 # keep in sync with `grep -rn "persist()\|localCheckpoint" workloads/ operators/`.
 PERSISTING = [
     "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
     "q11_important_stock",
     "q15_top_supplier",
     "nation_trade_volume",
