@@ -50,6 +50,10 @@ EAGER_SCHEMAS: dict[str, str] = {
     "dedup_cluster_components": "doc_id bigint, component bigint",
     "ann_ivf_topk": "query_id bigint, neighbor_id bigint, rank bigint, cos_r double",
     "ann_ivf_recall": "n_probe bigint, bf_pairs bigint, recall_ok bigint",
+    "schema_evolution_union": (
+        "bucket bigint, n_rows bigint, n_priced bigint, n_prioritized bigint, "
+        "total_price double, n_urgent bigint"
+    ),
 }
 
 

@@ -345,3 +345,68 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_cols=["min_event_id"],
         max_cols=["max_event_id"],
     )
+
+
+@workload(
+    "schema_evolution_union",
+    oracle="""
+    SELECT bucket,
+           count(*) AS n_rows,
+           count(o_totalprice) AS n_priced,
+           count(o_orderpriority) AS n_prioritized,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_urgent
+    FROM (
+        SELECT o_orderkey, CAST(o_custkey % 10 AS BIGINT) AS bucket, o_totalprice,
+               NULL AS o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, CAST(o_custkey % 10 AS BIGINT), NULL, o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    GROUP BY bucket
+    """,
+)
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across table generations — the O6 schema-migration
+    concern at file level, the shape every long-lived 100 TB table hits:
+    old files lack columns added later, new files drop columns since
+    retired. Two parquet generations are written (gen1: orderkey/custkey/
+    totalprice; gen2 adds o_orderpriority, drops o_totalprice) and read
+    back through ``mergeSchema`` — Spark's per-file schema reconciliation
+    fills each generation's missing columns with NULL, which the
+    aggregate then observes (count(col) skips NULLs). The oracle
+    simulates the evolved read with an explicit padded UNION ALL, so the
+    hash check proves mergeSchema's NULL-fill semantics exactly. At
+    scale mergeSchema's footer-merge pass costs one distributed schema
+    scan; production tables amortize it via catalog-declared schemas —
+    the read semantics verified here are identical."""
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="rq_schema_evo_")
+    gen1, gen2 = f"{root}/gen1", f"{root}/gen2"
+    orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(gen1)
+    orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    ).write.mode("overwrite").parquet(gen2)
+    evolved = spark.read.option("mergeSchema", "true").parquet(gen1, gen2)
+    return (
+        evolved.groupBy((F.col("o_custkey") % 10).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_totalprice").alias("n_priced"),
+            F.count("o_orderpriority").alias("n_prioritized"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_urgent"),
+        )
+    )
