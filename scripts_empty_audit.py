@@ -5,8 +5,10 @@ operator that works at sf0.1 but throws on zero rows is a production
 incident waiting in an overnight job.
 
 Run: python scripts_empty_audit.py   (exit code = number of failures)
-Round-4 result: 0 failures across 120 queries (after guarding the IVF
-k-means trainer against a 0-vector sample).
+Round-4 result: 0 failures across 129 queries — final registry, incl.
+the TPC-H partsupp adaptations and the mergeSchema evolution read over
+zero-row generations (after guarding the IVF k-means trainer against a
+0-vector sample).
 """
 
 from __future__ import annotations
