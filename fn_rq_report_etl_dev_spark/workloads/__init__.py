@@ -125,6 +125,21 @@ _RECHECK: list[str] = [
     # round-4 review: split formula extracted into a shared helper —
     # equivalent expression, but the plan changed since its green verdict.
     "dataset_split_assign",
+    # round-4 NULL-injection audit (scripts_null_audit.py): these queries'
+    # ORACLE SQL gained explicit NULL semantics (embedding IS NOT NULL
+    # contract filters, NULLS FIRST window ordering, concat_ws, in-list
+    # NULL filtering). Spark plans are unchanged and clean-fixture results
+    # are identical (re-proven via driver-sim), but the oracle text
+    # changed since the green verdict — so they are fronted for a fresh
+    # driver verdict by the same rule that applies to plan changes.
+    "scalar_functions_showcase",
+    "window_running_spend",
+    "window_analytics_extended",
+    "array_hof_showcase",
+    "dedup_embedding_cosine",
+    "ann_bruteforce_topk",
+    "ann_signlsh_topk",
+    "ann_rademacher_topk",
 ]
 
 _REPO_ROOT = os.path.dirname(

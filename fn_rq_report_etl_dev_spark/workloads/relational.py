@@ -221,11 +221,11 @@ def agg_rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, o_orderkey,
            rank() OVER w AS rnk,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
            CAST(lag(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS prev_price
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey)
     """,
 )
 def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,7 +416,7 @@ def asof_prior_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
            lower(p_type) AS type_l,
            substring(p_name, 1, 8) AS name8,
            length(p_name) AS name_len,
-           concat(p_brand, ':', p_type) AS brand_type,
+           concat_ws(':', p_brand, p_type) AS brand_type,
            abs(p_size - 25) AS size_dev,
            p_partkey % 7 AS pk_mod,
            greatest(p_size, 10) AS size_floor10,
@@ -824,7 +824,7 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
            first_value(o_orderkey) OVER w AS first_ok,
            nth_value(o_orderkey, 2) OVER w AS second_ok
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey)
     """,
 )
 def window_analytics_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1015,18 +1015,19 @@ def lateral_nation_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     WITH arr AS (
         SELECT l_orderkey AS orderkey,
-               list_sort(list(CAST(l_quantity AS INT))) AS qtys
+               list_sort(list_filter(list(CAST(l_quantity AS INT)),
+                                     x -> x IS NOT NULL)) AS qtys
         FROM lineitem GROUP BY l_orderkey
     )
     SELECT orderkey,
-           array_to_string(qtys, ',') AS qtys_csv,
+           coalesce(array_to_string(qtys, ','), '') AS qtys_csv,
            CAST(len(qtys) AS BIGINT) AS n_items,
-           array_to_string(list_transform(qtys, x -> CAST(x * 2 AS INT)), ',')
-               AS doubled_csv,
+           coalesce(array_to_string(list_transform(qtys, x -> CAST(x * 2 AS INT)),
+                    ','), '') AS doubled_csv,
            coalesce(array_to_string(list_filter(qtys, x -> x > 25), ','), '')
                AS big_qtys_csv,
-           CAST(list_sum(qtys) AS BIGINT) AS sum_qty,
-           array_to_string(qtys[1:3], ',') AS first3_csv,
+           CAST(coalesce(list_sum(qtys), 0) AS BIGINT) AS sum_qty,
+           coalesce(array_to_string(qtys[1:3], ','), '') AS first3_csv,
            list_contains(qtys, 50) AS has_50
     FROM arr
     """,
