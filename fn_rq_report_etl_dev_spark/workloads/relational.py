@@ -672,13 +672,21 @@ def approx_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-aggregate plan (measured 3.5 s → ~0.8 s at sf0.1)."""
     li = load(spark, sf_dir, "lineitem")
     pairs = li.select("l_returnflag", "l_partkey").distinct()
-    n = F.count(F.lit(1))
+    # count(col), not count(1): a (flag, NULL) pair must not count —
+    # COUNT(DISTINCT l_partkey) excludes NULLs — while still keeping the
+    # group present when every partkey is NULL (null-key audit finding).
+    n = F.count("l_partkey")
     return pairs.groupBy("l_returnflag").agg(
         n.alias("exact_parts"),
-        (
-            F.abs(F.approx_count_distinct("l_partkey", rsd=0.01) - n) / n
-            <= 0.02
-        ).cast("bigint").alias("err_within_2pct"),
+        F.when(n == 0, F.lit(1))
+        .otherwise(
+            (
+                F.abs(F.approx_count_distinct("l_partkey", rsd=0.01) - n) / n
+                <= 0.02
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("err_within_2pct"),
     )
 
 

@@ -49,6 +49,15 @@ DIRTY: dict[str, list[str]] = {
     "events": ["event_type", "value", "props"],
 }
 
+# SPARK_NULL_KEYS=1 additionally dirties JOIN KEYS — the harshest 3VL
+# surface: NULL keys match nothing in equi-joins (both engines), vanish
+# from COUNT(col), and form their own GROUP BY bucket. Kept behind a knob
+# because several operators' contracts legitimately assume non-null keys
+# (the merge key gate raises by design).
+if os.environ.get("SPARK_NULL_KEYS") == "1":
+    DIRTY["lineitem"] = DIRTY["lineitem"] + ["l_partkey", "l_suppkey"]
+    DIRTY["orders"] = DIRTY["orders"] + ["o_custkey"]
+
 
 def main() -> int:
     import duckdb
