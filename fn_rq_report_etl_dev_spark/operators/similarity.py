@@ -169,7 +169,14 @@ def brute_force_topk(
     Queries are broadcast (they're the small side); the corpus streams
     through one pass; the window cut keeps k rows per query.
     Returns (query_id, neighbor_id, rank, cos).
+
+    NULL vectors are dropped at entry on BOTH sides (the FAISS
+    "not indexable" contract the IVF path already enforces) — a NULL
+    query would otherwise emit k rows of NULL cosine (null-audit
+    finding, sf0.01).
     """
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     ).withColumn("__nq", norm(F.col("qv")))
@@ -246,6 +253,8 @@ def rademacher_topk(
     ONE equi-join on (table, bucket) — L tables never mean L scans, and
     never a cross product. Pairs colliding in several tables are deduped
     by a (query, neighbor) groupBy before the per-query window cut."""
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     all_planes = rademacher_planes(n_bits * n_tables, dim)
     tables = [all_planes[t * n_bits:(t + 1) * n_bits] for t in range(n_tables)]
     buckets = F.array(*[rademacher_bucket(F.col(vec_col), p) for p in tables])
@@ -296,7 +305,11 @@ def _bucketed_topk(
     exclude_self: bool,
 ) -> DataFrame:
     """Shared LSH shape: bucket equi-join, per-pair cosine from per-row
-    precomputed norms, per-query window cut to k."""
+    precomputed norms, per-query window cut to k. NULL vectors are
+    dropped at entry on both sides (FAISS contract, as in the IVF and
+    brute-force paths)."""
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("qv"),
