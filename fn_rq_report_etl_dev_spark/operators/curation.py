@@ -136,7 +136,13 @@ def quality_gate(
     (Gopher-style): word-count bounds, mean word length bounds, alphabetic
     character ratio, and an English stopword floor. One projection, all
     built-in expressions; ``reasons`` concatenates failed rule names in a
-    fixed order and ``keep`` = no rule failed."""
+    fixed order and ``keep`` = no rule failed.
+
+    NULL text fails explicitly (reason ``no_text``): every metric rule is
+    3VL-vacuous on NULL, so without this rule an absent document would
+    pass the gate untouched — a training pipeline must never ship it
+    (null-audit finding; the metric rules stay NULL and fire nothing, so
+    ``reasons`` is exactly ``no_text``)."""
     t = F.col(text_col)
     n_words = TXT.whitespace_token_count(t).cast("bigint")
     nonspace_chars = F.length(F.regexp_replace(t, r"\s", ""))
@@ -145,6 +151,7 @@ def quality_gate(
     stop_hits = TXT.stopword_hits(t, "en").cast("bigint")
     reasons = F.concat_ws(
         ",",
+        _rule(t.isNull(), "no_text"),
         _rule((n_words < min_words) | (n_words > max_words), "n_words"),
         _rule(
             (mean_word_len < min_mean_word_len)

@@ -53,7 +53,13 @@ def merge_partial_aggregates(
     def _combined(c: str, how: str) -> F.Column:
         a, b = F.col(f"__r_{c}"), F.col(f"__d_{c}")
         if how == "add":
-            out = F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
+            # SQL sum over zero non-NULL inputs is NULL, not 0 — a group
+            # whose partials are NULL on BOTH sides must stay NULL or the
+            # maintained view diverges from a full recompute (null-audit
+            # finding). One NULL partial combines as identity (0).
+            out = F.when(a.isNull() & b.isNull(), F.lit(None)).otherwise(
+                F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
+            )
         elif how == "min":
             out = F.coalesce(F.least(a, b), a, b)
         else:

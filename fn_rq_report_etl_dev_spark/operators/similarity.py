@@ -361,7 +361,13 @@ def embedding_near_dup_pairs(
     output stays bit-identical. MEASURED SLOWER at d=64 on local[32]
     (Arrow-shipping two vectors per pair ≈ 2× the fold cost), which is
     why it defaults off; the trade flips for high-dim vectors where the
-    fold's per-element interpretation dominates the fixed Arrow cost."""
+    fold's per-element interpretation dominates the fixed Arrow cost.
+
+    NULL vectors are dropped at entry (FAISS contract, as in every other
+    ANN entry point) — the default fold path only survives them by
+    accident (NULL cos fails the threshold) and the vectorized path's
+    np.stack crashes on a None in the Arrow batch."""
+    df = df.filter(F.col(vec_col).isNotNull())
     a = df.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id_a"),

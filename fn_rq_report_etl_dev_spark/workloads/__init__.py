@@ -128,10 +128,11 @@ _RECHECK: list[str] = [
     # round-4 NULL-injection audit (scripts_null_audit.py): these queries'
     # ORACLE SQL gained explicit NULL semantics (embedding IS NOT NULL
     # contract filters, NULLS FIRST window ordering, concat_ws, in-list
-    # NULL filtering). Spark plans are unchanged and clean-fixture results
-    # are identical (re-proven via driver-sim), but the oracle text
-    # changed since the green verdict — so they are fronted for a fresh
-    # driver verdict by the same rule that applies to plan changes.
+    # NULL filtering), and the three ANN entries ALSO gained Spark-side
+    # isNotNull entry filters (plan change). Clean-fixture results are
+    # identical everywhere (re-proven via driver-sim), but both kinds of
+    # change invalidate the standing verdict, so all eight are fronted
+    # for a fresh driver verdict.
     "scalar_functions_showcase",
     "window_running_spend",
     "window_analytics_extended",
@@ -140,6 +141,15 @@ _RECHECK: list[str] = [
     "ann_bruteforce_topk",
     "ann_signlsh_topk",
     "ann_rademacher_topk",
+    # round-4 row-key null audit (second pass, low-cardinality columns now
+    # actually dirtied): real 3VL fixes with plan changes — NULL-safe UDAF
+    # group join, SQL-sum NULL identity in the partial-aggregate combiner,
+    # explicit no_text gate rule. Clean-fixture results identical
+    # (driver-sim re-proven); verdicts need refreshing.
+    "udaf_weighted_avg_quantity",
+    "incremental_agg_merge",
+    "docs_quality_gate",
+    "corpus_prep_pipeline",
 ]
 
 _REPO_ROOT = os.path.dirname(

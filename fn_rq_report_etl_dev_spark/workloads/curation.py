@@ -99,6 +99,7 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH m AS (
         SELECT doc_id,
+               text IS NULL AS missing,
                CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
                    AS n_words,
                length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
@@ -110,7 +111,7 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     r AS (
-        SELECT doc_id, n_words, stop_hits,
+        SELECT doc_id, missing, n_words, stop_hits,
                round(nonspace * 1.0 / n_words, 6) AS mean_word_len,
                alpha_chars * 1.0 / n_chars AS alpha_raw
         FROM m
@@ -118,6 +119,7 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (
         SELECT doc_id, n_words, mean_word_len, alpha_raw, stop_hits,
                concat_ws(',',
+                   CASE WHEN missing THEN 'no_text' END,
                    CASE WHEN n_words < 5 OR n_words > 5000
                         THEN 'n_words' END,
                    CASE WHEN mean_word_len < 2.0 OR mean_word_len > 12.0

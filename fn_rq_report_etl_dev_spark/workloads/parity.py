@@ -9,6 +9,8 @@ unique tiebreaker in every window, no float arithmetic outside DECIMAL.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -381,11 +383,20 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash check proves mergeSchema's NULL-fill semantics exactly. At
     scale mergeSchema's footer-merge pass costs one distributed schema
     scan; production tables amortize it via catalog-declared schemas —
-    the read semantics verified here are identical."""
+    the read semantics verified here are identical.
+
+    The generations land at a DETERMINISTIC per-sf temp path and are
+    overwritten on each call (mode=overwrite): repeated audit/bench runs
+    reuse two directories instead of accumulating a fresh full copy of
+    orders per invocation (review finding). Concurrent invocations for
+    the same sf_dir would race on the path — the audits and the driver
+    run queries serially."""
+    import hashlib
     import tempfile
 
     orders = load(spark, sf_dir, "orders")
-    root = tempfile.mkdtemp(prefix="rq_schema_evo_")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"rq_schema_evo_{tag}")
     gen1, gen2 = f"{root}/gen1", f"{root}/gen2"
     orders.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_custkey", "o_totalprice"

@@ -1309,13 +1309,18 @@ def udaf_weighted_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Spark disallows mixing a GROUPED_AGG pandas UDF with JVM aggregates
     # in one agg() — run them as two aggs over the same grouped shuffle
-    # and join on the (3-row) group key.
+    # and join on the (3-row) group key. The join must be NULL-SAFE: a
+    # NULL group key survives both GROUP BYs but a plain equi-join drops
+    # it (NULL != NULL), silently losing the NULL-returnflag group the
+    # oracle keeps (null-audit finding).
     udaf_side = li.groupBy("l_returnflag").agg(wavg("q", "w").alias("wavg_qty"))
-    expr_side = li.groupBy("l_returnflag").agg(
+    expr_side = li.groupBy(F.col("l_returnflag").alias("rf2")).agg(
         F.sum("w").cast("bigint").alias("total_weight"),
         F.count(F.lit(1)).alias("n_rows"),
     )
-    return udaf_side.join(expr_side, "l_returnflag")
+    return udaf_side.join(
+        expr_side, udaf_side.l_returnflag.eqNullSafe(F.col("rf2"))
+    ).select("l_returnflag", "wavg_qty", "total_weight", "n_rows")
 
 
 @workload(
