@@ -145,6 +145,7 @@ def main() -> None:
     SIDE_TIMED = {
         "streaming_dedup_watermark_boundary",
         "streaming_interval_join",
+        "streaming_stateful_sessions",
     }
 
     # Noise-robust per-query timing (VERDICT r03 #3: single-shot timings

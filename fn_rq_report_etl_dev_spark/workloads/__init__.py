@@ -47,6 +47,10 @@ EAGER_SCHEMAS: dict[str, str] = {
     ),
     "streaming_dedup_watermark_boundary": "doc_key string, ts timestamp, payload string",
     "streaming_interval_join": "user_id bigint, view_ts timestamp, click_ts timestamp",
+    "streaming_stateful_sessions": (
+        "user_id bigint, session_start timestamp, session_end timestamp, "
+        "n_events bigint"
+    ),
     "dedup_cluster_components": "doc_id bigint, component bigint",
     "ann_ivf_topk": "query_id bigint, neighbor_id bigint, rank bigint, cos_r double",
     "ann_ivf_recall": "n_probe bigint, bf_pairs bigint, recall_ok bigint",

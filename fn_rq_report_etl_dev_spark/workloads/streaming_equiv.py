@@ -430,3 +430,92 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("click_ts", T.TimestampType(), True),
     ])
     return spark.read.schema(out_schema).parquet(out)
+
+
+# Gap sessionization via applyInPandasWithState, proven against the batch
+# gaps-and-islands SQL. Append mode + NoTimeout emits exactly the sessions
+# CLOSED by a later event of the same user, i.e. every session except each
+# user's last — which is what the oracle selects (sid < last_sid). The
+# timeline splits at CUTOFF into two checkpointed micro-batches, so any
+# session spanning the boundary is only correct if the per-user state
+# survives the batch hop: a state loss would split boundary sessions and
+# hash-mismatch.
+_SESSION_GAP_MINUTES = 360
+
+_STATEFUL_SESSIONS_ORACLE = f"""
+    WITH d AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w
+                            > INTERVAL {_SESSION_GAP_MINUTES} MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM d
+    ),
+    sess AS (
+        SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, sid
+    ),
+    last AS (SELECT user_id, max(sid) AS last_sid FROM sess GROUP BY user_id)
+    SELECT sess.user_id, session_start, session_end, n_events
+    FROM sess JOIN last ON sess.user_id = last.user_id
+    WHERE sid < last_sid
+    """
+
+
+def run_stream_sessions(
+    spark: SparkSession, landing: str, checkpoint: str, out_path: str, schema
+) -> None:
+    """Drain available files through the applyInPandasWithState
+    sessionizer into an append-mode parquet sink."""
+    from ..streaming.stateful import sessionize_with_state
+
+    stream = spark.readStream.schema(schema).parquet(landing).select("user_id", "ts")
+    sessions = sessionize_with_state(stream, gap_minutes=_SESSION_GAP_MINUTES)
+    # One state-store instance per shuffle partition (see
+    # run_stream_window_counts) — pin small, restore after.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        query = (
+            sessions.writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if query.exception() is not None:
+        raise query.exception()
+
+
+@workload("streaming_stateful_sessions", oracle=_STATEFUL_SESSIONS_ORACLE)
+def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState)
+    oracle-checked end to end: the per-user session state machine
+    (streaming/stateful.py) over two checkpointed micro-batches must
+    equal the batch gaps-and-islands SQL — including sessions that SPAN
+    the micro-batch boundary, which only close correctly because the
+    GroupState survives the batch hop in the state store."""
+    events = load(spark, sf_dir, "events").select("user_id", "ts")
+    root = tempfile.mkdtemp(prefix="rq_stream_sessions_")
+    landing = os.path.join(root, "landing")
+    checkpoint = os.path.join(root, "checkpoint")
+    out_path = os.path.join(root, "sessions")
+
+    events.filter(F.col("ts") < F.lit(CUTOFF)).write.mode("append").parquet(landing)
+    run_stream_sessions(spark, landing, checkpoint, out_path, events.schema)
+    events.filter(F.col("ts") >= F.lit(CUTOFF)).write.mode("append").parquet(landing)
+    run_stream_sessions(spark, landing, checkpoint, out_path, events.schema)
+
+    return spark.read.parquet(out_path)
