@@ -1,0 +1,48 @@
+"""Static consistency checks for the audit scripts — the dirty-data and
+empty-corpus sweeps are scripts, not pytest, so these guards keep their
+configuration from silently drifting as tables/queries evolve."""
+
+from __future__ import annotations
+
+import importlib
+
+import scripts_null_audit as na
+
+
+def test_every_dirty_table_has_a_row_key():
+    """The nulling hash MUST key on a stable row identity (review
+    finding: value-keyed hashing nulls low-cardinality columns
+    all-or-nothing); every dirtied table needs its primary key listed."""
+    for t in na.DIRTY:
+        assert t in na.ROW_KEY, f"{t}: dirtied but no ROW_KEY entry"
+    for t in na.TABLES:
+        assert t in na.ROW_KEY, f"{t}: no ROW_KEY entry"
+
+
+def test_row_keys_not_dirtied_without_knob(monkeypatch):
+    """The base sweep must never null the columns its own hash keys on —
+    a nulled key would make the nulling of OTHER columns of that row
+    engine-dependent. (SPARK_NULL_KEYS=1 adds JOIN keys, which are not
+    ROW_KEY columns.)"""
+    monkeypatch.delenv("SPARK_NULL_KEYS", raising=False)
+    mod = importlib.reload(na)
+    for t, cols in mod.DIRTY.items():
+        overlap = set(cols) & set(mod.ROW_KEY[t])
+        assert not overlap, f"{t}: row-key columns dirtied: {overlap}"
+
+
+def test_key_escalation_does_not_touch_row_keys(monkeypatch):
+    monkeypatch.setenv("SPARK_NULL_KEYS", "1")
+    mod = importlib.reload(na)
+    for t, cols in mod.DIRTY.items():
+        overlap = set(cols) & set(mod.ROW_KEY[t])
+        assert not overlap, f"{t}: row-key columns dirtied under knob: {overlap}"
+    monkeypatch.delenv("SPARK_NULL_KEYS", raising=False)
+    importlib.reload(mod)
+
+
+def test_expectation_columns_reference_registered_queries():
+    import inspect
+
+    src = inspect.getsource(na.main)
+    assert "ann_ivf_recall" in src  # the one documented expectation oracle
