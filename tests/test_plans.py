@@ -180,3 +180,38 @@ def test_dynamic_partition_pruning_fires_on_selective_dim(spark, tmp_path):
     j = fact.join(dim, "day").agg(F.sum("v").alias("s"))
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan
+
+
+def test_q2_broadcast_joinback_and_topk(spark, sf_dir):
+    """Q2's min-cost join-back must broadcast (minc is bounded by the
+    part dimension) and the top-100 must run as TakeOrderedAndProject —
+    a sort-merge join or a global sort here would regress the 100 TB
+    plan (round-4 pin)."""
+    df = QUERIES["q2_min_cost_supplier"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert has_pushed_filters(df)  # p_type/p_size reach the part scan
+
+
+def test_q20_shares_partsupp_grouping_key(spark, sf_dir):
+    """Q20's two grouped aggregates shuffle on the same (partkey,
+    suppkey) key and equi-join without a THIRD exchange between them;
+    part/nation reduce to broadcast semi joins."""
+    df = QUERIES["q20_excess_stock_suppliers"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # red parts + nation semi
+    # exchanges: avail groupBy + shipped groupBy only — the join between
+    # them reuses the (partkey, suppkey) distribution.
+    assert exchange_count(df) <= 2
+
+
+def test_schema_evolution_reads_both_generations(spark, sf_dir):
+    """The mergeSchema read must produce a plan whose scan schema carries
+    BOTH generations' columns (NULL-filled where absent) and aggregate in
+    one exchange — schema reconciliation must not degrade into a union
+    of per-generation scans with a shuffle each."""
+    df = QUERIES["schema_evolution_union"](spark, sf_dir)
+    cols = set(read_schema_columns(df))
+    assert {"o_totalprice", "o_orderpriority"} <= cols
+    assert exchange_count(df) <= 2
