@@ -318,7 +318,15 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash: per word, bit j votes +1 if hex nibble j of md5(word)
     has its high bit set, else -1; signature bit = sign of the vote sum.
     Frequency-weighted (duplicated words vote repeatedly). One explode +
-    one aggregation; the signature is a portable '0'/'1' string."""
+    one aggregation; the signature is a portable '0'/'1' string.
+
+    TEACHING/ORACLE VARIANT — quadratic-in-expectation at scale: with only
+    2^16 buckets, expected RANDOM-collision pairs ≈ n²/131072, i.e. ~38k
+    spurious pairs already at n=10^5 docs and ~7.6B at n=10^9. Above
+    ~10^5 documents use :func:`simhash64_collision_pairs` (64-bit, banded
+    Hamming≤3), whose bucket space doesn't saturate; this variant stays
+    because its signature is trivially SQL-replayable by the DuckDB
+    oracle."""
     w = _spread(df, id_col).select(
         F.col(id_col).alias("__id"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),

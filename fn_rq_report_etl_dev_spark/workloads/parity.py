@@ -349,6 +349,12 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-process generation roots for schema_evolution_union, keyed by sf_dir:
+# created lazily via mkdtemp (private, unpredictable) and reused for the
+# life of the process so repeated runs overwrite instead of accumulate.
+_SCHEMA_EVO_DIRS: dict[str, str] = {}
+
+
 @workload(
     "schema_evolution_union",
     oracle="""
@@ -385,18 +391,20 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan; production tables amortize it via catalog-declared schemas —
     the read semantics verified here are identical.
 
-    The generations land at a DETERMINISTIC per-sf temp path and are
-    overwritten on each call (mode=overwrite): repeated audit/bench runs
-    reuse two directories instead of accumulating a fresh full copy of
-    orders per invocation (review finding). Concurrent invocations for
-    the same sf_dir would race on the path — the audits and the driver
-    run queries serially."""
-    import hashlib
+    The generations land at a per-process ``mkdtemp`` cached per sf_dir
+    (ADVICE r04: a fixed, predictable name under the world-shared temp
+    dir is both a multi-user collision and a pre-plant/symlink surface):
+    repeated audit/bench runs in one process reuse two directories
+    (mode=overwrite) instead of accumulating a fresh full copy of orders
+    per invocation, while distinct processes get private 0700 roots.
+    Concurrent invocations for the same sf_dir in ONE process would race
+    on the path — the audits and the driver run queries serially."""
     import tempfile
 
     orders = load(spark, sf_dir, "orders")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"rq_schema_evo_{tag}")
+    root = _SCHEMA_EVO_DIRS.setdefault(
+        sf_dir, tempfile.mkdtemp(prefix="rq_schema_evo_")
+    )
     gen1, gen2 = f"{root}/gen1", f"{root}/gen2"
     orders.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_custkey", "o_totalprice"

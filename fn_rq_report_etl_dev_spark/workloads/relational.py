@@ -1298,7 +1298,13 @@ def udaf_weighted_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # into strings signature inference can't resolve — pass the eval type
     # explicitly (same pattern as similarity._cosine_pandas_udf).
     def _wavg(q, w):
-        return float((q * w).sum() / w.sum())
+        # 3VL seam (ADVICE r04): pandas' skipna sum over an all-NULL
+        # product series is 0.0, but SQL's SUM over all-NULL is NULL —
+        # return None so an all-NULL-quantity group matches the oracle.
+        p = q * w
+        if p.notna().sum() == 0:
+            return None
+        return float(p.sum() / w.sum())
 
     wavg = pandas_udf("double", PandasUDFType.GROUPED_AGG)(_wavg)
 

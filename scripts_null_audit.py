@@ -104,7 +104,10 @@ def main() -> int:
             # per-column salt: deterministic, engine-independent,
             # decorrelated across columns, and value-independent (a
             # low-cardinality column still loses ~10% of its rows).
-            bucket = F.abs(F.hash(F.concat_ws("|", F.lit(c), *key))) % RATE
+            # pmod, not abs()%: abs(Int.MinValue) stays negative in
+            # non-ANSI Spark, so that row's bucket could never hit 0
+            # (ADVICE r04 — a one-in-2^32 deterministic draw skew).
+            bucket = F.pmod(F.hash(F.concat_ws("|", F.lit(c), *key)), F.lit(RATE))
             df = df.withColumn(c, F.when(bucket == 0, F.lit(None)).otherwise(F.col(c)))
         df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
     print(f"dirty dataset at {out} (10% NULLs via deterministic hash)")
