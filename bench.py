@@ -81,13 +81,17 @@ def main() -> None:
     # Warm the Python/Arrow worker pool the same way: the first pandas-UDF
     # job in a session pays worker spin-up (~2-3 s on local[32]), which is
     # session startup cost, not per-query cost.
+    import pandas as _pd
     from pyspark.sql import functions as F
 
-    force(
-        spark.range(1000).select(
-            F.pandas_udf(lambda s: s * 2, "long")(F.col("id")).alias("x")
-        )
-    )
+    def _warm(s):
+        return s * 2
+
+    # Series->Series eval type via explicit annotations (this file uses
+    # `from __future__ import annotations`, so inline hints would be strings
+    # resolved against module globals — assigning the objects is simpler).
+    _warm.__annotations__ = {"s": _pd.Series, "return": _pd.Series}
+    force(spark.range(1000).select(F.pandas_udf(_warm, "long")(F.col("id")).alias("x")))
 
     # The IVF index is build-once/query-many infrastructure (the whole
     # point of the build/query split): time the build as its OWN metric so

@@ -21,9 +21,16 @@ shuffle, and the query side is broadcast when small.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
+
+# numpy/pandas are imported at MODULE level (not inside the UDF builders):
+# under `from __future__ import annotations` the type-hint-style pandas UDF
+# signatures below are strings that `typing.get_type_hints` resolves against
+# this module's globals — `pd`/`np` must live there for inference to work.
 
 
 def as_double(vec: Column) -> Column:
@@ -58,22 +65,16 @@ def _cosine_pandas_udf():
     interpreted array-fold for big pair counts, but its SIMD/pairwise
     summation isn't bit-identical to a sequential fold — use it on paths
     whose results aren't value-hashed against a sequential oracle."""
-    import numpy as np
-    import pandas as pd
 
-    # No type hints: under `from __future__ import annotations` they become
-    # strings referencing the local pd import, which signature inference
-    # can't resolve — pass the eval type explicitly instead.
-    def cos(a, b):
+    @F.pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
         ma = np.stack(a.to_numpy())
         mb = np.stack(b.to_numpy())
         num = np.einsum("ij,ij->i", ma, mb)
         den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
         return pd.Series(num / den)
 
-    from pyspark.sql.functions import PandasUDFType
-
-    return F.pandas_udf("double", PandasUDFType.SCALAR)(cos)
+    return cos
 
 
 def cosine_vectorized(a: Column, b: Column) -> Column:
@@ -414,20 +415,16 @@ class IvfIndex:
 def _assign_cell_udf(centroids):
     """Arrow-vectorized nearest-centroid assignment: numpy over stacked
     batches against the (tiny, task-serialized) centroid matrix."""
-    import numpy as np
-    import pandas as pd
-
     mat = np.asarray(centroids, dtype=np.float64)  # (k, d)
 
-    def assign(cv):
+    @F.pandas_udf("int")
+    def assign(cv: pd.Series) -> pd.Series:
         m = np.stack(cv.to_numpy())  # (n, d)
         # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant per row
         d2 = (mat * mat).sum(axis=1)[None, :] - 2.0 * m @ mat.T
         return pd.Series(d2.argmin(axis=1).astype("int32"))
 
-    from pyspark.sql.functions import PandasUDFType
-
-    return F.pandas_udf("int", PandasUDFType.SCALAR)(assign)
+    return assign
 
 
 def build_ivf_index(
@@ -620,16 +617,12 @@ def quantize_int8(
     dot product is exact integer arithmetic (deterministic, SIMD-friendly
     in numpy). Arrow-batched pandas UDF, no per-row Python.
     """
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql.functions import PandasUDFType
-
     # ONE pandas UDF returning a struct: the vector column crosses the
     # JVM→Python Arrow boundary once and max|x| is computed once per row
     # (two separate pack/scale UDFs would double the quantization pass —
     # in the operator whose whole point is scan-byte economy).
-    def pack(vs):
+    @F.pandas_udf("qvec binary, qscale double")
+    def packed(vs: pd.Series) -> pd.DataFrame:
         qv, sc = [], []
         for v in vs:
             a = np.asarray(v, dtype=np.float64)
@@ -641,7 +634,6 @@ def quantize_int8(
         return pd.DataFrame({"qvec": qv, "qscale": sc})
 
     v = as_double(F.col(vec_col))
-    packed = F.pandas_udf("qvec binary, qscale double", PandasUDFType.SCALAR)(pack)
     tmp = "__quantize_packed"
     return (
         df.withColumn(tmp, packed(v))
@@ -655,12 +647,11 @@ def _int8_score_udf():
     """Approximate cosine from packed int8 vectors:
     ``(qa·qb) * sa * sb / (na * nb)`` — the integer dot is exact, the
     scales/norms are per-row doubles, so the score is deterministic."""
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql.functions import PandasUDFType
-
-    def score(qa, qb, sa, sb, na, nb):
+    @F.pandas_udf("double")
+    def score(
+        qa: pd.Series, qb: pd.Series, sa: pd.Series,
+        sb: pd.Series, na: pd.Series, nb: pd.Series,
+    ) -> pd.Series:
         # one frombuffer over the concatenated batch (all vectors share a
         # dim), not a per-row frombuffer+stack python loop — ~10x on big
         # batches. The reshape is only valid for a uniform dim — assert it,
@@ -680,7 +671,7 @@ def _int8_score_udf():
             d * sa.to_numpy() * sb.to_numpy() / (na.to_numpy() * nb.to_numpy())
         )
 
-    return F.pandas_udf("double", PandasUDFType.SCALAR)(score)
+    return score
 
 
 def quantized_corpus(

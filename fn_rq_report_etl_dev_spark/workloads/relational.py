@@ -16,8 +16,13 @@ cast to DOUBLE only at the end; AVG is exact-sum ÷ count in double.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# pandas is imported at MODULE level so the type-hint-style pandas-UDF
+# signatures (strings under `from __future__ import annotations`) resolve
+# against these globals during eval-type inference.
 
 from . import load, workload
 
@@ -1292,12 +1297,12 @@ def udaf_weighted_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     path for pandas UDAFs — state is the per-group series, so groups must
     fit a task; for unbounded groups prefer the expression form
     sum(q*w)/sum(w), shown in total_weight."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    # No type hints: under `from __future__ import annotations` they turn
-    # into strings signature inference can't resolve — pass the eval type
-    # explicitly (same pattern as similarity._cosine_pandas_udf).
-    def _wavg(q, w):
+    # Type-hint form (Series, Series) -> float infers GROUPED_AGG
+    # (SPARK-28264: the PandasUDFType constant is deprecated).
+    @pandas_udf("double")
+    def wavg(q: pd.Series, w: pd.Series) -> float:
         # 3VL seam (ADVICE r04): pandas' skipna sum over an all-NULL
         # product series is 0.0, but SQL's SUM over all-NULL is NULL —
         # return None so an all-NULL-quantity group matches the oracle.
@@ -1305,8 +1310,6 @@ def udaf_weighted_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         if p.notna().sum() == 0:
             return None
         return float(p.sum() / w.sum())
-
-    wavg = pandas_udf("double", PandasUDFType.GROUPED_AGG)(_wavg)
 
     li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag",
