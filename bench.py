@@ -126,16 +126,22 @@ def main() -> None:
         release_intermediates(spark)
         spark._jvm.System.gc()
 
-    # Every workload that queries the shared IVF index: the persisted cell
+    # Every workload that queries a shared IVF index: the persisted cell
     # assignment must be restored before timing ANY of them (isolate()
     # drops it), or the timing conflates the distributed assignment pass
     # into query latency (ADVICE r02; generalized in r04 when
-    # ann_ivf_recall joined the family).
-    IVF_CONSUMERS = {"ann_ivf_topk", "ann_ivf_recall"}
+    # ann_ivf_recall joined the family). r05: ann_ivf_topk moved to the
+    # SQL-replayable codebook index; ann_ivf_recall stays on Lloyd.
+    from fn_rq_report_etl_dev_spark.workloads.llmops import _ivf_codebook_index
+
+    IVF_CONSUMERS = {
+        "ann_ivf_topk": _ivf_codebook_index,
+        "ann_ivf_recall": _ivf_index,
+    }
 
     def timed_run(name: str) -> float:
         if name in IVF_CONSUMERS:
-            idx = _ivf_index(spark, sf_dir)
+            idx = IVF_CONSUMERS[name](spark, sf_dir)
             idx.assigned.persist()
             idx.assigned.count()
         start = time.perf_counter()

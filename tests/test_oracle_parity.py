@@ -89,9 +89,10 @@ def _declared_name_dtypes(name):
 
 
 def test_eager_schema_declarations_for_no_oracle_queries(spark, sf_dir):
-    """EAGER_SCHEMAS entries without a DuckDB oracle (only ann_ivf_topk)
-    aren't covered by the parametrized parity check above — verify the
-    declaration against the actual schema here."""
+    """EAGER_SCHEMAS entries without a DuckDB oracle aren't covered by the
+    parametrized parity check above — verify the declaration against the
+    actual schema here. (Empty since r05: ann_ivf_topk, the last no-oracle
+    row, gained a codebook-replay oracle; the loop stays as a guard.)"""
     for name in set(EAGER_SCHEMAS) - set(ORACLES):
         actual = QUERIES[name](spark, sf_dir).schema
         assert _name_dtypes(actual) == _declared_name_dtypes(name), name
