@@ -152,11 +152,15 @@ def main() -> None:
     # their cost is state-store/commit fixture overhead on rows of synthetic
     # data (17.6 s on 7 rows in r03 — 20% of the suite total), which says
     # nothing about plan quality. They stay registered for correctness.
-    SIDE_TIMED = {
-        "streaming_dedup_watermark_boundary",
-        "streaming_interval_join",
-        "streaming_stateful_sessions",
-    }
+    # r05 (VERDICT r04 "what's wrong" #1): derived from the registry's
+    # checkpointed_drain attribute instead of a hand list, so the WHOLE
+    # class is excluded — streaming_window_counts and
+    # streaming_merge_equivalence move out of the suite total, a one-time
+    # ~4.4 s step down vs the r04 `value` (add side_timings back for
+    # cross-round comparisons).
+    from fn_rq_report_etl_dev_spark.workloads import CHECKPOINTED_DRAINS
+
+    SIDE_TIMED = set(CHECKPOINTED_DRAINS)
 
     # Noise-robust per-query timing (VERDICT r03 #3: single-shot timings
     # can't separate sandbox drift from plan regressions — r02→r03 showed a
@@ -201,10 +205,11 @@ def main() -> None:
             {
                 "queries": timings,
                 "side_timings": side,
-                # r04+: `value` excludes the side-timed checkpointed-
-                # streaming fixture (17.6 s of state-store overhead on 7
-                # rows in r03) — comparisons to r01-r03 totals must add
-                # side_timings back.
+                # r04+: `value` excludes checkpointed-streaming drains
+                # (state-store commit overhead, not engine time); r05
+                # widened the exclusion to the whole class via the
+                # registry's checkpointed_drain attribute. Comparisons to
+                # earlier totals must add side_timings back.
                 "excluded_from_value": sorted(side),
                 "sf": sf,
                 "unit": "sec",

@@ -94,7 +94,7 @@ def run_stream_merge(
         raise query.exception()
 
 
-@workload("streaming_merge_equivalence", oracle=_ORACLE)
+@workload("streaming_merge_equivalence", oracle=_ORACLE, checkpointed_drain=True)
 def streaming_merge_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two checkpointed micro-batches (events split at CUTOFF) through the
     foreachBatch dedup+merge; returns the final target table, which must
@@ -214,7 +214,7 @@ _DEDUP_BOUNDARY_ORACLE = """
     """
 
 
-@workload("streaming_dedup_watermark_boundary", oracle=_DEDUP_BOUNDARY_ORACLE)
+@workload("streaming_dedup_watermark_boundary", oracle=_DEDUP_BOUNDARY_ORACLE, checkpointed_drain=True)
 def streaming_dedup_watermark_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dropDuplicatesWithinWatermark`` semantics ACROSS watermark
     boundaries, driver-checked (round-2 ask): three checkpointed
@@ -290,7 +290,7 @@ def streaming_dedup_watermark_boundary(spark: SparkSession, sf_dir: str) -> Data
     return spark.read.schema(schema).parquet(out)
 
 
-@workload("streaming_window_counts", oracle=_WINDOW_ORACLE)
+@workload("streaming_window_counts", oracle=_WINDOW_ORACLE, checkpointed_drain=True)
 def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked event-time windowed aggregation (the Structured
     Streaming metrics side of O18/O20), drained in two checkpointed
@@ -327,7 +327,7 @@ _INTERVAL_JOIN_ORACLE = """
     """
 
 
-@workload("streaming_interval_join", oracle=_INTERVAL_JOIN_ORACLE)
+@workload("streaming_interval_join", oracle=_INTERVAL_JOIN_ORACLE, checkpointed_drain=True)
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream event-time INTERVAL JOIN with watermarks, driver-
     checked: clicks attribute to a view of the same user within
@@ -499,7 +499,7 @@ def run_stream_sessions(
         raise query.exception()
 
 
-@workload("streaming_stateful_sessions", oracle=_STATEFUL_SESSIONS_ORACLE)
+@workload("streaming_stateful_sessions", oracle=_STATEFUL_SESSIONS_ORACLE, checkpointed_drain=True)
 def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState)
     oracle-checked end to end: the per-user session state machine

@@ -18,6 +18,12 @@ def pytest_configure(config):
         'perf: wall-clock envelope tests (machine-dependent; exclude from '
         'correctness-only runs with -m "not perf")',
     )
+    config.addinivalue_line(
+        "markers",
+        "audit: opt-in adversarial sweeps (empty-corpus, NULL-injection, "
+        "varied-parallelism determinism) — deselected by default via "
+        "pytest.ini addopts; run with `pytest -m audit`",
+    )
 
 
 @pytest.fixture(scope="session")

@@ -46,3 +46,32 @@ def test_expectation_columns_reference_registered_queries():
 
     src = inspect.getsource(na.main)
     assert "ann_ivf_recall" in src  # the one documented expectation oracle
+
+
+def test_checkpointed_drain_attribute_pins_the_streaming_class():
+    """bench.py derives its side-timing exclusion from the registry's
+    checkpointed_drain attribute (VERDICT r04 'what's wrong' #1). Pin the
+    membership: exactly the five checkpointed-drain streaming proofs, and
+    every marked name is a registered query. A new writeStream-based
+    workload that forgets the flag shows up here as a diff of this set
+    against streaming_equiv.py's registrations."""
+    import inspect
+
+    from fn_rq_report_etl_dev_spark.workloads import (
+        CHECKPOINTED_DRAINS,
+        QUERIES,
+        streaming_equiv,
+    )
+
+    assert CHECKPOINTED_DRAINS == {
+        "streaming_merge_equivalence",
+        "streaming_dedup_watermark_boundary",
+        "streaming_window_counts",
+        "streaming_interval_join",
+        "streaming_stateful_sessions",
+    }
+    assert CHECKPOINTED_DRAINS <= set(QUERIES)
+    # Every workload defined in a module that drains checkpoints carries
+    # the flag (the class criterion, not a hand list).
+    src = inspect.getsource(streaming_equiv)
+    assert src.count("@workload(") == src.count("checkpointed_drain=True")

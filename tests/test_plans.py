@@ -215,3 +215,21 @@ def test_schema_evolution_reads_both_generations(spark, sf_dir):
     cols = set(read_schema_columns(df))
     assert {"o_totalprice", "o_orderpriority"} <= cols
     assert exchange_count(df) <= 2
+
+
+def test_codebook_ivf_assignment_is_shuffle_free(spark, sf_dir):
+    """The SQL-replayable codebook index (r05) assigns cells as a single
+    scan-side projection — literal-centroid argmin via array_min over
+    (dist, cell) structs. NO exchange and NO window on the corpus side:
+    the shape that survives a 1000-executor scan. (The cross-join + window
+    alternative would shuffle the whole corpus by id.)"""
+    from fn_rq_report_etl_dev_spark.operators.similarity import (
+        build_codebook_index,
+    )
+    from fn_rq_report_etl_dev_spark.workloads import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = build_codebook_index(emb, n_cells=8, seed=42)
+    assert exchange_count(idx.assigned) == 0
+    plan = formatted_plan(idx.assigned)
+    assert "Window" not in plan and "Join" not in plan
