@@ -9,13 +9,18 @@ partitioned stage → dedup → merge → counts → retention) scale the way th
      by key-offset replication) — wall time should grow ~linearly (no
      superlinear blowup) and the biggest reducer's shuffle input should
      grow ∝ batch/partitions (no skew hotspot);
-  B. constant daily batch into a GROWING bucket-partitioned target
-     (run_etl_bucketed): a bucket-localized daily batch merged into a 1x
-     target vs a 10x target — wall time and max-reducer input should be
-     ~FLAT, because the bucketed merge's work scales with the partitions
-     the batch touches, not the table size (the claim the round-2
-     synthetic 3-column table made, re-proven here on the real 44-column
-     flagship path).
+  B. constant daily batch into a GROWING target: a bucket-localized daily
+     batch (touches 8 of 64 buckets) merged into a 1x vs a 10x bucketed
+     target (run_etl_bucketed), and — the control — into the 10x FLAT
+     target (run_etl, full-outer rewrite). The bucketed merge's work
+     scales with the touched buckets' data (8/64 of the table), the flat
+     merge's with the whole table: at 10x the gap between those two is
+     the claim the round-2 synthetic 3-column table made, re-proven here
+     on the real 44-column flagship path. Staging is purged between the
+     seed and the daily run so the daily merge input is EXACTLY the daily
+     batch (leftover seed staging rows would scale with the target and
+     pollute the flatness reading — caught on the first run of this
+     script: updated-counts 15444 vs 45720 instead of 12504/12504).
 
 Max-reducer input comes from Spark's status REST API (taskSummary at
 quantile 1.0 over every stage the scenario ran) — the number that decides
@@ -177,15 +182,32 @@ def main() -> None:
     daily = daily_updates.unionByName(daily_inserts)
     n_daily = daily.count()
 
-    for tag, seed_batch, seed_rows in (
-        ("1x", batch1, n1),
-        ("10x", batch10, n1 * REPLICAS),
+    def purge_staging(wh):
+        """Drop every staging partition so the daily merge input is the
+        daily batch alone (see module docstring)."""
+        from fn_rq_report_etl_dev_spark.catalog import (
+            STAGING_PARTITION_COL,
+            STAGING_TABLE,
+        )
+
+        vals = [
+            v
+            for v in wh.partition_values(STAGING_TABLE, STAGING_PARTITION_COL)
+            if v is not None
+        ]
+        wh.drop_partitions(STAGING_TABLE, STAGING_PARTITION_COL, vals)
+
+    for tag, seed_batch, seed_rows, runner in (
+        ("1x_target", batch1, n1, run_etl_bucketed),
+        ("10x_target", batch10, n1 * REPLICAS, run_etl_bucketed),
+        ("10x_flat_target", batch10, n1 * REPLICAS, run_etl),
     ):
-        wh = Warehouse(tempfile.mkdtemp(prefix=f"fs-b{tag}-"))
-        run_etl_bucketed(spark, wh, seed_batch, now=now)  # seed (untimed)
+        wh = Warehouse(tempfile.mkdtemp(prefix=f"fs-b-{tag}-"))
+        runner(spark, wh, seed_batch, now=now)  # seed (untimed)
+        purge_staging(wh)
         scenario(
-            f"daily_into_{tag}_target", spark,
-            lambda wh=wh: run_etl_bucketed(spark, wh, daily, now=now),
+            f"daily_into_{tag}", spark,
+            lambda wh=wh, runner=runner: runner(spark, wh, daily, now=now),
             target_rows=seed_rows,
             daily_rows=n_daily,
         )
