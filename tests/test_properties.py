@@ -365,3 +365,47 @@ def test_cms_never_underestimates_property(spark, words):
     }
     true = Counter(words)
     assert all(est[w] >= n for w, n in true.items())
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-1, 1, allow_nan=False, allow_infinity=False, width=32),
+            min_size=4, max_size=4,
+        ),
+        min_size=3, max_size=10,
+    ),
+    n_cells=st.integers(1, 4),
+)
+def test_codebook_ivf_full_probe_equals_bruteforce(spark, vecs, n_cells):
+    """With n_probe == n_cells the codebook IVF scans every cell, so its
+    output must equal exact brute force EXACTLY for arbitrary vectors and
+    any codebook size — the same total-recall invariant the Lloyd path
+    proves via ann_ivf_recall's n_probe=8 row, here for the
+    SQL-replayable quantizer (r05). Also pins the partition-of-the-corpus
+    property: every (non-null) vector lands in exactly one cell."""
+    from fn_rq_report_etl_dev_spark.operators.similarity import (
+        brute_force_topk,
+        build_codebook_index,
+        ivf_query,
+    )
+
+    rows = [
+        (i, [float(v[0]) + 1.5] + [float(x) for x in v[1:]])  # non-zero norm
+        for i, v in enumerate(vecs)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = build_codebook_index(df, n_cells=n_cells, seed=42)
+    assert idx.assigned.count() == len(rows)  # partition: one cell per vector
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], round(r["cos"], 9))
+        for r in ivf_query(
+            idx, df, k=2, n_probe=n_cells, exclude_self=True
+        ).collect()
+    )
+    exp = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], round(r["cos"], 9))
+        for r in brute_force_topk(df, df, k=2, exclude_self=True).collect()
+    )
+    assert got == exp
