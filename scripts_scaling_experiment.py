@@ -9,8 +9,10 @@ Experiments (select with argv, default: all three in sequence):
           InjectRuntimeFilter rule on vs off.
   ann   — quantized-rerank vs exact brute force at 1M×64 (prep-once
           packing; exactness assertion).
+  ivf_assign — codebook-IVF cell assignment at 1M×64: scan-side argmin
+          projection vs naive cross-join+window (equality asserted).
 
-Run: python scripts_scaling_experiment.py [merge|skew|bloom|ann|all]"""
+Run: python scripts_scaling_experiment.py [merge|skew|bloom|ann|ivf_assign|all]"""
 import sys, os, time, tempfile, json
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F
@@ -225,6 +227,66 @@ def ann_experiment():
     print(json.dumps(out[0]))
     return out
 
+
+def ivf_assign_experiment():
+    """Codebook-IVF cell assignment at 1M×64 (r05): the scan-side
+    literal-centroid argmin projection (array_min over (dist, cell)
+    structs — build_codebook_index's shape, zero shuffle) vs the naive
+    cross-join + per-id window argmin (shuffles |corpus|×n_cells wide
+    rows). Same assignment bit-for-bit; the plan difference is what
+    separates a map-only pass from a corpus-size shuffle at 100 TB."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from fn_rq_report_etl_dev_spark.operators.similarity import (
+        as_double, build_codebook_index, sqdist)
+
+    d = tempfile.mkdtemp(prefix="ivfassign-")
+    dim = 64
+    (spark.range(1_000_000).withColumnRenamed("id", "vec_id")
+     .withColumn("embedding", F.expr(
+         f"transform(sequence(0,{dim-1}), i -> "
+         "cast(conv(substring(md5(concat(cast(vec_id as string),':',"
+         "cast(i as string))),1,8),16,10) as double)/2147483648.0 - 1.0)"))
+     .write.parquet(f"{d}/emb"))
+    emb = spark.read.parquet(f"{d}/emb")
+    _force(emb)  # warm the scan
+
+    t0 = time.perf_counter()
+    idx = build_codebook_index(emb, n_cells=16, seed=42)
+    _force(idx.assigned)
+    proj_s = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"experiment": "ivf_assign", "label": "argmin_projection",
+                      "sec": proj_s, "includes_codebook_pick": True}))
+
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   as_double(F.col("embedding")).alias("cv"))
+    naive = (
+        c.crossJoin(F.broadcast(idx.centroids))
+        .withColumn("__d", sqdist(F.col("cv"), F.col("centroid")))
+        .withColumn("__rk", F.row_number().over(
+            Window.partitionBy("neighbor_id").orderBy("__d", "cell")))
+        .filter(F.col("__rk") == 1)
+        .select("neighbor_id", "cv", "cell")
+    )
+    t0 = time.perf_counter()
+    _force(naive)
+    naive_s = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"experiment": "ivf_assign",
+                      "label": "crossjoin_window", "sec": naive_s}))
+
+    n_diff = (idx.assigned.select("neighbor_id", "cell")
+              .join(naive.select("neighbor_id",
+                                 F.col("cell").alias("cell2")), "neighbor_id")
+              .filter(F.col("cell") != F.col("cell2")).count())
+    assert n_diff == 0, f"assignment shapes diverged on {n_diff} vectors"
+    print(json.dumps({"experiment": "ivf_assign", "label": "equal", "ok": True}))
+
+
+if EXPERIMENT == "ivf_assign":
+    ivf_assign_experiment()
+    sys.exit(0)
 
 if EXPERIMENT == "ann":
     ann_experiment()
