@@ -284,6 +284,42 @@ def ivf_assign_experiment():
     print(json.dumps({"experiment": "ivf_assign", "label": "equal", "ok": True}))
 
 
+def ivf_recall_experiment():
+    """Recall@3 vs probe budget: Lloyd k-means quantizer (ann_ivf_recall's
+    production build) vs the r05 SQL-replayable seeded codebook, same
+    corpus/queries/cells. The probe budget decides what fraction of the
+    corpus a query scans at 100 TB; this measures how much of that budget
+    the cheaper (training-free, oracle-replayable) codebook gives back."""
+    from fn_rq_report_etl_dev_spark.operators.similarity import (
+        brute_force_topk, build_codebook_index, build_ivf_index, ivf_query)
+    from fn_rq_report_etl_dev_spark.workloads import load
+
+    for sf in ("0.01", "0.1"):
+        sf_dir = f"/root/testdata/sf{sf}"
+        emb = load(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 8)
+        bf = {(r["query_id"], r["neighbor_id"])
+              for r in brute_force_topk(queries, emb, k=3, exclude_self=True)
+              .select("query_id", "neighbor_id").collect()}
+        for label, idx in (
+            ("lloyd", build_ivf_index(emb, n_cells=8, seed=42)),
+            ("codebook", build_codebook_index(emb, n_cells=8, seed=42)),
+        ):
+            rec = {}
+            for n_probe in (2, 4, 6, 8):
+                got = {(r["query_id"], r["neighbor_id"])
+                       for r in ivf_query(idx, queries, k=3, n_probe=n_probe,
+                                          exclude_self=True)
+                       .select("query_id", "neighbor_id").collect()}
+                rec[n_probe] = round(len(got & bf) / len(bf), 3)
+            print(json.dumps({"experiment": "ivf_recall", "sf": sf,
+                              "quantizer": label, "recall_at_3": rec}))
+
+
+if EXPERIMENT == "ivf_recall":
+    ivf_recall_experiment()
+    sys.exit(0)
+
 if EXPERIMENT == "ivf_assign":
     ivf_assign_experiment()
     sys.exit(0)
