@@ -962,6 +962,102 @@ def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id AS ver_id, event_type, value, ts AS valid_from
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    f AS (
+        SELECT user_id, event_id AS fact_id, ts + INTERVAL 36 HOUR AS fact_ts
+        FROM events
+        WHERE event_id % 5 = 0 AND ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    j AS (
+        SELECT f.user_id, f.fact_id, f.fact_ts,
+               v.ver_id, v.event_type, v.value,
+               row_number() OVER (PARTITION BY f.fact_id
+                                  ORDER BY v.valid_from DESC, v.ver_id DESC)
+                   AS rn
+        FROM f JOIN v ON v.user_id = f.user_id AND v.valid_from <= f.fact_ts
+    )
+    SELECT user_id, fact_id, fact_ts, ver_id, event_type, value
+    FROM j WHERE rn = 1
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each fact row picks the dimension
+    VERSION that was valid at the fact's timestamp — the lookup every
+    SCD2 history exists to serve. The version history is the per-user
+    event stream itself (version i valid from ts_i until the next
+    event), and facts are a deterministic event subset probing 36 h after
+    their own timestamp, so matches cross version boundaries.
+
+    Spark-side this is the union-window as-of shape generalized to TWO
+    relations (``asof_prior_purchase`` is the self-join special case):
+    tag versions kind=0 and facts kind=1, union, ONE window partitioned
+    by the join key ordered by (t, kind, id), and ``last(version_struct,
+    ignorenulls)`` hands every fact the latest version at-or-before its
+    probe time. One exchange total — no range join, no per-fact
+    subquery; the oracle replays it as the classic BETWEEN-style
+    rank-1-over-(valid_from DESC) lookup. At 100 TB the window state per
+    task is one struct (the running version), and AQE splits hot users
+    the same way it does for the dedup window.
+
+    Contract (3VL seams made explicit, null-audit discipline): versions
+    need a valid_from and both sides need the join key — NULL ts / NULL
+    user_id rows are dropped on BOTH sides, because the oracle's
+    equi-join would silently drop NULL keys while a window PARTITION BY
+    groups them."""
+    events = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    v = events.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("ver_id"),
+        "event_type",
+        "value",
+        F.lit(None).cast("long").alias("fact_id"),
+    )
+    f = events.filter(F.col("event_id") % 5 == 0).select(
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 36 HOURS")).alias("t"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("ver_id"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+        F.col("event_id").alias("fact_id"),
+    )
+    u = v.unionByName(f)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind", F.coalesce("ver_id", "fact_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    picked = F.last(
+        F.when(
+            F.col("kind") == 0,
+            F.struct("ver_id", "event_type", "value"),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        u.withColumn("__v", picked)
+        .filter(F.col("kind") == 1)
+        .select(
+            "user_id",
+            "fact_id",
+            F.col("t").alias("fact_ts"),
+            F.col("__v.ver_id").alias("ver_id"),
+            F.col("__v.event_type").alias("event_type"),
+            F.col("__v.value").alias("value"),
+        )
+    )
+
+
+@workload(
     "agg_grouping_sets",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,

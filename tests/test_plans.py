@@ -233,3 +233,13 @@ def test_codebook_ivf_assignment_is_shuffle_free(spark, sf_dir):
     assert exchange_count(idx.assigned) == 0
     plan = formatted_plan(idx.assigned)
     assert "Window" not in plan and "Join" not in plan
+
+
+def test_point_in_time_join_single_exchange(spark, sf_dir):
+    """The SCD2 point-in-time lookup compiles to the union-window as-of
+    shape: ONE exchange (the user_id window), no range join, no per-fact
+    subquery — the same single-shuffle discipline as the flagship dedup."""
+    df = QUERIES["scd2_point_in_time_join"](spark, sf_dir)
+    assert exchange_count(df) == 1
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "SortMergeJoin" not in plan
