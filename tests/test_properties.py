@@ -409,3 +409,72 @@ def test_codebook_ivf_full_probe_equals_bruteforce(spark, vecs, n_cells):
         for r in brute_force_topk(df, df, k=2, exclude_self=True).collect()
     )
     assert got == exp
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),      # user_id
+            st.integers(0, 48),     # ts offset hours
+            st.integers(0, 400),    # value seed
+        ),
+        min_size=1, max_size=25, unique=True,
+    ),
+)
+def test_point_in_time_union_window_equals_naive_between_join(spark, rows):
+    """The one-exchange union-window as-of must return exactly what the
+    naive as-of lookup (join on key with valid_from <= fact_ts, keep the
+    max-(valid_from, ver_id) version) returns, for arbitrary event
+    streams — including same-timestamp version ties, facts probing before
+    any version, and single-event users."""
+    from fn_rq_report_etl_dev_spark.workloads.relational import (
+        scd2_point_in_time_join,
+    )
+
+    data = [
+        (int(u), i, f"2024-01-{1 + h // 24:02d} {h % 24:02d}:00:00", float(v))
+        for i, (u, h, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, event_id long, ts_s string, value double"
+    ).select(
+        "user_id", "event_id",
+        F.to_timestamp("ts_s").alias("ts"),
+        F.lit("e").alias("event_type"),
+        "value",
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pit-")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    got = sorted(
+        map(tuple, scd2_point_in_time_join(spark, d).collect())
+    )
+
+    v = df.select(
+        "user_id", F.col("event_id").alias("ver_id"), "event_type",
+        F.col("value").alias("ver_value"), F.col("ts").alias("valid_from"),
+    )
+    f = df.filter(F.col("event_id") % 5 == 0).select(
+        F.col("user_id").alias("fu"), F.col("event_id").alias("fact_id"),
+        (F.col("ts") + F.expr("INTERVAL 36 HOURS")).alias("fact_ts"),
+    )
+    from pyspark.sql import Window as W
+
+    naive = (
+        f.join(v, (v.user_id == f.fu) & (v.valid_from <= f.fact_ts))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("fact_id").orderBy(
+                    F.col("valid_from").desc(), F.col("ver_id").desc()
+                )
+            ),
+        )
+        .filter("rn = 1")
+        .select("fu", "fact_id", "fact_ts", "ver_id", "event_type", "ver_value")
+    )
+    exp = sorted(map(tuple, naive.collect()))
+    assert got == exp
