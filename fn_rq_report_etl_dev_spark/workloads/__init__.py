@@ -152,6 +152,9 @@ _RECHECK: list[str] = [
     # schema-evolution workload (I/O path change).
     "udaf_weighted_avg_quantity",
     "schema_evolution_union",
+    # round-5 perf rewrite: sketch-over-distinct plan (results identical,
+    # plan changed since the standing rows-only verdict).
+    "approx_distinct_parts",
 ]
 
 _REPO_ROOT = os.path.dirname(
