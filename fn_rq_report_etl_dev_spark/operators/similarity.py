@@ -534,10 +534,12 @@ def build_codebook_index(
 ) -> IvfIndex:
     """SQL-REPLAYABLE IVF codebook (VERDICT r04 #1): centroids are the
     ``n_cells`` corpus vectors with the smallest ``md5(f"{seed}:{id}")``
-    digest (ties by id), cell = rank in that hash order — exactly the
-    hash-ordered init rule :func:`build_ivf_index` seeds Lloyd with, minus
-    the Lloyd refinement (whose numpy pairwise-summation means no SQL
-    engine can replay bit-exactly). Every derived quantity is therefore
+    digest (ties by id), cell = rank in that hash order — the same KIND
+    of seeded hash-ordered pick :func:`build_ivf_index` uses to draw its
+    Lloyd training sample (that one hashes ``md5(f"{seed}{id}")`` with no
+    tiebreak, so the two selections are not the same vectors), minus the
+    Lloyd refinement (whose numpy pairwise-summation means no SQL engine
+    can replay bit-exactly). Every derived quantity is therefore
     reproducible by a DuckDB oracle: the codebook is ORDER BY md5 LIMIT k,
     and cell assignment is the argmin of :func:`sqdist` sequential folds,
     replayed as explicit left-associated addition chains (the same
@@ -553,7 +555,14 @@ def build_codebook_index(
     argmin via ``array_min`` over (dist, cell) structs, NO join and NO
     window shuffle on the corpus (cheaper than the cross-join + window
     shape, and exactly what you want on a 1000-executor scan)."""
-    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+    # Drop NULL embeddings (not indexable — FAISS contract shared with
+    # build_ivf_index) AND NULL ids: a NULL id hashes to a NULL digest,
+    # which Spark's ASC ordering puts FIRST while DuckDB's puts LAST —
+    # the codebooks would silently diverge (r05 review finding; the
+    # oracle filters vec_id IS NOT NULL identically).
+    c = corpus.filter(
+        F.col(vec_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     )
     cb_rows = (
@@ -639,9 +648,17 @@ def ivf_query(
     scored = qcells.join(assigned, "cell")
     if exclude_self:
         scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    # Sequential-fold cosine, NOT the numpy pandas UDF: ann_ivf_topk
+    # value-hashes this output against a DuckDB oracle, and the rank is
+    # computed on the UNROUNDED score — a numpy-vs-oracle near-tie
+    # (~1e-15) could rank-swap two neighbors even though the published
+    # round-6 cos matches (r05 review finding; _cosine_pandas_udf's own
+    # contract says don't use it on hashed paths). The candidate set here
+    # is |Q|·n_probe·(corpus/cells) — small enough that the interpreted
+    # fold is not the bottleneck.
     scored = scored.select(
         "query_id", "neighbor_id",
-        cosine_vectorized(F.col("qv"), F.col("cv")).alias("cos"),
+        cosine(F.col("qv"), F.col("cv")).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (

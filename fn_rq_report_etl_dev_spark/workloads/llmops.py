@@ -635,7 +635,7 @@ def _sqdist_chain_sql(a: str, b: str, dim: int = 64) -> str:
     "ann_ivf_topk",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-               WHERE embedding IS NOT NULL),
+               WHERE embedding IS NOT NULL AND vec_id IS NOT NULL),
     hb AS (SELECT vec_id, v, md5('42:' || vec_id) AS h FROM e),
     cb AS (SELECT (row_number() OVER (ORDER BY h, vec_id) - 1)::INT AS cell,
                   v AS c
@@ -675,9 +675,9 @@ def _sqdist_chain_sql(a: str, b: str, dim: int = 64) -> str:
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-3, HASH-CHECKED end to end (VERDICT r04 #1):
     seeded codebook quantizer (``build_codebook_index`` — centroids = the
-    8 corpus vectors with smallest md5('42:'||id), the Lloyd-init rule
-    without the SQL-inexpressible Lloyd refinement), 2-cell probe, exact
-    cosine rerank. The oracle DERIVES the codebook in SQL (ORDER BY md5
+    8 corpus vectors with smallest md5('42:'||id) — a seeded hash-ordered
+    draw like Lloyd's init sample, without the SQL-inexpressible Lloyd
+    refinement), 2-cell probe, exact cosine rerank. The oracle DERIVES the codebook in SQL (ORDER BY md5
     LIMIT 8) and replays cell assignment + n_probe selection through
     left-associated sqdist chains that are bit-identical to the Spark
     fold — the sketch-replay trick ``text_heavy_hitters_cms`` proved, so

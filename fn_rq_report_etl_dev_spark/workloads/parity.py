@@ -402,9 +402,12 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     orders = load(spark, sf_dir, "orders")
-    root = _SCHEMA_EVO_DIRS.setdefault(
-        sf_dir, tempfile.mkdtemp(prefix="rq_schema_evo_")
-    )
+    # NOT dict.setdefault(sf_dir, mkdtemp(...)): that evaluates mkdtemp
+    # on EVERY call, leaking one orphaned temp dir per repeat invocation
+    # (r05 review finding) — create only on first use.
+    if sf_dir not in _SCHEMA_EVO_DIRS:
+        _SCHEMA_EVO_DIRS[sf_dir] = tempfile.mkdtemp(prefix="rq_schema_evo_")
+    root = _SCHEMA_EVO_DIRS[sf_dir]
     gen1, gen2 = f"{root}/gen1", f"{root}/gen2"
     orders.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_custkey", "o_totalprice"

@@ -1,6 +1,6 @@
 """Scaling evidence for SCALING.md.
 
-Experiments (select with argv, default: all three in sequence):
+Experiments (select with argv; `all` / no argument runs every one):
   merge — full-table merge vs bucketed incremental merge as target size
           grows while the daily batch stays fixed.
   skew  — unsalted vs salted latest_per_key on a 90%-one-key table
@@ -11,8 +11,11 @@ Experiments (select with argv, default: all three in sequence):
           packing; exactness assertion).
   ivf_assign — codebook-IVF cell assignment at 1M×64: scan-side argmin
           projection vs naive cross-join+window (equality asserted).
+  ivf_recall — recall@3 vs probe budget: Lloyd quantizer vs the r05
+          seeded codebook, at sf0.01 and sf0.1.
 
-Run: python scripts_scaling_experiment.py [merge|skew|bloom|ann|ivf_assign|all]"""
+Run: python scripts_scaling_experiment.py
+     [merge|skew|bloom|ann|ivf_assign|ivf_recall|all]"""
 import sys, os, time, tempfile, json
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F
@@ -276,12 +279,17 @@ def ivf_assign_experiment():
     print(json.dumps({"experiment": "ivf_assign",
                       "label": "crossjoin_window", "sec": naive_s}))
 
+    # Cardinality first — an inner join alone would silently pass if one
+    # shape dropped/duplicated vectors (r05 review finding).
+    n_proj, n_naive, n_corpus = idx.assigned.count(), naive.count(), emb.count()
+    assert n_proj == n_naive == n_corpus, (n_proj, n_naive, n_corpus)
     n_diff = (idx.assigned.select("neighbor_id", "cell")
               .join(naive.select("neighbor_id",
                                  F.col("cell").alias("cell2")), "neighbor_id")
               .filter(F.col("cell") != F.col("cell2")).count())
     assert n_diff == 0, f"assignment shapes diverged on {n_diff} vectors"
-    print(json.dumps({"experiment": "ivf_assign", "label": "equal", "ok": True}))
+    print(json.dumps({"experiment": "ivf_assign", "label": "equal", "ok": True,
+                      "n": n_corpus}))
 
 
 def ivf_recall_experiment():
@@ -378,5 +386,7 @@ if EXPERIMENT == "all":
     skew_experiment()
     bloom_join_experiment()
     ann_experiment()
+    ivf_assign_experiment()
+    ivf_recall_experiment()
 
 
