@@ -36,6 +36,7 @@ HEADLINERS = [
     ("q2_min_cost_supplier", "pseudo-partsupp persisted once for both the per-part MIN and the join-back; minc broadcast (bounded by the part dimension) so no sort-merge; top-100 via TakeOrderedAndProject, no global sort"),
     ("q20_excess_stock_suppliers", "both grouped aggregates shuffle on the same (partkey, suppkey) key and equi-join without a third exchange; LIKE-filtered part + nation broadcast as semi joins"),
     ("ann_ivf_topk", "codebook IVF (r05): cell assignment is a ZERO-shuffle scan projection (literal-centroid argmin via array_min); probe = broadcast centroids + one equi-join on cell; per-query window cut to k"),
+    ("scd2_point_in_time_join", "temporal version lookup (r05): union-window as-of across two relations — ONE exchange on the join key, last(version_struct, ignorenulls) running window; no range join, no per-fact subquery"),
 ]
 
 spark = get_spark(app_name="gen-plans")
