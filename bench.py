@@ -93,6 +93,22 @@ def main() -> None:
     _warm.__annotations__ = {"s": _pd.Series, "return": _pd.Series}
     force(spark.range(1000).select(F.pandas_udf(_warm, "long")(F.col("id")).alias("x")))
 
+    # End-to-end daily-batch pipeline (reference envelope: 90 min budget).
+    # Measured FIRST, right after warm-up: a daily batch runs in its own
+    # driver in production, so its SLO number shouldn't inherit the JVM
+    # wear (codegen cache, GC debt) of 100+ unrelated suite queries —
+    # measured drift from suite-tail position was 8.5 s → 14.8 s for the
+    # identical workload. The IVF index builds below run AFTER this for
+    # the same reason (r05 review finding: a persisted cell assignment +
+    # k-means collect ahead of the SLO timing is exactly the cache/GC
+    # wear this ordering exists to exclude). One untimed warm-up run
+    # first: the flagship warm-up above covers dedup+merge but not the
+    # full run_etl path, and a cold run is ~2.5x JIT/codegen cost (21 s
+    # vs 8 s at sf0.1) that says nothing about the pipeline
+    # (tests/test_pipeline.py pins the warm envelope at < 15 s).
+    time_pipeline_daily_batch(spark, sf_dir)
+    timings["pipeline_daily_batch"] = time_pipeline_daily_batch(spark, sf_dir)
+
     # The IVF indexes are build-once/query-many infrastructure (the whole
     # point of the build/query split): time each build as its OWN metric
     # so the consumer entries measure query latency, not a conflated
@@ -111,19 +127,6 @@ def main() -> None:
     t0 = time.perf_counter()
     _ivf_codebook_index(spark, sf_dir)
     codebook_build_sec = round(time.perf_counter() - t0, 3)
-
-    # End-to-end daily-batch pipeline (reference envelope: 90 min budget).
-    # Measured FIRST, right after warm-up: a daily batch runs in its own
-    # driver in production, so its SLO number shouldn't inherit the JVM
-    # wear (codegen cache, GC debt) of 100+ unrelated suite queries —
-    # measured drift from suite-tail position was 8.5 s → 14.8 s for the
-    # identical workload. One untimed warm-up run first: the flagship
-    # warm-up above covers dedup+merge but not the full run_etl path, and
-    # a cold run is ~2.5x JIT/codegen cost (21 s vs 8 s at sf0.1) that
-    # says nothing about the pipeline (tests/test_pipeline.py pins the
-    # warm envelope at < 15 s).
-    time_pipeline_daily_batch(spark, sf_dir)
-    timings["pipeline_daily_batch"] = time_pipeline_daily_batch(spark, sf_dir)
 
     def isolate() -> None:
         """Per-query isolation: drop everything any operator persisted

@@ -624,7 +624,8 @@ def ivf_query(
     centroids, assigned = index.centroids, index.assigned
     q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("__nq", norm(F.col("qv")))
+    assigned = assigned.withColumn("__nc", norm(F.col("cv")))
     # Rank cells per query by centroid distance; probe the best n_probe.
     qcells = (
         q.crossJoin(F.broadcast(centroids))
@@ -643,7 +644,7 @@ def ivf_query(
             ),
         )
         .filter(F.col("crank") <= n_probe)
-        .select("query_id", "qv", "cell")
+        .select("query_id", "qv", "__nq", "cell")
     )
     scored = qcells.join(assigned, "cell")
     if exclude_self:
@@ -653,12 +654,15 @@ def ivf_query(
     # computed on the UNROUNDED score — a numpy-vs-oracle near-tie
     # (~1e-15) could rank-swap two neighbors even though the published
     # round-6 cos matches (r05 review finding; _cosine_pandas_udf's own
-    # contract says don't use it on hashed paths). The candidate set here
-    # is |Q|·n_probe·(corpus/cells) — small enough that the interpreted
-    # fold is not the bottleneck.
+    # contract says don't use it on hashed paths). Per-row norms are
+    # precomputed BELOW the join (__nq/__nc) so the per-pair fold work is
+    # one dot, not three — bit-identical scores, the same
+    # _cosine_from_norms discipline every other top-k path uses.
     scored = scored.select(
         "query_id", "neighbor_id",
-        cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        _cosine_from_norms(
+            F.col("qv"), F.col("cv"), F.col("__nq"), F.col("__nc")
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (

@@ -626,7 +626,8 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (registers are max-of-hashes), exact count becomes a plain count, and
     the Expand-based multi-phase distinct-aggregate plan collapses into
     two map-side-combined shuffles plus a 3-row null-safe join for the
-    multiset row count (measured 3.9 s → 1.1 s at sf0.1)."""
+    multiset row count (measured 3.74 s → 1.76 s at sf0.1, min-of-3 in
+    one session; bench runs recorded 4.2 → 1.2 s across sessions)."""
     li = load(spark, sf_dir, "lineitem")
     pairs = li.select("l_returnflag", "l_partkey").distinct()
     # count(col): a (flag, NULL) pair must not count — COUNT(DISTINCT)

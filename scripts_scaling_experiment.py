@@ -183,6 +183,27 @@ def synth(n, tag):
             .withColumn("v", F.concat(F.lit(tag), F.col("k")))
             .withColumn("amount", (F.col("k") % 1000).cast("double")))
 
+_CORPUS_1M_PATH = None
+
+
+def corpus_1m(dim=64):
+    """Shared 1M×dim md5-derived synthetic corpus for the ANN/IVF
+    experiments — generated ONCE per process and reused (r05 review
+    finding: ann + ivf_assign each synthesized an identical multi-GB
+    copy into separate temp dirs)."""
+    global _CORPUS_1M_PATH
+    if _CORPUS_1M_PATH is None:
+        d = tempfile.mkdtemp(prefix="ann-corpus-")
+        (spark.range(1_000_000).withColumnRenamed("id", "vec_id")
+         .withColumn("embedding", F.expr(
+             f"transform(sequence(0,{dim-1}), i -> "
+             "cast(conv(substring(md5(concat(cast(vec_id as string),':',"
+             "cast(i as string))),1,8),16,10) as double)/2147483648.0 - 1.0)"))
+         .write.parquet(f"{d}/emb"))
+        _CORPUS_1M_PATH = f"{d}/emb"
+    return spark.read.parquet(_CORPUS_1M_PATH)
+
+
 def ann_experiment():
     """Quantized-rerank vs exact brute force at 1M×64 (SCALING.md §ann):
     corpus synthesized from md5-derived doubles, packed ONCE offline
@@ -197,14 +218,7 @@ def ann_experiment():
         brute_force_topk, quantized_corpus, quantized_rerank_topk)
 
     d = tempfile.mkdtemp(prefix="ann-")
-    dim = 64
-    (spark.range(1_000_000).withColumnRenamed("id", "vec_id")
-     .withColumn("embedding", F.expr(
-         f"transform(sequence(0,{dim-1}), i -> "
-         "cast(conv(substring(md5(concat(cast(vec_id as string),':',"
-         "cast(i as string))),1,8),16,10) as double)/2147483648.0 - 1.0)"))
-     .write.parquet(f"{d}/emb"))
-    emb = spark.read.parquet(f"{d}/emb")
+    emb = corpus_1m()
     t0 = time.perf_counter()
     quantized_corpus(emb).write.parquet(f"{d}/packed")
     prep = round(time.perf_counter() - t0, 2)
@@ -238,22 +252,12 @@ def ivf_assign_experiment():
     cross-join + per-id window argmin (shuffles |corpus|×n_cells wide
     rows). Same assignment bit-for-bit; the plan difference is what
     separates a map-only pass from a corpus-size shuffle at 100 TB."""
-    import tempfile
-
     from pyspark.sql import Window
 
     from fn_rq_report_etl_dev_spark.operators.similarity import (
         as_double, build_codebook_index, sqdist)
 
-    d = tempfile.mkdtemp(prefix="ivfassign-")
-    dim = 64
-    (spark.range(1_000_000).withColumnRenamed("id", "vec_id")
-     .withColumn("embedding", F.expr(
-         f"transform(sequence(0,{dim-1}), i -> "
-         "cast(conv(substring(md5(concat(cast(vec_id as string),':',"
-         "cast(i as string))),1,8),16,10) as double)/2147483648.0 - 1.0)"))
-     .write.parquet(f"{d}/emb"))
-    emb = spark.read.parquet(f"{d}/emb")
+    emb = corpus_1m()
     _force(emb)  # warm the scan
 
     t0 = time.perf_counter()
@@ -279,8 +283,12 @@ def ivf_assign_experiment():
     print(json.dumps({"experiment": "ivf_assign",
                       "label": "crossjoin_window", "sec": naive_s}))
 
+    # Equality checks AFTER the timed sections, on persisted results so
+    # neither expensive plan re-executes per check (r05 review finding).
     # Cardinality first — an inner join alone would silently pass if one
-    # shape dropped/duplicated vectors (r05 review finding).
+    # shape dropped/duplicated vectors.
+    idx.assigned.persist()
+    naive.persist()
     n_proj, n_naive, n_corpus = idx.assigned.count(), naive.count(), emb.count()
     assert n_proj == n_naive == n_corpus, (n_proj, n_naive, n_corpus)
     n_diff = (idx.assigned.select("neighbor_id", "cell")
@@ -288,6 +296,8 @@ def ivf_assign_experiment():
                                  F.col("cell").alias("cell2")), "neighbor_id")
               .filter(F.col("cell") != F.col("cell2")).count())
     assert n_diff == 0, f"assignment shapes diverged on {n_diff} vectors"
+    idx.assigned.unpersist()
+    naive.unpersist()
     print(json.dumps({"experiment": "ivf_assign", "label": "equal", "ok": True,
                       "n": n_corpus}))
 
