@@ -1874,3 +1874,151 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.countDistinct("user_id").alias("n_users")
     )
+
+
+@workload(
+    "profile_column_stats",
+    oracle="""
+    WITH s AS (
+        SELECT count(*) AS n_rows,
+               count(o_orderstatus)   AS nn1, count(DISTINCT o_orderstatus)   AS nd1,
+               min(o_orderstatus)     AS mn1, max(o_orderstatus)              AS mx1,
+               count(o_custkey)       AS nn2, count(DISTINCT o_custkey)       AS nd2,
+               CAST(min(o_custkey) AS VARCHAR) AS mn2,
+               CAST(max(o_custkey) AS VARCHAR) AS mx2,
+               count(o_totalprice)    AS nn3, count(DISTINCT o_totalprice)    AS nd3,
+               CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS mn3,
+               CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS mx3,
+               count(o_orderdate)     AS nn4, count(DISTINCT o_orderdate)     AS nd4,
+               CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS mn4,
+               CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS mx4,
+               count(o_orderpriority) AS nn5, count(DISTINCT o_orderpriority) AS nd5,
+               min(o_orderpriority)   AS mn5, max(o_orderpriority)            AS mx5
+        FROM orders
+    )
+    SELECT 'o_orderstatus' AS col_name, n_rows, nn1 AS n_nonnull,
+           nd1 AS n_distinct, mn1 AS min_str, mx1 AS max_str FROM s
+    UNION ALL SELECT 'o_custkey', n_rows, nn2, nd2, mn2, mx2 FROM s
+    UNION ALL SELECT 'o_totalprice', n_rows, nn3, nd3, mn3, mx3 FROM s
+    UNION ALL SELECT 'o_orderdate', n_rows, nn4, nd4, mn4, mx4 FROM s
+    UNION ALL SELECT 'o_orderpriority', n_rows, nn5, nd5, mn5, mx5 FROM s
+    """,
+)
+def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan table profiling (the ANALYZE-TABLE primitive): per-column
+    non-null count, exact NDV, and canonical min/max strings for five
+    orders columns, emitted long-form via stack(). All five exact
+    count(DISTINCT)s run in ONE aggregate — Catalyst plans the standard
+    Expand (one row per distinct-group per input row, factor 6) followed
+    by two-level partial aggregation, so it stays a single scan + one
+    shuffle. At 100 TB you'd swap exact NDV for approx_count_distinct
+    (single-pass HLL, no Expand) and keep this exact form as the
+    small-sample oracle — the bounded-error contract is already proven by
+    `approx_distinct_error`. Min/max canonicalization (decimal(18,2) for
+    doubles, DATE for timestamps, raw for strings/bigints) renders
+    identically in Spark and DuckDB, so the whole profile value-hashes."""
+    orders = load(spark, sf_dir, "orders")
+    # canon must be a MONOTONIC recast of the column (decimal, date, or
+    # identity) — min/max aggregate the typed value and only the RESULT
+    # is rendered to string, matching the oracle's CAST(min(x) AS VARCHAR).
+    specs = [
+        ("o_orderstatus", F.col("o_orderstatus")),
+        ("o_custkey", F.col("o_custkey")),
+        ("o_totalprice", F.col("o_totalprice").cast("decimal(18,2)")),
+        ("o_orderdate", F.to_date("o_orderdate")),
+        ("o_orderpriority", F.col("o_orderpriority")),
+    ]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for i, (name, canon) in enumerate(specs, start=1):
+        aggs += [
+            F.count(F.col(name)).alias(f"nn{i}"),
+            F.countDistinct(F.col(name)).alias(f"nd{i}"),
+            F.min(canon).cast("string").alias(f"mn{i}"),
+            F.max(canon).cast("string").alias(f"mx{i}"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', nn{i}, nd{i}, mn{i}, mx{i}"
+        for i, (name, _) in enumerate(specs, start=1)
+    )
+    return wide.selectExpr(
+        f"stack({len(specs)}, {stack_args}) AS "
+        "(col_name, n_nonnull, n_distinct, min_str, max_str)",
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nonnull", "n_distinct", "min_str", "max_str")
+
+
+@workload(
+    "basket_brand_pairs",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_orderkey IS NOT NULL
+    ),
+    nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items),
+    freq AS (
+        SELECT p_brand FROM items GROUP BY p_brand
+        HAVING count(*) * 100 >= (SELECT n_baskets FROM nb)
+    ),
+    pruned AS (SELECT i.* FROM items i JOIN freq USING (p_brand))
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           CAST(count(*) AS BIGINT) AS pair_support
+    FROM pruned a JOIN pruned b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY 1, 2
+    HAVING count(*) * 100 >= (SELECT n_baskets FROM nb)
+    """,
+)
+def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket frequent-pair mining (apriori-pruned co-occurrence):
+    brand pairs appearing together in >= 1% of order baskets. The scale
+    shape: (1) the item->brand dimension broadcasts; (2) apriori prune —
+    a pair can only be frequent if BOTH items are, so infrequent brands
+    are dropped via a broadcast semi-join BEFORE any pair is generated;
+    (3) pairs are generated MAP-SIDE per basket from a sorted distinct-
+    brand array (slice/transform/flatten HOFs — C(k,2) per basket, k
+    bounded by basket size), never via a row-level self-join shuffle;
+    (4) the only shuffles are the basket groupBy and the tiny pair-count
+    agg. Support thresholds compare as exact integers (support*100 >=
+    n_baskets) so both engines cut identically; the oracle replays the
+    semantics with the classic self-join formulation. NULL order keys are
+    filtered explicitly (Spark's groupBy would pool them into one giant
+    pseudo-basket; SQL's equi-join drops them) — documented 3VL seam."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.filter(F.col("l_orderkey").isNotNull())
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_baskets = items.select(F.countDistinct("l_orderkey").alias("n_baskets"))
+    frequent = (
+        items.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("brand_support"))
+        .crossJoin(F.broadcast(n_baskets))
+        .filter(F.col("brand_support") * 100 >= F.col("n_baskets"))
+        .select("p_brand")
+    )
+    baskets = (
+        items.join(F.broadcast(frequent), "p_brand")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(brands, (x, i) -> "
+                "transform(slice(brands, i + 2, size(brands)), "
+                "y -> struct(x AS brand_a, y AS brand_b))))"
+            )
+        ).alias("p")
+    ).select("p.brand_a", "p.brand_b")
+    return (
+        pairs.groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("pair_support"))
+        .crossJoin(F.broadcast(n_baskets))
+        .filter(F.col("pair_support") * 100 >= F.col("n_baskets"))
+        .select("brand_a", "brand_b", "pair_support")
+    )
