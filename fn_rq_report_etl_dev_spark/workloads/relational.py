@@ -1987,11 +1987,16 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pseudo-basket; SQL's equi-join drops them) — documented 3VL seam."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # items feeds four consumers (basket count, brand support, the prune
+    # join, and basket assembly) — persist so the scan+distinct runs once;
+    # lifetime is the consumption of the returned DataFrame (bench.py
+    # clears per-query persists).
     items = (
         li.filter(F.col("l_orderkey").isNotNull())
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .select("l_orderkey", "p_brand")
         .distinct()
+        .persist()
     )
     n_baskets = items.select(F.countDistinct("l_orderkey").alias("n_baskets"))
     frequent = (

@@ -243,3 +243,74 @@ def test_point_in_time_join_single_exchange(spark, sf_dir):
     assert exchange_count(df) == 1
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan and "SortMergeJoin" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Spark's InjectRuntimeFilter must still rewrite a selective
+    dim ⋈ big-fact shuffle join into bloom_filter_agg on the dim side +
+    might_contain pushed into the fact side — the row-level companion to
+    DPP that SCALING.md's 64M-row experiment measured (round 4). Pinned
+    here at tiny scale with the size thresholds lowered so the rewrite's
+    *applicability* can't silently regress across Spark upgrades."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "10KB",
+        )
+        # force a shuffle join: broadcast joins don't need the filter
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        sel = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey", "o_totalprice")
+        )
+        j = (
+            li.join(sel, li.l_orderkey == sel.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_profile_single_expand_aggregate(spark, sf_dir):
+    """The five exact count(DISTINCT)s of the table profile must compile
+    to ONE Expand aggregate over a single scan (partial-distinct shuffle
+    + single-row final) — not five scans or a union of per-column aggs."""
+    df = QUERIES["profile_column_stats"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Expand" in plan
+    assert "Join" not in plan  # no union-of-scans fallback shape
+    assert exchange_count(df) <= 2
+
+
+def test_basket_pairs_generate_map_side(spark, sf_dir):
+    """Frequent-pair mining must generate pairs MAP-SIDE from per-basket
+    arrays (Generate/explode over HOFs) with the dimension and prune
+    sides broadcast — never via a row-level self-join shuffle of the
+    item table (the shape that dies on a 100 TB fact)."""
+    df = QUERIES["basket_brand_pairs"](spark, sf_dir)
+    try:
+        plan = formatted_plan(df)
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "Generate" in plan
+        assert "BroadcastHashJoin" in plan
+        # shared items scan+distinct is persisted, computed once
+        assert "InMemoryTableScan" in plan
+    finally:
+        spark.catalog.clearCache()
