@@ -14,15 +14,32 @@ from pyspark.sql import functions as F
 
 WORD_RE = r"\s+"
 
-# Tiny per-language stopword profiles for the n-gram/stopword lang-ID
-# heuristic. Word-boundary alternation — same semantics in Java regex (Spark)
-# and RE2 (DuckDB).
-LANG_STOPWORD_PATTERNS: dict[str, str] = {
-    "en": r"\b(the|and|of|to|in|is|for|with|on|that)\b",
-    "de": r"\b(der|die|das|und|ist|nicht|ein|eine|mit|für)\b",
-    "fr": r"\b(le|la|les|et|est|une|dans|pour|que|vous)\b",
-    "es": r"\b(el|los|las|es|una|para|con|por|del|como)\b",
+# Engine-wide case-fold policy: ASCII-ONLY, via translate(). Full Unicode
+# lower() is engine-dependent at exactly the corners a web corpus hits —
+# the JVM maps İ (U+0130) to "i" + combining dot (full case mapping) while
+# utf8proc (DuckDB) maps it to plain "i" (simple mapping) — so any oracle
+# built on lower() silently diverges on Turkish/ligature/astral inputs
+# (found by scripts_unicode_audit.py, round 5). translate() is identical
+# byte-for-byte in both engines; non-ASCII case variants stay distinct
+# tokens, which is the right call for ASCII-stopword heuristics anyway.
+ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LOWERC = "abcdefghijklmnopqrstuvwxyz"
+# DuckDB-side fragment of the same fold: .format(expr)
+SQL_FOLD = "translate({}, '" + ASCII_UPPER + "', '" + ASCII_LOWERC + "')"
+
+# Tiny per-language stopword profiles for the stopword lang-ID heuristic.
+# Counted as TOKEN-SET MEMBERSHIP over ASCII word runs ([a-z0-9_]+ of the
+# folded text), NOT \b-delimited regex: Java's \b is Unicode-aware (ı is a
+# word char) while RE2's is ASCII-only, so "productıon" contains \bon\b in
+# DuckDB but not in Spark — same audit finding as the fold.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "for", "with", "on", "that"),
+    # all-ASCII profiles only ("für" would never be an ASCII token run)
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans", "pour", "que", "vous"),
+    "es": ("el", "los", "las", "es", "una", "para", "con", "por", "del", "como"),
 }
+TOKEN_RUN = r"[a-z0-9_]+"
 # CJK detection by codepoint range (language without word boundaries).
 CJK_PATTERN = r"[\x{4e00}-\x{9fff}]"
 
@@ -31,9 +48,19 @@ CJK_PATTERN = r"[\x{4e00}-\x{9fff}]"
 SUBWORD_TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
 
 
+def ascii_lower(col: Column) -> Column:
+    """The engine's canonical case fold (see ASCII_UPPER note)."""
+    return F.translate(col, ASCII_UPPER, ASCII_LOWERC)
+
+
+def sql_fold(expr: str) -> str:
+    """DuckDB fragment computing the identical fold."""
+    return SQL_FOLD.format(expr)
+
+
 def words(col: Column) -> Column:
-    """Lower-cased whitespace tokens."""
-    return F.split(F.trim(F.lower(col)), WORD_RE)
+    """ASCII-folded whitespace tokens."""
+    return F.split(F.trim(ascii_lower(col)), WORD_RE)
 
 
 # NOTE: word n-gram shingling deliberately lives in operators/text_dedup.py
@@ -43,7 +70,21 @@ def words(col: Column) -> Column:
 
 
 def stopword_hits(col: Column, lang: str) -> Column:
-    return F.regexp_count(F.lower(col), F.lit(LANG_STOPWORD_PATTERNS[lang]))
+    """Stopword occurrences as token-set membership: extract the ASCII
+    word runs of the folded text once, then count members. The regex runs
+    once per row (extract_all); the array filter is cheap literal IN."""
+    toks = F.regexp_extract_all(ascii_lower(col), F.lit(TOKEN_RUN), 0)
+    sw = LANG_STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*sw)))
+
+
+def sql_stopword_hits(expr: str, lang: str) -> str:
+    """DuckDB fragment computing the identical stopword count."""
+    in_list = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return (
+        f"len(list_filter(regexp_extract_all({sql_fold(expr)}, "
+        f"'{TOKEN_RUN}'), t -> t IN ({in_list})))"
+    )
 
 
 def cjk_chars(col: Column) -> Column:

@@ -176,7 +176,7 @@ def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One row per whitespace token (lowercased), empty tokens dropped."""
     return df.select(
         F.col(id_col).alias("__id"),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
+        F.explode(F.split(F.trim(TXT.ascii_lower(F.col(text_col))), r"\s+")).alias("w"),
     ).filter(F.col("w") != "")
 
 
@@ -378,7 +378,7 @@ def boilerplate_segments(
     id`` partial aggregation), one hash-join back — all shuffles keyed by
     md5, no quadratic pair space anywhere.
     """
-    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    words = F.split(F.trim(TXT.ascii_lower(F.col(text_col))), r"\s+")
     n_words = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(F.size(words))
     n_segs = F.floor(n_words / seg_words).cast("bigint")
     # guard the empty case: Spark's sequence(0, -1) produces a DESCENDING

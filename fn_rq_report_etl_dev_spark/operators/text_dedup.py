@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.text import ascii_lower
+
 DEFAULT_K = 12  # minhash signature length
 DEFAULT_BANDS = 3  # LSH bands (r = K / bands hashes per band)
 
@@ -329,7 +331,7 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     oracle."""
     w = _spread(df, id_col).select(
         F.col(id_col).alias("__id"),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
+        F.explode(F.split(F.trim(ascii_lower(F.col(text_col))), r"\s+")).alias("w"),
     ).withColumn("h", F.md5(F.col("w")))
     high = set("89abcdef")
     votes = [
@@ -372,7 +374,7 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Output: 64-char '0'/'1' string."""
     w = _spread(df, id_col).select(
         F.col(id_col).alias("__id"),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
+        F.explode(F.split(F.trim(ascii_lower(F.col(text_col))), r"\s+")).alias("w"),
     ).withColumn("h", F.md5(F.col("w")))
     # The hex digest parses ONCE into four 32-bit ints; each vote is then a
     # shift-and-mask instead of a substring+IN-set test (64 UTF8String

@@ -155,6 +155,36 @@ _RECHECK: list[str] = [
     # round-5 perf rewrite: sketch-over-distinct plan (results identical,
     # plan changed since the standing rows-only verdict).
     "approx_distinct_parts",
+    # round-5 Unicode-audit fix: the engine-wide ASCII-fold tokenization
+    # policy (functions/text.py ASCII_UPPER note) changed the token
+    # canonicalization — and therefore the results — of every text-
+    # tokenizing workload and its oracle. Exactly the queries whose
+    # oracle now carries the translate() fold / encode() byte length.
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "text_vocab_topk",
+    "text_unigram_logprob",
+    "text_repetition_score",
+    "text_contamination_ngram",
+    "text_heavy_hitters_cms",
+    "tfidf_top_terms",
+    "chunk_documents",
+    "pack_token_budget",
+    "docs_quality_gate",
+    "corpus_prep_pipeline",
+    "curation_boilerplate_segments",
+    "multimodal_binary_meta",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash64",
+    "dedup_ngram_jaccard",
+    "dedup_edit_distance",
+    "dedup_incremental_lsh",
+    "dedup_apply_survivors",
+    "dedup_cluster_components",
+    "split_leakage_check",
 ]
 
 _REPO_ROOT = os.path.dirname(

@@ -69,7 +69,7 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_repetition_score",
     oracle=r"""
     WITH words AS (
-        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        SELECT doc_id, string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+') AS ws
         FROM documents
     ),
     grams AS (
@@ -100,13 +100,13 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
         SELECT doc_id,
                text IS NULL AS missing,
-               CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+               CAST(len(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+')) AS BIGINT)
                    AS n_words,
                length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
                length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
                length(text) AS n_chars,
-               CAST(len(regexp_extract_all(lower(text),
-                   '\b(the|and|of|to|in|is|for|with|on|that)\b')) AS BIGINT)
+               CAST(len(list_filter(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+                   '[a-z0-9_]+'), t -> t IN ('the','and','of','to','in','is','for','with','on','that'))) AS BIGINT)
                    AS stop_hits
         FROM documents
     ),
@@ -178,7 +178,7 @@ _NEW_MOD = 7
     "text_unigram_logprob",
     oracle=r"""
     WITH words AS (
-        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        SELECT doc_id, string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+') AS ws
         FROM documents
     ),
     toks AS (
@@ -348,14 +348,14 @@ def sample_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m AS (
         SELECT doc_id,
-               CAST(len(string_split_regex(trim(lower(text_clean)), '\s+'))
+               CAST(len(string_split_regex(trim(translate(text_clean, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+'))
                    AS BIGINT) AS n_words,
                length(regexp_replace(text_clean, '\s', '', 'g')) AS nonspace,
                length(regexp_replace(text_clean, '[^A-Za-z]', '', 'g'))
                    AS alpha_chars,
                length(text_clean) AS n_chars,
-               CAST(len(regexp_extract_all(lower(text_clean),
-                   '\b(the|and|of|to|in|is|for|with|on|that)\b')) AS BIGINT)
+               CAST(len(list_filter(regexp_extract_all(translate(text_clean, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+                   '[a-z0-9_]+'), t -> t IN ('the','and','of','to','in','is','for','with','on','that'))) AS BIGINT)
                    AS stop_hits
         FROM c
     ),
@@ -449,7 +449,7 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curation_boilerplate_segments",
     oracle=r"""
     WITH w AS (
-        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        SELECT doc_id, string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+') AS ws
         FROM documents
     ),
     segs AS (
@@ -471,7 +471,7 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(coalesce(p.n_segments, 0) AS BIGINT) AS n_segments,
            CAST(coalesce(p.n_boiler, 0) AS BIGINT) AS n_boiler,
            CAST(CASE WHEN d.text IS NULL THEN 0
-                     ELSE len(string_split_regex(trim(lower(d.text)), '\s+'))
+                     ELSE len(string_split_regex(trim(translate(d.text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+'))
                 END - coalesce(p.n_boiler, 0) * 10 AS BIGINT) AS clean_n_words
     FROM documents d LEFT JOIN per p USING (doc_id)
     """,

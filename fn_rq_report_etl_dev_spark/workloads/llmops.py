@@ -41,7 +41,7 @@ from . import load, workload
 
 _SHINGLES_CTE = r"""
 words AS (
-    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+    SELECT doc_id, string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+') AS ws
     FROM documents
 ),
 shingles AS (
@@ -222,7 +222,7 @@ _SIMHASH_BITS = " || ".join(
     "dedup_simhash",
     oracle=rf"""
     WITH w AS (
-        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        SELECT doc_id, unnest(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+')) AS w
         FROM documents
     ),
     h AS (SELECT doc_id, md5(w) AS h FROM w),
@@ -260,7 +260,7 @@ _HAMMING64 = " + ".join(
     "dedup_simhash64",
     oracle=rf"""
     WITH w AS (
-        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        SELECT doc_id, unnest(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+')) AS w
         FROM documents
     ),
     h AS (SELECT doc_id, md5(w) AS h FROM w),
@@ -442,10 +442,10 @@ def ann_rademacher_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=rf"""
     WITH hits AS (
         SELECT doc_id, lang,
-               len(regexp_extract_all(lower(text), '{TXT.LANG_STOPWORD_PATTERNS["en"]}')) AS en_hits,
-               len(regexp_extract_all(lower(text), '{TXT.LANG_STOPWORD_PATTERNS["de"]}')) AS de_hits,
-               len(regexp_extract_all(lower(text), '{TXT.LANG_STOPWORD_PATTERNS["fr"]}')) AS fr_hits,
-               len(regexp_extract_all(lower(text), '{TXT.LANG_STOPWORD_PATTERNS["es"]}')) AS es_hits,
+               {TXT.sql_stopword_hits("text", "en")} AS en_hits,
+               {TXT.sql_stopword_hits("text", "de")} AS de_hits,
+               {TXT.sql_stopword_hits("text", "fr")} AS fr_hits,
+               {TXT.sql_stopword_hits("text", "es")} AS es_hits,
                len(regexp_extract_all(text, '{TXT.CJK_PATTERN}')) AS zh_hits
         FROM documents
     )
@@ -485,12 +485,12 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH m AS (
         SELECT doc_id,
-               len(string_split_regex(trim(lower(text)), '\s+')) AS n_words,
+               len(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+')) AS n_words,
                len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
                length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
                length(text) AS n_chars_m,
-               len(regexp_extract_all(lower(text),
-                   '\b(the|and|of|to|in|is|for|with|on|that)\b')) AS stop_hits
+               len(list_filter(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+                   '[a-z0-9_]+'), t -> t IN ('the','and','of','to','in','is','for','with','on','that'))) AS stop_hits
         FROM documents
     )
     SELECT doc_id, n_words, n_punct,
@@ -530,10 +530,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_token_count",
     oracle=r"""
     SELECT doc_id,
-           len(string_split_regex(trim(lower(text)), '\s+')) AS ws_tokens,
+           len(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+')) AS ws_tokens,
            len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS subword_tokens,
            length(text) * 1.0
-               / len(string_split_regex(trim(lower(text)), '\s+')) AS chars_per_token
+               / len(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+')) AS chars_per_token
     FROM documents
     """,
 )
@@ -555,7 +555,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     SELECT doc_id,
            md5(array_to_string(
-               list_sort(list_distinct(string_split_regex(trim(lower(text)), '\s+'))),
+               list_sort(list_distinct(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+'))),
                ' ')) AS fingerprint
     FROM documents
     """,
@@ -572,7 +572,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id AS asset_id,
            'text/plain' AS mime,
-           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           octet_length(encode(text)) AS n_bytes,
            md5(text) AS content_md5
     FROM documents
     """,
@@ -764,7 +764,7 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_heavy_hitters_cms",
     oracle=r"""
     WITH w AS (
-        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        SELECT unnest(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+')) AS word
         FROM documents
     ),
     counts AS (SELECT word, count(*) AS n FROM w GROUP BY word),
@@ -806,7 +806,7 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     w_df = docs.select(
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+        F.explode(TXT.words(F.col("text"))).alias("word")
     )
     counts = w_df.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
     top = (
@@ -938,7 +938,7 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_vocab_topk",
     oracle=r"""
     WITH w AS (
-        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        SELECT unnest(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+')) AS word
         FROM documents
     ),
     counts AS (SELECT word, count(*) AS n FROM w GROUP BY word)
@@ -956,7 +956,7 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     w = docs.select(
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+        F.explode(TXT.words(F.col("text"))).alias("word")
     )
     counts = w.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
     win = Window.orderBy(F.col("n").desc(), F.col("word"))
@@ -1231,7 +1231,7 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=rf"""
     WITH t AS (
         SELECT source, doc_id,
-               len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens
+               len(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+')) AS n_tokens
         FROM documents
     )
     SELECT source, doc_id, n_tokens,
@@ -1271,7 +1271,7 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tfidf_top_terms",
     oracle=r"""
     WITH w AS (
-        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        SELECT doc_id, unnest(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+')) AS w
         FROM documents
     ),
     tf AS (SELECT doc_id, w, count(*) AS tf FROM w GROUP BY doc_id, w),
@@ -1372,7 +1372,7 @@ CHUNK_SIZE, CHUNK_STRIDE = 40, 30
     "chunk_documents",
     oracle=rf"""
     WITH w AS (
-        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        SELECT doc_id, string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+') AS ws
         FROM documents
     ),
     n AS (SELECT doc_id, ws, len(ws) AS n FROM w),

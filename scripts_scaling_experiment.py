@@ -13,9 +13,11 @@ Experiments (select with argv; `all` / no argument runs every one):
           projection vs naive cross-join+window (equality asserted).
   ivf_recall — recall@3 vs probe budget: Lloyd quantizer vs the r05
           seeded codebook, at sf0.01 and sf0.1.
+  pairs — frequent-pair mining at 1M baskets: map-side HOF pair
+          generation vs the row-level self-join (equality asserted).
 
 Run: python scripts_scaling_experiment.py
-     [merge|skew|bloom|ann|ivf_assign|ivf_recall|all]"""
+     [merge|skew|bloom|ann|ivf_assign|ivf_recall|pairs|all]"""
 import sys, os, time, tempfile, json
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F
@@ -334,6 +336,70 @@ def ivf_recall_experiment():
                               "quantizer": label, "recall_at_3": rec}))
 
 
+def pairs_experiment():
+    """Frequent-pair co-occurrence at 1M baskets / ~5M basket-items
+    (basket_brand_pairs' shape question): map-side pair generation —
+    groupBy(basket) -> sorted distinct array -> slice/transform/flatten
+    C(k,2) explode — vs the textbook row-level self-join (items a ⋈ items
+    b ON basket AND a<b). Both emit the identical pair multiset; the
+    difference is the self-join shuffling the item table TWICE (once per
+    side) and running join machinery per basket, vs ONE basket shuffle
+    whose pair expansion happens inside the same stage. Equality is
+    asserted on the full pair-count table after the timed sections."""
+    n_baskets, n_items = 1_000_000, 1_000
+    # ~5 items/basket, hash-spread so basket sizes vary (1..~12 distinct)
+    items = (
+        spark.range(n_baskets * 5)
+        .select((F.col("id") % n_baskets).alias("basket"),
+                F.pmod(F.hash("id"), F.lit(n_items)).alias("item"))
+        .distinct()
+        .persist()
+    )
+    n_rows = items.count()  # materialize before timing
+
+    mapside = (
+        items.groupBy("basket")
+        .agg(F.array_sort(F.collect_set("item")).alias("arr"))
+        .select(F.explode(F.expr(
+            "flatten(transform(arr, (x, i) -> "
+            "transform(slice(arr, i + 2, size(arr)), "
+            "y -> struct(x AS a, y AS b))))")).alias("p"))
+        .groupBy("p.a", "p.b").agg(F.count(F.lit(1)).alias("n"))
+    )
+    t0 = time.perf_counter()
+    _force(mapside)
+    map_s = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"experiment": "pairs", "label": "mapside_hof",
+                      "sec": map_s, "basket_items": n_rows}))
+
+    lhs = items.select("basket", F.col("item").alias("a"))
+    rhs = items.select("basket", F.col("item").alias("b"))
+    selfjoin = (
+        lhs.join(rhs, "basket")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+    )
+    t0 = time.perf_counter()
+    _force(selfjoin)
+    join_s = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"experiment": "pairs", "label": "row_selfjoin",
+                      "sec": join_s}))
+
+    mapside.persist(); selfjoin.persist()
+    n_m, n_j = mapside.count(), selfjoin.count()
+    assert n_m == n_j, (n_m, n_j)
+    n_diff = (mapside.join(selfjoin.withColumnRenamed("n", "n2"), ["a", "b"])
+              .filter(F.col("n") != F.col("n2")).count())
+    assert n_diff == 0, f"pair counts diverged on {n_diff} pairs"
+    print(json.dumps({"experiment": "pairs", "label": "equal",
+                      "ok": True, "n_pairs": n_m}))
+    mapside.unpersist(); selfjoin.unpersist(); items.unpersist()
+
+
+if EXPERIMENT == "pairs":
+    pairs_experiment()
+    sys.exit(0)
+
 if EXPERIMENT == "ivf_recall":
     ivf_recall_experiment()
     sys.exit(0)
@@ -393,6 +459,7 @@ for target_rows in (500_000, 2_000_000, 8_000_000):
     print(json.dumps(results[-1]))
 
 if EXPERIMENT == "all":
+    pairs_experiment()
     skew_experiment()
     bloom_join_experiment()
     ann_experiment()

@@ -1,6 +1,7 @@
-"""Opt-in audit sweeps (VERDICT r04 #6): the empty-corpus, NULL-injection
-and varied-parallelism-determinism audits as pytest targets, so one command
-(`pytest -m audit`) runs the round's adversarial sweeps at sf0.001.
+"""Opt-in audit sweeps (VERDICT r04 #6): the empty-corpus, NULL-injection,
+varied-parallelism-determinism and adversarial-Unicode audits as pytest
+targets, so one command (`pytest -m audit`) runs the round's adversarial
+sweeps at sf0.001.
 
 Deselected by default via pytest.ini's `addopts = -m "not audit"` — the
 sweeps re-run every registered query against mutated corpora (~6-9 min
@@ -79,3 +80,13 @@ def test_determinism_under_varied_parallelism():
         },
     )
     assert '"bad": 0' in out
+
+
+def test_unicode_injection_audit():
+    """Every oracle-checked query must still hash-match DuckDB on a corpus
+    with 10% adversarial-Unicode mutations in the text-bearing columns
+    (case-fold, \\b, codepoint-count and BLOB-cast seams between the JVM
+    and utf8proc/RE2 — the round-5 sweep that forced the engine-wide
+    ASCII-fold tokenization policy)."""
+    out = _run("scripts_unicode_audit.py")
+    assert "unicode audit: 0 failures" in out
