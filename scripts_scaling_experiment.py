@@ -30,7 +30,7 @@ from pyspark.sql import types as T
 
 EXPERIMENT = sys.argv[1] if len(sys.argv) > 1 else "all"
 # bloom experiment reads shuffle metrics from the UI REST API
-_conf = {"spark.ui.enabled": "true"} if EXPERIMENT in ("bloom", "all") else None
+_conf = {"spark.ui.enabled": "true"} if EXPERIMENT in ("bloom", "pairs", "all") else None
 spark = get_spark(app_name="scaling", extra_conf=_conf)
 
 
@@ -344,9 +344,27 @@ def pairs_experiment():
     b ON basket AND a<b). Both emit the identical pair multiset; the
     difference is the self-join shuffling the item table TWICE (once per
     side) and running join machinery per basket, vs ONE basket shuffle
-    whose pair expansion happens inside the same stage. Equality is
-    asserted on the full pair-count table after the timed sections."""
-    n_baskets, n_items = 1_000_000, 1_000
+    whose pair expansion happens inside the same stage (paid for with an
+    ObjectHashAggregate collect_set — CPU, not network). Wall-clock AND
+    shuffle volume are both reported: local[32] makes shuffles ~free
+    (loopback NVMe), so the CPU overhead shows while the halved
+    item-table shuffle — the term that dominates on a real cluster
+    network at 100 TB — does not. Same caveat as the bloom experiment.
+    Equality is asserted on the full pair-count table after the timed
+    sections.
+
+    TWO item domains, because the winner flips with the pair-count
+    domain: at |items|=1000 (500k distinct pairs) partial aggregation
+    cannot collapse the exploded pair rows, so pair volume dominates both
+    shapes and the self-join's codegen'd join beats the HOF path's
+    ObjectHashAggregate; at |items|=25 (300 pairs — the brand case)
+    partial agg collapses pairs to ~nothing and the ITEM-TABLE shuffle is
+    the whole cost, which map-side halves."""
+    for n_items in (1_000, 25):
+        _pairs_once(1_000_000, n_items)
+
+
+def _pairs_once(n_baskets, n_items):
     # ~5 items/basket, hash-spread so basket sizes vary (1..~12 distinct)
     items = (
         spark.range(n_baskets * 5)
@@ -366,11 +384,28 @@ def pairs_experiment():
             "y -> struct(x AS a, y AS b))))")).alias("p"))
         .groupBy("p.a", "p.b").agg(F.count(F.lit(1)).alias("n"))
     )
+    import urllib.request
+
+    app = spark.sparkContext.applicationId
+
+    def shuffle_totals():
+        if spark.conf.get("spark.ui.enabled", "false") != "true":
+            return 0, 0
+        url = (f"http://localhost:4040/api/v1/applications/{app}"
+               "/stages?status=complete")
+        st = json.loads(urllib.request.urlopen(url).read())
+        return (sum(x.get("shuffleWriteBytes", 0) for x in st),
+                sum(x.get("shuffleWriteRecords", 0) for x in st))
+
+    b0, r0 = shuffle_totals()
     t0 = time.perf_counter()
     _force(mapside)
     map_s = round(time.perf_counter() - t0, 2)
+    b1, r1 = shuffle_totals()
     print(json.dumps({"experiment": "pairs", "label": "mapside_hof",
-                      "sec": map_s, "basket_items": n_rows}))
+                      "n_items": n_items, "sec": map_s, "basket_items": n_rows,
+                      "shuffle_mb": round((b1 - b0) / 1e6, 1),
+                      "shuffle_records": r1 - r0}))
 
     lhs = items.select("basket", F.col("item").alias("a"))
     rhs = items.select("basket", F.col("item").alias("b"))
@@ -379,11 +414,14 @@ def pairs_experiment():
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
     )
+    b0, r0 = shuffle_totals()
     t0 = time.perf_counter()
     _force(selfjoin)
     join_s = round(time.perf_counter() - t0, 2)
+    b1, r1 = shuffle_totals()
     print(json.dumps({"experiment": "pairs", "label": "row_selfjoin",
-                      "sec": join_s}))
+                      "n_items": n_items, "sec": join_s, "shuffle_mb": round((b1 - b0) / 1e6, 1),
+                      "shuffle_records": r1 - r0}))
 
     mapside.persist(); selfjoin.persist()
     n_m, n_j = mapside.count(), selfjoin.count()
@@ -392,7 +430,7 @@ def pairs_experiment():
               .filter(F.col("n") != F.col("n2")).count())
     assert n_diff == 0, f"pair counts diverged on {n_diff} pairs"
     print(json.dumps({"experiment": "pairs", "label": "equal",
-                      "ok": True, "n_pairs": n_m}))
+                      "n_items": n_items, "ok": True, "n_pairs": n_m}))
     mapside.unpersist(); selfjoin.unpersist(); items.unpersist()
 
 
