@@ -33,6 +33,21 @@ from pyspark.sql import Window
 # this module's globals — `pd`/`np` must live there for inference to work.
 
 
+def indexable(vec: Column) -> Column:
+    """The "indexable vector" contract, extended from NULL-drop to
+    FINITE-drop (float-audit finding, round 5): a vector containing NaN or
+    +/-Inf poisons every similarity score it touches (NaN cosine ranks
+    first under DESC in both engines, Inf saturates norms), and FAISS
+    itself requires finite floats. Any vector that is NULL or has a
+    non-finite element is dropped at every ANN entry point; oracles apply
+    the identical filter via len(list_filter(e, x -> NOT isfinite(x))) = 0.
+    """
+    finite = F.forall(
+        vec, lambda x: ~F.isnan(x) & (F.abs(x) != F.lit(float("inf")))
+    )
+    return vec.isNotNull() & finite
+
+
 def as_double(vec: Column) -> Column:
     return vec.cast("array<double>")
 
@@ -171,13 +186,14 @@ def brute_force_topk(
     through one pass; the window cut keeps k rows per query.
     Returns (query_id, neighbor_id, rank, cos).
 
-    NULL vectors are dropped at entry on BOTH sides (the FAISS
-    "not indexable" contract the IVF path already enforces) — a NULL
+    NULL or non-finite vectors are dropped at entry on BOTH sides (the
+    FAISS "not indexable" contract — see :func:`indexable`); a NULL
     query would otherwise emit k rows of NULL cosine (null-audit
-    finding, sf0.01).
+    finding) and a NaN element would rank its garbage cosine FIRST
+    under DESC in both engines (float-audit finding).
     """
-    queries = queries.filter(F.col(vec_col).isNotNull())
-    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(indexable(F.col(vec_col)))
+    corpus = corpus.filter(indexable(F.col(vec_col)))
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     ).withColumn("__nq", norm(F.col("qv")))
@@ -254,8 +270,8 @@ def rademacher_topk(
     ONE equi-join on (table, bucket) — L tables never mean L scans, and
     never a cross product. Pairs colliding in several tables are deduped
     by a (query, neighbor) groupBy before the per-query window cut."""
-    queries = queries.filter(F.col(vec_col).isNotNull())
-    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(indexable(F.col(vec_col)))
+    corpus = corpus.filter(indexable(F.col(vec_col)))
     all_planes = rademacher_planes(n_bits * n_tables, dim)
     tables = [all_planes[t * n_bits:(t + 1) * n_bits] for t in range(n_tables)]
     buckets = F.array(*[rademacher_bucket(F.col(vec_col), p) for p in tables])
@@ -309,8 +325,8 @@ def _bucketed_topk(
     precomputed norms, per-query window cut to k. NULL vectors are
     dropped at entry on both sides (FAISS contract, as in the IVF and
     brute-force paths)."""
-    queries = queries.filter(F.col(vec_col).isNotNull())
-    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(indexable(F.col(vec_col)))
+    corpus = corpus.filter(indexable(F.col(vec_col)))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("qv"),
@@ -364,11 +380,11 @@ def embedding_near_dup_pairs(
     why it defaults off; the trade flips for high-dim vectors where the
     fold's per-element interpretation dominates the fixed Arrow cost.
 
-    NULL vectors are dropped at entry (FAISS contract, as in every other
+    Non-indexable vectors are dropped at entry (FAISS contract, as in every other
     ANN entry point) — the default fold path only survives them by
     accident (NULL cos fails the threshold) and the vectorized path's
     np.stack crashes on a None in the Arrow batch."""
-    df = df.filter(F.col(vec_col).isNotNull())
+    df = df.filter(indexable(F.col(vec_col)))
     a = df.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id_a"),
@@ -450,10 +466,10 @@ def build_ivf_index(
     """
     import numpy as np
 
-    # NULL embeddings are not indexable: drop them here (documented
+    # NULL/non-finite embeddings are not indexable: drop them here (documented
     # contract — a 100 TB corpus always has rows whose embedding failed
     # upstream; k-means would crash on a ragged sample otherwise).
-    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+    c = corpus.filter(indexable(F.col(vec_col))).select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     ).persist()
 
@@ -555,13 +571,13 @@ def build_codebook_index(
     argmin via ``array_min`` over (dist, cell) structs, NO join and NO
     window shuffle on the corpus (cheaper than the cross-join + window
     shape, and exactly what you want on a 1000-executor scan)."""
-    # Drop NULL embeddings (not indexable — FAISS contract shared with
+    # Drop non-indexable embeddings (FAISS contract shared with
     # build_ivf_index) AND NULL ids: a NULL id hashes to a NULL digest,
     # which Spark's ASC ordering puts FIRST while DuckDB's puts LAST —
     # the codebooks would silently diverge (r05 review finding; the
     # oracle filters vec_id IS NOT NULL identically).
     c = corpus.filter(
-        F.col(vec_col).isNotNull() & F.col(id_col).isNotNull()
+        indexable(F.col(vec_col)) & F.col(id_col).isNotNull()
     ).select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     )
@@ -622,7 +638,7 @@ def ivf_query(
     NULL-embedding queries have no meaningful neighbors and are dropped
     (same contract as the index build)."""
     centroids, assigned = index.centroids, index.assigned
-    q = queries.filter(F.col(vec_col).isNotNull()).select(
+    q = queries.filter(indexable(F.col(vec_col))).select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     ).withColumn("__nq", norm(F.col("qv")))
     assigned = assigned.withColumn("__nc", norm(F.col("cv")))
@@ -789,10 +805,10 @@ def quantized_corpus(
     packed int8 vectors, scales, and precomputed norms — write this to a
     table once (like the IVF index build) so every query run reads only
     the packed columns and never re-runs the quantization pass. Schema:
-    ``(neighbor_id, cv, c_qvec, c_scale, c_norm)``. NULL embeddings are
-    not indexable and are dropped (same contract as the IVF build)."""
+    ``(neighbor_id, cv, c_qvec, c_scale, c_norm)``. NULL or non-finite
+    embeddings are not indexable and are dropped (see :func:`indexable`)."""
     return quantize_int8(
-        corpus.filter(F.col(vec_col).isNotNull()).select(
+        corpus.filter(indexable(F.col(vec_col))).select(
             F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
         ),
         "cv", "c_qvec", "c_scale",
@@ -832,7 +848,7 @@ def quantized_rerank_topk(
     quantization dominates the query cost at 1M×64, SCALING.md §ann).
     """
     q = quantize_int8(
-        queries.filter(F.col(vec_col).isNotNull()).select(
+        queries.filter(indexable(F.col(vec_col))).select(
             F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
         ),
         "qv", "q_qvec", "q_scale",

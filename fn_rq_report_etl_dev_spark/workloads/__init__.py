@@ -185,6 +185,23 @@ _RECHECK: list[str] = [
     "dedup_apply_survivors",
     "dedup_cluster_components",
     "split_leakage_check",
+    # round-5 float-audit fixes: the indexable-vector contract extended
+    # to non-finite drops (ANN family), bounded-money cents/2dp guards,
+    # finite Tukey fences, pandas NaN-first ranking, -0.0 group-key
+    # normalization, and finite-guarded acctbal decimal casts.
+    "ann_bruteforce_topk",
+    "ann_signlsh_topk",
+    "ann_rademacher_topk",
+    "dedup_embedding_cosine",
+    "o17_lenient_cast",
+    "incremental_agg_merge",
+    "window_range_frame",
+    "outlier_filter_iqr",
+    "grouped_map_rank",
+    "q10_returned_items",
+    "q22_dormant_customers",
+    "correlated_subquery_rich_customers",
+    "lateral_nation_customer_stats",
 ]
 
 _REPO_ROOT = os.path.dirname(

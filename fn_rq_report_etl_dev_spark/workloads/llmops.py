@@ -286,7 +286,7 @@ def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_cosine",
     oracle="""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
-               WHERE embedding IS NOT NULL)
+               WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0)
     SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.v, b.v), 6) AS cos_r
     FROM e a
@@ -307,7 +307,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_bruteforce_topk",
     oracle="""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-               WHERE embedding IS NOT NULL),
+               WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
     q AS (SELECT * FROM e WHERE vec_id < 8),
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -346,7 +346,7 @@ _BUCKET_SQL = " || ".join(
     oracle=f"""
     WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v, {_BUCKET_SQL} AS bucket
-        FROM embeddings WHERE embedding IS NOT NULL
+        FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ),
     q AS (SELECT * FROM e WHERE vec_id < 8),
     scored AS (
@@ -400,7 +400,7 @@ _RAD_TBL_VALUES = ", ".join(f"({t})" for t in range(_RAD_TABLES))
         SELECT vec_id, embedding::DOUBLE[] AS v, b.t AS tbl,
                CASE b.t {_RAD_TABLE_SQL} END AS bucket
         FROM embeddings, (VALUES {_RAD_TBL_VALUES}) AS b(t)
-        WHERE embedding IS NOT NULL
+        WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ),
     q AS (SELECT * FROM e WHERE vec_id < 8),
     pair AS (
@@ -635,7 +635,7 @@ def _sqdist_chain_sql(a: str, b: str, dim: int = 64) -> str:
     "ann_ivf_topk",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-               WHERE embedding IS NOT NULL AND vec_id IS NOT NULL),
+               WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0 AND vec_id IS NOT NULL),
     hb AS (SELECT vec_id, v, md5('42:' || vec_id) AS h FROM e),
     cb AS (SELECT (row_number() OVER (ORDER BY h, vec_id) - 1)::INT AS cell,
                   v AS c
@@ -827,7 +827,7 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_quantized_rerank_topk",
     oracle="""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-               WHERE embedding IS NOT NULL),
+               WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
     q AS (SELECT * FROM e WHERE vec_id < 8),
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -868,7 +868,7 @@ def ann_quantized_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(t.np AS BIGINT) AS n_probe,
            (SELECT CAST(3 * count(*) AS BIGINT) FROM embeddings
-            WHERE vec_id < 8 AND embedding IS NOT NULL) AS bf_pairs,
+            WHERE vec_id < 8 AND embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0) AS bf_pairs,
            CAST(1 AS BIGINT) AS recall_ok
     FROM (VALUES (2), (4), (6), (8)) AS t(np)
     ORDER BY n_probe

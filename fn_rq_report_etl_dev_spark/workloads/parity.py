@@ -206,7 +206,8 @@ def o11_o12_est_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
            TRY_CAST(event_type AS BIGINT) AS bad_int,
-           floor(value * 100) / 100 AS value_2dp
+           CASE WHEN abs(value) < 1e12
+                THEN floor(value * 100) / 100 + 0.0 END AS value_2dp
     FROM events
     """,
 )
@@ -219,14 +220,21 @@ def o17_lenient_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties HALF_UP in Spark (BigDecimal on the shortest decimal repr) but in C
     double math in DuckDB, which diverges on values like 2.675 depending on
     engine build — the round-1 driver-red hash. Floor of a double product is
-    bit-identical everywhere.
+    bit-identical everywhere. Non-finite / out-of-money-range values
+    (|value| >= 1e12 — beyond cents precision anyway) normalize to NULL:
+    Spark's BIGINT floor saturates on them where DuckDB's DOUBLE floor
+    propagates, and the trailing +0.0 folds DuckDB's floor(-0.0) = -0.0
+    into the 0.0 Spark's integer floor produces (float-audit finding).
     """
     events = load(spark, sf_dir, "events")
     return events.select(
         "event_id",
         F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").alias("k_int"),
         F.expr("try_cast(event_type AS BIGINT)").alias("bad_int"),
-        (F.floor(F.col("value") * 100).cast("double") / 100).alias("value_2dp"),
+        F.when(
+            F.abs(F.col("value")) < 1e12,
+            F.floor(F.col("value") * 100).cast("double") / 100 + 0.0,
+        ).alias("value_2dp"),
     )
 
 
@@ -310,7 +318,9 @@ def sql_api_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type, CAST(ts AS DATE) AS d,
            count(*) AS cnt,
-           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(sum(CASE WHEN abs(value) < 1e12
+                         THEN CAST(floor(value * 100) AS BIGINT) END)
+                AS BIGINT) AS sum_cents,
            min(event_id) AS min_event_id,
            max(event_id) AS max_event_id
     FROM events
@@ -330,7 +340,12 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     def partial(df: DataFrame) -> DataFrame:
         return df.groupBy("event_type", F.to_date("ts").alias("d")).agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            F.sum(
+                F.when(
+                    F.abs(F.col("value")) < 1e12,
+                    F.floor(F.col("value") * 100).cast("bigint"),
+                )
+            )
             .cast("bigint")
             .alias("sum_cents"),
             F.min("event_id").alias("min_event_id"),

@@ -751,7 +751,7 @@ def approx_quantiles_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name, c_acctbal
     FROM customer c
-    WHERE c_acctbal > (SELECT 1.2 * (CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+    WHERE c_acctbal > (SELECT 1.2 * (CAST(sum(CASE WHEN abs(c2.c_acctbal) < 1e15 THEN CAST(c2.c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE)
                                      / count(*))
                        FROM customer c2
                        WHERE c2.c_nationkey = c.c_nationkey)
@@ -766,7 +766,12 @@ def correlated_subquery_rich_customers(spark: SparkSession, sf_dir: str) -> Data
     cust = load(spark, sf_dir, "customer")
     per_nation = cust.groupBy("c_nationkey").agg(
         (
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            F.sum(
+                F.when(
+                    F.abs(F.col("c_acctbal")) < 1e15,
+                    F.col("c_acctbal").cast("decimal(18,2)"),
+                )
+            ).cast("double")
             / F.count(F.lit(1))
         ).alias("nation_avg")
     )
@@ -796,7 +801,11 @@ def grouped_map_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events").select("user_id", "event_id", "value")
 
     def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["value", "event_id"], ascending=[False, True])
+        # na_position="first": SQL row_number ORDER BY value DESC ranks NaN
+        # as the greatest value in BOTH engines; pandas defaults NaN last.
+        pdf = pdf.sort_values(
+            ["value", "event_id"], ascending=[False, True], na_position="first"
+        )
         pdf["value_rank"] = range(1, len(pdf) + 1)
         return pdf[["user_id", "event_id", "value_rank"]]
 
@@ -1109,8 +1118,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM nation n,
     LATERAL (
         SELECT count(*) AS n_cust,
-               CAST(max(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal,
-               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+               CAST(max(CASE WHEN abs(c_acctbal) < 1e15 THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS max_bal,
+               CAST(sum(CASE WHEN abs(c_acctbal) < 1e15 THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS total_bal
         FROM customer c
         WHERE c.c_nationkey = n.n_nationkey
     ) t
@@ -1129,8 +1138,8 @@ def lateral_nation_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         FROM nation_lat_v n,
         LATERAL (
             SELECT count(*) AS n_cust,
-                   CAST(max(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal,
-                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+                   CAST(max(CASE WHEN abs(c_acctbal) < 1e15 THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS max_bal,
+                   CAST(sum(CASE WHEN abs(c_acctbal) < 1e15 THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS total_bal
             FROM customer_lat_v c
             WHERE c.c_nationkey = n.n_nationkey
         ) t
@@ -1528,14 +1537,16 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                quantile_cont(value, 0.25) AS q1,
                quantile_cont(value, 0.75) AS q3
-        FROM events GROUP BY event_type
+        FROM events WHERE isfinite(value) GROUP BY event_type
     )
     SELECT e.event_id, e.event_type, e.value,
            b.q1 - 1.5 * (b.q3 - b.q1) AS lo,
            b.q3 + 1.5 * (b.q3 - b.q1) AS hi
     FROM events e JOIN b ON e.event_type = b.event_type
-    WHERE e.value < b.q1 - 1.5 * (b.q3 - b.q1)
-       OR e.value > b.q3 + 1.5 * (b.q3 - b.q1)
+    WHERE e.value IS NOT NULL
+      AND (NOT isfinite(e.value)
+           OR e.value < b.q1 - 1.5 * (b.q3 - b.q1)
+           OR e.value > b.q3 + 1.5 * (b.q3 - b.q1))
     """,
 )
 def outlier_filter_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1550,7 +1561,8 @@ def outlier_filter_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fence-and-broadcast shape is unchanged. The exact form is kept
     here because the oracle demands bit-equality."""
     events = load(spark, sf_dir, "events")
-    b = events.groupBy("event_type").agg(
+    finite = ~F.isnan(F.col("value")) & (F.abs(F.col("value")) != F.lit(float("inf")))
+    b = events.filter(F.col("value").isNotNull() & finite).groupBy("event_type").agg(
         F.expr("percentile(value, 0.25)").alias("q1"),
         F.expr("percentile(value, 0.75)").alias("q3"),
     )
@@ -1562,7 +1574,10 @@ def outlier_filter_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         events.join(F.broadcast(fences), "event_type")
-        .filter((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+        .filter(
+            F.col("value").isNotNull()
+            & (~finite | (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+        )
         .select("event_id", "event_type", "value", "lo", "hi")
     )
 
@@ -1647,7 +1662,9 @@ def agg_listagg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id, ts,
            CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
-           CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT)
+           CAST(sum(CASE WHEN abs(value) < 1e12
+                         THEN CAST(floor(value * 100) AS BIGINT) END)
+                    OVER w AS BIGINT)
                AS cents_last_hour
     FROM events
     WINDOW w AS (
@@ -1669,7 +1686,9 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.unix_micros(F.col("ts")))
         .rangeBetween(-3_600_000_000, Window.currentRow)
     )
-    cents = F.floor(F.col("value") * 100).cast("bigint")
+    cents = F.when(
+        F.abs(F.col("value")) < 1e12, F.floor(F.col("value") * 100).cast("bigint")
+    )
     return events.select(
         "event_id",
         "user_id",

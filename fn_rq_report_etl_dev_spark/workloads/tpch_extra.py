@@ -234,7 +234,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle=f"""
     SELECT c_custkey, c_name, CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS revenue,
-           c_acctbal, n_name
+           c_acctbal + 0.0 AS c_acctbal, n_name
     FROM customer
     JOIN orders   ON o_custkey = c_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -266,7 +266,16 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(_revenue()).cast("double").alias("revenue"))
-        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            # +0.0 folds IEEE negative zero into 0.0: Spark's group-key
+            # NormalizeFloatingNumbers already rewrote -0.0 on this side,
+            # DuckDB emits the raw key (float-audit finding).
+            (F.col("c_acctbal") + 0.0).alias("c_acctbal"),
+            "n_name",
+        )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -723,9 +732,9 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(c_custkey % 10 AS VARCHAR) AS cntrycode,
            count(*) AS numcust,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+           CAST(sum(CASE WHEN abs(c_acctbal) < 1e15 THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS totacctbal
     FROM customer
-    WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+    WHERE c_acctbal > (SELECT CAST(sum(CASE WHEN abs(c_acctbal) < 1e15 THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE)
                               / count(*)
                        FROM customer WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -744,9 +753,15 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_bal = (
         cust.filter(F.col("c_acctbal") > 0.0)
         .agg(
-            (F.sum(_dec2("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
-                "avg_bal"
-            )
+            (
+                F.sum(
+                F.when(
+                    F.abs(F.col("c_acctbal")) < 1e15,
+                    F.col("c_acctbal").cast("decimal(18,2)"),
+                )
+            ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
         )
     )
     return (
@@ -756,7 +771,14 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("c_custkey") % 10).cast("string").alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum(_dec2("c_acctbal")).cast("double").alias("totacctbal"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("c_acctbal")) < 1e15,
+                    F.col("c_acctbal").cast("decimal(18,2)"),
+                )
+            )
+            .cast("double")
+            .alias("totacctbal"),
         )
     )
 

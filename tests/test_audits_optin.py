@@ -1,7 +1,7 @@
 """Opt-in audit sweeps (VERDICT r04 #6): the empty-corpus, NULL-injection,
-varied-parallelism-determinism and adversarial-Unicode audits as pytest
-targets, so one command (`pytest -m audit`) runs the round's adversarial
-sweeps at sf0.001.
+varied-parallelism-determinism, adversarial-Unicode and adversarial-float
+audits as pytest targets, so one command (`pytest -m audit`) runs the
+round's adversarial sweeps at sf0.001.
 
 Deselected by default via pytest.ini's `addopts = -m "not audit"` — the
 sweeps re-run every registered query against mutated corpora (~6-9 min
@@ -90,3 +90,13 @@ def test_unicode_injection_audit():
     ASCII-fold tokenization policy)."""
     out = _run("scripts_unicode_audit.py")
     assert "unicode audit: 0 failures" in out
+
+
+def test_float_injection_audit():
+    """Every oracle-checked query must still hash-match DuckDB on a corpus
+    with IEEE-754 edge values (NaN, +/-Inf, -0.0, ~1.7e308, subnormals) in
+    the telemetry doubles and poisoned embedding elements — the round-5
+    sweep behind the finite-vector ANN contract, the bounded-money guards
+    and the -0.0 group-key normalization."""
+    out = _run("scripts_float_audit.py")
+    assert "float audit: 0 failures" in out
