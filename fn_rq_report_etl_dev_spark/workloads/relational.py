@@ -798,13 +798,20 @@ def grouped_map_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark can't express (model scoring, per-group fitting)."""
     import pandas as pd
 
-    events = load(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    # Arrow hands pandas ONE representation for SQL NULL and IEEE NaN (both
+    # NaN in a float64 column), but SQL row_number ORDER BY value DESC puts
+    # NaN FIRST (greatest, both engines) and NULL LAST (default NULLS LAST,
+    # both engines) — so the null-ness must travel as an explicit flag
+    # computed before the Arrow transfer (null- + float-audit findings).
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", F.col("value").isNull().alias("__vnull")
+    )
 
     def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        # na_position="first": SQL row_number ORDER BY value DESC ranks NaN
-        # as the greatest value in BOTH engines; pandas defaults NaN last.
         pdf = pdf.sort_values(
-            ["value", "event_id"], ascending=[False, True], na_position="first"
+            ["__vnull", "value", "event_id"],
+            ascending=[True, False, True],
+            na_position="first",
         )
         pdf["value_rank"] = range(1, len(pdf) + 1)
         return pdf[["user_id", "event_id", "value_rank"]]

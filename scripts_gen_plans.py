@@ -37,6 +37,8 @@ HEADLINERS = [
     ("q20_excess_stock_suppliers", "both grouped aggregates shuffle on the same (partkey, suppkey) key and equi-join without a third exchange; LIKE-filtered part + nation broadcast as semi joins"),
     ("ann_ivf_topk", "codebook IVF (r05): cell assignment is a ZERO-shuffle scan projection (literal-centroid argmin via array_min); probe = broadcast centroids + one equi-join on cell; per-query window cut to k"),
     ("scd2_point_in_time_join", "temporal version lookup (r05): union-window as-of across two relations — ONE exchange on the join key, last(version_struct, ignorenulls) running window; no range join, no per-fact subquery"),
+    ("profile_column_stats", "five exact count(DISTINCT)s in ONE Expand aggregate over a single scan (no scan union); swap approx_count_distinct for the Expand at 100 TB"),
+    ("basket_brand_pairs", "apriori prune via broadcast semi-join BEFORE pair generation; C(k,2) pairs map-side from sorted basket arrays (persisted item set, no row-level self-join shuffle — measured trade-off in SCALING.md)"),
 ]
 
 spark = get_spark(app_name="gen-plans")
