@@ -202,6 +202,9 @@ _RECHECK: list[str] = [
     "q22_dormant_customers",
     "correlated_subquery_rich_customers",
     "lateral_nation_customer_stats",
+    # round-5 date-audit fix: sentinel-guarded interval addition and the
+    # NTZ month-start (year-1 LTZ collect crash).
+    "datetime_functions_showcase",
 ]
 
 _REPO_ROOT = os.path.dirname(

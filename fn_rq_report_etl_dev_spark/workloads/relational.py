@@ -456,21 +456,41 @@ def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
            month(o_orderdate) AS m,
            dayofmonth(o_orderdate) AS d,
            CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
-           o_orderdate + INTERVAL 7 DAY AS plus_week,
+           CASE WHEN year(o_orderdate) < 9999
+                THEN o_orderdate + INTERVAL 7 DAY END AS plus_week,
            date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_95
     FROM orders
     """,
 )
 def datetime_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Datetime scalar function surface (O-series date ops generalized)."""
+    """Datetime scalar function surface (O-series date ops generalized).
+    Interval arithmetic is guarded at the calendar ceiling: the
+    overflow-free comparison form for date predicates is integer
+    datediff (see q12), and additions near the boundary go through an
+    explicit sentinel guard."""
     orders = load(spark, sf_dir, "orders")
     return orders.select(
         "o_orderkey",
         F.year("o_orderdate").cast("bigint").alias("y"),
         F.month("o_orderdate").cast("bigint").alias("m"),
         F.dayofmonth("o_orderdate").cast("bigint").alias("d"),
-        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("plus_week"),
+        # NOT date_trunc (and NOT make_timestamp): both yield a
+        # session-zone TIMESTAMP, and PySpark's LTZ collect path
+        # (datetime.fromtimestamp) cannot represent year-1 instants — a
+        # 0001-01-xx sentinel crashes the conversion (date-audit
+        # finding). make_timestamp_ntz from the extracted fields stays on
+        # the NTZ path, exact for the whole supported calendar.
+        F.expr(
+            "make_timestamp_ntz(year(o_orderdate), month(o_orderdate), 1, 0, 0, 0)"
+        ).alias("month_start"),
+        # guarded: a "never expires" 9999 sentinel + interval crosses the
+        # calendar ceiling — unrepresentable in the Python/Arrow layer and
+        # type-unstable in DuckDB (date-audit finding); sentinel years map
+        # to NULL in both engines.
+        F.when(
+            F.year("o_orderdate") < 9999,
+            F.col("o_orderdate") + F.expr("INTERVAL 7 DAY"),
+        ).alias("plus_week"),
         F.datediff(F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp"))
         .cast("bigint").alias("days_since_95"),
     )

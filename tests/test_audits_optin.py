@@ -1,7 +1,7 @@
 """Opt-in audit sweeps (VERDICT r04 #6): the empty-corpus, NULL-injection,
-varied-parallelism-determinism, adversarial-Unicode and adversarial-float
-audits as pytest targets, so one command (`pytest -m audit`) runs the
-round's adversarial sweeps at sf0.001.
+varied-parallelism-determinism, adversarial-Unicode, adversarial-float and
+extreme-date audits as pytest targets, so one command (`pytest -m audit`)
+runs the round's adversarial sweeps at sf0.001.
 
 Deselected by default via pytest.ini's `addopts = -m "not audit"` — the
 sweeps re-run every registered query against mutated corpora (~6-9 min
@@ -100,3 +100,14 @@ def test_float_injection_audit():
     and the -0.0 group-key normalization."""
     out = _run("scripts_float_audit.py")
     assert "float audit: 0 failures" in out
+
+
+def test_date_injection_audit():
+    """Every oracle-checked query must still hash-match DuckDB on a corpus
+    with calendar boundary values (proleptic year 1, Gregorian-cutover
+    eve, pre-epoch, leap day, year-9999 sentinels) in the relational date
+    columns — the round-5 sweep behind the interval-overflow guard and
+    the make_timestamp_ntz month-start (Spark's date_trunc/LTZ collect
+    path cannot represent year-1 results)."""
+    out = _run("scripts_date_audit.py")
+    assert "date audit: 0 failures" in out
