@@ -205,6 +205,8 @@ _RECHECK: list[str] = [
     # round-5 date-audit fix: sentinel-guarded interval addition and the
     # NTZ month-start (year-1 LTZ collect crash).
     "datetime_functions_showcase",
+    # round-5 addition: sequential Poisson (PPS) weighted sampling.
+    "sample_weighted_reservoir",
 ]
 
 _REPO_ROOT = os.path.dirname(

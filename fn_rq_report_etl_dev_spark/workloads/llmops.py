@@ -1226,6 +1226,85 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(h < rate).select("doc_id", "source", "lang")
 
 
+WEIGHTED_SAMPLE_K = 25
+
+
+@workload(
+    "sample_weighted_reservoir",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(string_split_regex(trim({TXT.SQL_FOLD.format("text")}),
+                                      '\s+')) AS weight,
+               ('0x' || substr(md5('spss:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, source, weight,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST(h AS DOUBLE) / CAST(weight AS DOUBLE) ASC,
+                            doc_id ASC
+               ) AS rank
+        FROM t WHERE weight > 0
+    )
+    SELECT doc_id, source, weight, rank
+    FROM r WHERE rank <= {WEIGHTED_SAMPLE_K}
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling without replacement, K docs per
+    source: sequential Poisson sampling (Ohlsson 1998 / Rosén's PPS order
+    sampling) — rank ascending by ``uniform_hash / weight`` and keep the
+    first K. Heavier (longer) documents get proportionally higher
+    inclusion probability; with equal weights it degrades to uniform
+    hash-ordered sampling. This is the distributed reservoir: no
+    sequential scan state, no rand() — membership is a pure function of
+    (doc_id, weight), reproducible across runs, engines and partitionings.
+
+    Numeric portability: the A-RES key ``u^(1/w)`` needs pow/ln whose
+    last-ulp rounding differs between libm implementations; the
+    equivalent-order Poisson key ``h / w`` is ONE IEEE-754 division —
+    correctly rounded by spec, bit-identical in Spark and DuckDB (same
+    trick as the sqdist chains: stay inside exactly-rounded ops).
+    doc_id breaks exact key ties deterministically.
+
+    Scale: one hash-partition exchange on source; the rank<=K filter
+    compiles to WindowGroupLimit (pinned in tests/test_plans.py), so each
+    map task pre-trims to a K-sized heap per source BEFORE the shuffle —
+    the exchange carries O(K x sources x tasks), not the corpus. Empty
+    text counts as one empty token in both engines (the split contract:
+    split('') is ['']), so its weight is 1, never 0; NULL text yields
+    NULL weight and is excluded by the > 0 predicate in both engines
+    (3VL: NULL > 0 is not true)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(TXT.words(F.col("text"))).cast("bigint").alias("weight"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("spss:"), F.col("doc_id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    ).filter(F.col("weight") > 0)
+    key = F.col("h").cast("double") / F.col("weight").cast("double")
+    w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        t.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= WEIGHTED_SAMPLE_K)
+        .select("doc_id", "source", "weight", "rank")
+    )
+
+
 @workload(
     "pack_token_budget",
     oracle=rf"""

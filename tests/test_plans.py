@@ -92,6 +92,17 @@ def test_source_cap_uses_window_group_limit(spark, sf_dir):
     assert exchange_count(df) == 1  # one hash-partition on source
 
 
+def test_weighted_reservoir_map_side_group_limit(spark, sf_dir):
+    # Sequential Poisson sampling must pre-trim map-side: a Partial
+    # WindowGroupLimit BEFORE the one source-partition exchange (each map
+    # task ships at most K rows per source, not the corpus) and the Final
+    # pass after it.
+    df = QUERIES["sample_weighted_reservoir"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Partial" in plan and "WindowGroupLimit" in plan
+    assert exchange_count(df) == 1
+
+
 def test_export_shuffle_single_exchange(spark, sf_dir):
     # Deterministic shuffle export = repartition-by-shard + in-shard rank:
     # exactly one exchange, no global total-order sort.
