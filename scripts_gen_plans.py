@@ -39,6 +39,7 @@ HEADLINERS = [
     ("scd2_point_in_time_join", "temporal version lookup (r05): union-window as-of across two relations — ONE exchange on the join key, last(version_struct, ignorenulls) running window; no range join, no per-fact subquery"),
     ("profile_column_stats", "five exact count(DISTINCT)s in ONE Expand aggregate over a single scan (no scan union); swap approx_count_distinct for the Expand at 100 TB"),
     ("basket_brand_pairs", "apriori prune via broadcast semi-join BEFORE pair generation; C(k,2) pairs map-side from sorted basket arrays (persisted item set, no row-level self-join shuffle — measured trade-off in SCALING.md)"),
+    ("sample_weighted_reservoir", "PPS sampling (r05): Partial WindowGroupLimit pre-trims each map task to a K-heap per source BEFORE the one exchange — shuffle carries O(K x sources x tasks) at any corpus size; sort key is one IEEE division (bit-identical cross-engine)"),
 ]
 
 spark = get_spark(app_name="gen-plans")
