@@ -15,9 +15,13 @@ Experiments (select with argv; `all` / no argument runs every one):
           seeded codebook, at sf0.01 and sf0.1.
   pairs — frequent-pair mining at 1M baskets: map-side HOF pair
           generation vs the row-level self-join (equality asserted).
+  pps   — weighted PPS sampling (sample_weighted_reservoir's shape) on a
+          90%-one-source corpus: Partial WindowGroupLimit pre-trim on vs
+          off — shuffle records and hot-reducer behavior (equality
+          asserted).
 
 Run: python scripts_scaling_experiment.py
-     [merge|skew|bloom|ann|ivf_assign|ivf_recall|pairs|all]"""
+     [merge|skew|bloom|ann|ivf_assign|ivf_recall|pairs|pps|all]"""
 import sys, os, time, tempfile, json
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F
@@ -30,7 +34,7 @@ from pyspark.sql import types as T
 
 EXPERIMENT = sys.argv[1] if len(sys.argv) > 1 else "all"
 # bloom experiment reads shuffle metrics from the UI REST API
-_conf = {"spark.ui.enabled": "true"} if EXPERIMENT in ("bloom", "pairs", "all") else None
+_conf = {"spark.ui.enabled": "true"} if EXPERIMENT in ("bloom", "pairs", "pps", "all") else None
 spark = get_spark(app_name="scaling", extra_conf=_conf)
 
 
@@ -168,8 +172,76 @@ def bloom_join_experiment():
     return out
 
 
+def pps_sample_experiment():
+    """The PPS sampler's scale claim, measured: ranking ascending by
+    h/weight with a rank<=K cut compiles to a Partial WindowGroupLimit
+    (Spark >=3.5) that trims every map task to a K-heap per source BEFORE
+    the exchange. On a 90%-one-source corpus the exchange therefore
+    carries O(K x sources x tasks) records; with the rule excluded (older
+    engines / shapes the rule can't rewrite) the full corpus shuffles and
+    the hot source funnels 90% of it into ONE reducer. The drawn sample is
+    asserted identical in both regimes — the rule is pure pushdown."""
+    import urllib.request
+    from pyspark.sql import Window
+
+    GROUP_LIMIT_RULE = "org.apache.spark.sql.catalyst.optimizer.InferWindowGroupLimit"
+    K = 25
+    n_rows = 20_000_000
+    app = spark.sparkContext.applicationId
+
+    def shuffle_totals():
+        url = f"http://localhost:4040/api/v1/applications/{app}/stages?status=complete"
+        st = json.load(urllib.request.urlopen(url))
+        return (sum(s.get("shuffleWriteBytes", 0) for s in st),
+                sum(s.get("shuffleWriteRecords", 0) for s in st))
+
+    base = (spark.range(n_rows).withColumnRenamed("id", "rid")
+            .withColumn("u", F.rand(seed=11)))
+    src = F.when(F.col("u") < 0.9, F.lit("hot")).otherwise(
+        F.concat(F.lit("src"), (F.col("rid") % 19).cast("string")))
+    df = (base.withColumn("source", src)
+          .withColumn("weight", ((F.col("rid") % 997) + 1).cast("bigint"))
+          .withColumn("h", F.conv(
+              F.substring(F.md5(F.col("rid").cast("string")), 1, 12), 16, 10
+          ).cast("bigint"))
+          .drop("u"))
+    key = F.col("h").cast("double") / F.col("weight").cast("double")
+    w = Window.partitionBy("source").orderBy(key.asc(), F.col("rid").asc())
+
+    def sample(d):
+        return (d.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= K))
+
+    _force(sample(df.limit(1_000_000)))  # warm
+    out = []
+    drawn = {}
+    for mode, excluded in (("on", ""), ("off", GROUP_LIMIT_RULE)):
+        spark.conf.set("spark.sql.optimizer.excludedRules", excluded)
+        b0, r0 = shuffle_totals()
+        t0 = time.perf_counter()
+        _force(sample(df))
+        wall = round(time.perf_counter() - t0, 2)
+        b1, r1 = shuffle_totals()
+        drawn[mode] = {(r["source"], r["rid"]) for r in
+                       sample(df).select("source", "rid").collect()}
+        row = {"experiment": "pps_sample", "rows": n_rows,
+               "window_group_limit": mode, "wall_s": wall,
+               "shuffle_mb": round((b1 - b0) / 1e6, 1),
+               "shuffle_records": r1 - r0}
+        out.append(row)
+        print(json.dumps(row))
+    spark.conf.unset("spark.sql.optimizer.excludedRules")
+    assert drawn["on"] == drawn["off"], (
+        len(drawn["on"]), len(drawn["off"]))
+    assert len(drawn["on"]) == K * 20
+    return out
+
+
 if EXPERIMENT == "skew":
     skew_experiment()
+    sys.exit(0)
+if EXPERIMENT == "pps":
+    pps_sample_experiment()
     sys.exit(0)
 if EXPERIMENT == "bloom":
     bloom_join_experiment()
@@ -497,6 +569,7 @@ for target_rows in (500_000, 2_000_000, 8_000_000):
     print(json.dumps(results[-1]))
 
 if EXPERIMENT == "all":
+    pps_sample_experiment()
     pairs_experiment()
     skew_experiment()
     bloom_join_experiment()
