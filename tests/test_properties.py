@@ -478,3 +478,66 @@ def test_point_in_time_union_window_equals_naive_between_join(spark, rows):
     )
     exp = sorted(map(tuple, naive.collect()))
     assert got == exp
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["ab", "Cd", "xyz", "Q", "lorem", ""]),
+            min_size=0, max_size=9,
+        ).map(" ".join),
+        min_size=1, max_size=60,
+    ),
+    n_sources=st.integers(1, 3),
+)
+def test_weighted_reservoir_matches_python_replay(spark, texts, n_sources):
+    """sample_weighted_reservoir is a pure function of (doc_id, weight):
+    an independent pure-Python replay (hashlib md5, float division — the
+    same IEEE-754 double op Spark and DuckDB execute) must draw the
+    identical sample for arbitrary corpora, including sources smaller
+    than K and multi-space/empty texts."""
+    import hashlib
+    import re
+    import shutil
+    import tempfile
+
+    from fn_rq_report_etl_dev_spark.workloads import QUERIES
+    from fn_rq_report_etl_dev_spark.workloads.llmops import WEIGHTED_SAMPLE_K
+
+    rows = [
+        (i, f"src{i % n_sources}", t, "en")
+        for i, t in enumerate(texts)
+    ]
+    tmp = tempfile.mkdtemp(prefix="ppsprop")
+    try:
+        spark.createDataFrame(
+            rows, "doc_id bigint, source string, text string, lang string"
+        ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        got = sorted(
+            map(
+                tuple,
+                QUERIES["sample_weighted_reservoir"](spark, tmp).collect(),
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    per_source: dict[str, list[tuple[float, int, int]]] = {}
+    for doc_id, source, text, _lang in rows:
+        weight = len(re.split(r"\s+", text.strip().lower()))
+        h = int(
+            hashlib.md5(f"spss:{doc_id}".encode()).hexdigest()[:12], 16
+        )
+        if weight > 0:
+            per_source.setdefault(source, []).append(
+                (h / weight, doc_id, weight)
+            )
+    exp = []
+    for source, entries in per_source.items():
+        entries.sort()
+        for rank, (_key, doc_id, weight) in enumerate(
+            entries[:WEIGHTED_SAMPLE_K], start=1
+        ):
+            exp.append((doc_id, source, weight, rank))
+    assert got == sorted(exp)
