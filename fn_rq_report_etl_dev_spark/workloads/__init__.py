@@ -207,6 +207,8 @@ _RECHECK: list[str] = [
     "datetime_functions_showcase",
     # round-5 addition: sequential Poisson (PPS) weighted sampling.
     "sample_weighted_reservoir",
+    # round-5 addition: quality-ranked survivor selection.
+    "dedup_survivors_quality",
 ]
 
 _REPO_ROOT = os.path.dirname(

@@ -1444,6 +1444,86 @@ def dedup_apply_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(survivors, "doc_id").select("doc_id", "source", "lang", "n_chars")
 
 
+@workload(
+    "dedup_survivors_quality",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE.lstrip()}, {_LSH_CTE.lstrip()},
+    und(a, b) AS (
+        SELECT id_a, id_b FROM cand UNION SELECT id_b, id_a FROM cand
+    ),
+    r(node, reach) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT u.b, r.reach FROM r JOIN und u ON r.node = u.a
+    ),
+    comp AS (SELECT node AS doc_id, min(reach) AS component FROM r GROUP BY node),
+    q AS (
+        SELECT doc_id,
+               round((length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
+                      + least(len(list_filter(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+                            '[a-z0-9_]+'), t -> t IN ('the','and','of','to','in','is','for','with','on','that'))) * 4.0
+                          / len(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\\s+')), 1.0)) / 2.0, 6) AS quality
+        FROM documents
+    ),
+    ranked AS (
+        SELECT c.component, c.doc_id, q.quality,
+               count(*) OVER (PARTITION BY c.component) AS n_members,
+               row_number() OVER (
+                   PARTITION BY c.component
+                   ORDER BY q.quality DESC NULLS LAST, c.doc_id ASC
+               ) AS rn
+        FROM comp c JOIN q ON c.doc_id = q.doc_id
+    )
+    SELECT component, doc_id, quality, n_members
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection by QUALITY, the policy a production corpus
+    actually ships: within each near-dup cluster keep the highest-quality
+    member (text_quality_score's blended metric), not the smallest id —
+    near-dup clusters routinely mix a clean original with truncated or
+    boilerplate-wrapped copies, and min-id keeps whichever crawled first.
+    Composition: LSH candidates → connected components → one window top-1
+    per component ordered by quality.
+
+    Cross-engine ordering contract: the quality metric is +,*,/ and
+    round(·,6) only — every op exactly rounded / already proven
+    hash-identical by ``text_quality_score`` — and NULL quality (NULL
+    text) is pinned DESC **NULLS LAST** explicitly on both sides because
+    the engines' DESC null defaults differ (Spark: last; DuckDB:
+    reversed default = first); doc_id breaks exact quality ties.
+    Scale: the components loop is the bounded iterative operator
+    (per-iteration localCheckpoint); the final ranking is ONE window
+    exchange on component."""
+    from pyspark.sql import Window
+
+    from ..operators.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text")
+    comp = connected_components(docs.select("doc_id"), pairs, id_col="doc_id")
+
+    t = F.col("text")
+    alpha_ratio = TXT.alpha_char_count(t) * F.lit(1.0) / F.length(t)
+    stop_term = F.least(
+        TXT.stopword_hits(t, "en") * F.lit(4.0) / TXT.whitespace_token_count(t),
+        F.lit(1.0),
+    )
+    q = docs.select(
+        "doc_id", F.round((alpha_ratio + stop_term) / 2.0, 6).alias("quality")
+    )
+    labeled = comp.select(F.col("id").alias("doc_id"), "component").join(q, "doc_id")
+    w = Window.partitionBy("component")
+    wr = w.orderBy(F.col("quality").desc_nulls_last(), F.col("doc_id").asc())
+    return (
+        labeled.withColumn("n_members", F.count("*").over(w))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("component", "doc_id", "quality", "n_members")
+    )
+
+
 CHUNK_SIZE, CHUNK_STRIDE = 40, 30
 
 
