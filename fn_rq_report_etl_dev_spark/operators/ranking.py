@@ -1,0 +1,92 @@
+"""Distributed global ranking: NTILE(k) over a total order WITHOUT a
+single-task window.
+
+``ntile(k) OVER (ORDER BY ...)`` with no PARTITION BY collapses the whole
+relation into ONE window partition — one task sorts everything, which is
+the textbook 100 TB scale-killer. The distributed equivalent is the
+classic zipWithIndex shape:
+
+1. ``repartitionByRange`` on the ordering key — Spark's range partitioner
+   gives globally ordered partitions (partition i's rows all sort before
+   partition i+1's);
+2. per-partition ``row_number`` (window partitioned by
+   ``spark_partition_id()`` — every task sorts only its own slice);
+3. one tiny job collects the per-partition row counts (≤ #partitions
+   scalars, NOT data) → cumulative offsets, joined back broadcast;
+4. ``global_rank = offset + local_rank`` and the SQL-standard NTILE
+   closed form on (global_rank, n) — first ``n mod k`` buckets get
+   ``ceil(n/k)`` rows, the rest ``floor(n/k)``.
+
+The range-partitioned frame is persisted and materialized BEFORE the
+counts job: the range partitioner derives split points from a sample, so
+re-executing the shuffle between the counts job and the final job could
+re-draw boundaries and desynchronize the offsets. (A production run on a
+cluster would ``localCheckpoint`` for the same reason.)
+
+Determinism contract: the ordering must be TOTAL (caller appends a unique
+tiebreaker) and the ordering keys non-NULL (Spark sorts NULLS FIRST on
+ASC where most SQL engines default NULLS LAST — coalesce or filter at the
+call site).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def distributed_ntile(
+    df: DataFrame,
+    order_by: list[Column],
+    k: int,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = NTILE(``k``) over the global ``order_by``
+    total order, computed with range partitioning + per-partition ranks
+    instead of a one-task global window. Exactly matches
+    ``ntile(k) OVER (ORDER BY ...)`` for a total, non-NULL ordering."""
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_parts, *order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__local_rn",
+            F.row_number().over(Window.partitionBy("__pid").orderBy(*order_by)),
+        )
+        .persist()
+    )
+    # Materialize ONCE so the counts job and the downstream consumer read
+    # the same range-shuffle output (see module docstring).
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n = sum(counts.values())
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    offset_col = F.lit(0).cast("bigint")
+    for pid, off in offsets.items():
+        offset_col = F.when(F.col("__pid") == pid, F.lit(off)).otherwise(offset_col)
+    grn = (offset_col + F.col("__local_rn")).cast("bigint")
+
+    # SQL-standard NTILE closed form. q==0 (k > n) leaves every row in the
+    # first branch (threshold == n), so the q-divisor below is unreachable;
+    # max(q, 1) keeps the unreached literal division well-defined under ANSI.
+    # Integer division is spelled (a - pmod(a, b)) / b: the numerator is
+    # exactly divisible, so the double division is exact for any n < 2^53
+    # (a bare truncating a/b can be off by one ulp near huge quotients).
+    def _idiv(a: Column, b: int) -> Column:
+        return ((a - F.pmod(a, F.lit(b))) / F.lit(b)).cast("bigint")
+
+    q, r = divmod(n, k) if n else (0, 0)
+    threshold = r * (q + 1)
+    q_safe = max(q, 1)
+    bucket = F.when(grn <= threshold, _idiv(grn - 1, q + 1) + 1).otherwise(
+        r + _idiv(grn - threshold - 1, q_safe) + 1
+    )
+    return ranged.withColumn(out_col, bucket.cast("int")).drop("__pid", "__local_rn")

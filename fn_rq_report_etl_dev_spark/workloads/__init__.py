@@ -67,6 +67,16 @@ EAGER_SCHEMAS: dict[str, str] = {
         "bucket bigint, n_rows bigint, n_priced bigint, n_prioritized bigint, "
         "total_price double, n_urgent bigint"
     ),
+    # distributed_ntile materializes per-partition counts (driver scalars)
+    "rfm_customer_segments": (
+        "o_custkey bigint, recency_days int, frequency bigint, monetary double, "
+        "r_score int, f_score int, m_score int, segment string"
+    ),
+    # collects the two-dimension min/max normalization bounds (driver scalars)
+    "zorder_layout_events": (
+        "bucket bigint, n_rows bigint, min_user bigint, max_user bigint, "
+        "min_day bigint, max_day bigint, user_span bigint, day_span bigint"
+    ),
 }
 
 
@@ -115,6 +125,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # Importing the submodules populates the registry.
 from . import llmops, parity, relational  # noqa: E402,F401
 from . import curation, streaming_equiv, tpch_extra  # noqa: E402,F401
+from . import analytics  # noqa: E402,F401
 
 # Driver-report ordering hedge: the driver's correctness run checks only
 # the FIRST 50 registry entries in dict order (observed round 1: 56
@@ -209,6 +220,16 @@ _RECHECK: list[str] = [
     "sample_weighted_reservoir",
     # round-5 addition: quality-ranked survivor selection.
     "dedup_survivors_quality",
+    # round-5 additions: customer/event analytics batch (attribution,
+    # FK-integrity audit, distributed-NTILE RFM, MAD anomaly detection,
+    # streaks, Z-order layout audit) + near-dup graph triangles.
+    "attribution_last_touch",
+    "quality_fk_orphans",
+    "rfm_customer_segments",
+    "anomaly_mad_robust_z",
+    "streak_longest_daily",
+    "zorder_layout_events",
+    "graph_triangle_count",
 ]
 
 _REPO_ROOT = os.path.dirname(

@@ -1,0 +1,604 @@
+"""Customer/event analytics workloads: marketing attribution, RFM
+segmentation, robust anomaly detection, activity streaks, referential-
+integrity auditing and Z-order layout — the reporting queries a warehouse
+built on the ETL core (SURVEY.md §2 O1–O21) actually serves.
+
+Determinism rules (shared with the rest of the registry):
+- every window carries a unique tiebreaker; ordering keys are non-NULL by
+  explicit filter or coalesce (Spark sorts NULLS FIRST on ASC, DuckDB
+  defaults NULLS LAST — never let a NULL reach an ORDER BY);
+- money goes through DECIMAL(18,2); doubles only for already-identical
+  values, divisions written with the same association in both engines;
+- timestamps compare at microsecond precision on both sides (the parquet
+  NANOS column is floor-divided on load; DuckDB's epoch_us truncates the
+  same way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.ranking import distributed_ntile
+from ..operators.zorder import _normalize_to_bits, zorder_value
+from . import load, workload
+
+# Injected "now" for recency: the day after the last o_orderdate in the
+# generated corpus (wall-clock would break value-hash determinism).
+_RFM_NOW = "2001-08-02"
+
+_TOUCH_GUARD = "t IS NOT NULL AND t.ts >= ts - INTERVAL 7 DAY"
+
+_US_PER_MIN = 60_000_000
+
+
+def _idiv_min(d):
+    """Exact integer division µs→whole minutes: subtracting pmod makes the
+    numerator divisible, so the double division is exact (a bare truncating
+    cast can be off near huge quotients; a rounded fractional gap is a
+    half-tie trap between Spark's HALF_UP and DuckDB's half-even)."""
+    return ((d - F.pmod(d, F.lit(_US_PER_MIN))) / F.lit(_US_PER_MIN)).cast("bigint")
+
+
+@workload(
+    "attribution_last_touch",
+    oracle=f"""
+    WITH lt AS (
+        SELECT event_id, user_id, ts, event_type,
+               max(CASE WHEN event_type IN ('view', 'click')
+                        THEN struct_pack(ts := ts, event_id := event_id,
+                                         event_type := event_type) END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN {_TOUCH_GUARD} THEN t.event_type ELSE 'direct' END AS channel,
+           CASE WHEN {_TOUCH_GUARD} THEN t.event_id END AS touch_event_id,
+           CASE WHEN {_TOUCH_GUARD}
+                THEN (epoch_us(ts) - epoch_us(t.ts)) // 60000000
+           END AS gap_minutes
+    FROM lt WHERE event_type = 'purchase'
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to the
+    user's most recent view/click within a 7-day lookback, else 'direct'.
+
+    The conditional as-of is ONE window over (user_id) — a running
+    struct-max of (ts, event_id, event_type) restricted to touch events —
+    so the whole attribution costs a single exchange, not a
+    purchases×touches range join (the ``asof_prior_purchase`` shape with a
+    channel payload and a lookback horizon). Struct max orders
+    lexicographically in both engines; event_id makes the order total at
+    equal timestamps. NULL contract: attribution requires an identity and
+    an instant — rows with NULL user_id/ts/event_id are excluded on BOTH
+    sides (a window would group NULL users the oracle semantics drop).
+    """
+    events = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin("view", "click"),
+        F.struct("ts", "event_id", "event_type"),
+    )
+    attributed = F.col("t").isNotNull() & (
+        F.col("t.ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")
+    )
+    return (
+        events.withColumn("t", F.max(touch).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(attributed, F.col("t.event_type"))
+            .otherwise(F.lit("direct"))
+            .alias("channel"),
+            F.when(attributed, F.col("t.event_id")).alias("touch_event_id"),
+            # Whole minutes as EXACT integer division (pmod-subtracted
+            # numerator → the double division is exact): a rounded
+            # fractional gap is a half-tie trap — µs/6e7 lands exactly on
+            # x.xxxxxx5 constantly, where Spark rounds HALF_UP and DuckDB
+            # half-even.
+            F.when(attributed, _idiv_min(F.unix_micros(F.col("ts")) - F.unix_micros(F.col("t.ts")))).alias(
+                "gap_minutes"
+            ),
+        )
+    )
+
+
+# (relationship, child table, fk column, parent table, pk column,
+#  parent-is-broadcastable-at-scale)
+_FK_RELS: list[tuple[str, str, str, str, str, bool]] = [
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey", True),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey", False),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey", False),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey", False),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey", True),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey", False),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey", True),
+]
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for name, child, fk, parent, pk, _ in _FK_RELS:
+        parts.append(f"""
+    SELECT '{name}' AS relationship,
+           (SELECT count(*) FROM {child}) AS n_child,
+           (SELECT count(*) FROM {child} WHERE {fk} IS NULL) AS n_null_fk,
+           (SELECT count(*) FROM {child}
+             WHERE {fk} IS NOT NULL
+               AND {fk} NOT IN (SELECT {pk} FROM {parent} WHERE {pk} IS NOT NULL))
+               AS n_orphan,
+           (SELECT count(DISTINCT {pk}) FROM {parent}) AS n_parent,
+           (SELECT count(DISTINCT {fk}) FROM {child}
+             WHERE {fk} IN (SELECT {pk} FROM {parent})) AS n_parent_covered""")
+    body = "\n    UNION ALL".join(parts)
+    return f"""
+    SELECT relationship, n_child, n_null_fk, n_orphan, n_parent, n_parent_covered,
+           CASE WHEN n_parent > 0
+                THEN round(n_parent_covered * 1.0 / n_parent, 6) END AS coverage
+    FROM ({body})
+    """
+
+
+@workload("quality_fk_orphans", oracle=_fk_oracle())
+def quality_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: one row per foreign-key relationship
+    with child cardinality, NULL-FK count (3VL: a NULL key is *missing*,
+    not an orphan), orphan count (left-anti join on non-NULL keys) and
+    parent-key coverage.
+
+    Scale: dimension parents (nation/region) are broadcast; the fact-to-
+    fact checks (lineitem->orders/part/supplier) shuffle on the key —
+    exactly the joins AQE bloom-filters — and every per-relationship
+    result is a 1-row aggregate, so the union is driver-light. Coverage
+    is NULL (not a division blow-up) when the parent side is empty.
+    """
+    row_dfs = []
+    for name, child_t, fk, parent_t, pk, small in _FK_RELS:
+        child = load(spark, sf_dir, child_t)
+        parent = load(spark, sf_dir, parent_t)
+        ckeys = child.select(F.col(fk).alias("k"))
+        pkeys = (
+            parent.select(F.col(pk).alias("k"))
+            .filter(F.col("k").isNotNull())
+            .distinct()
+        )
+        pk_join = F.broadcast(pkeys) if small else pkeys
+        base = ckeys.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.col("k").isNull().cast("long")).alias("n_null_fk"),
+        )
+        orphan = (
+            ckeys.filter(F.col("k").isNotNull())
+            .join(pk_join, "k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphan"))
+        )
+        covered = (
+            ckeys.filter(F.col("k").isNotNull())
+            .distinct()
+            .join(pk_join, "k", "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_parent_covered"))
+        )
+        n_parent = pkeys.agg(F.count(F.lit(1)).alias("n_parent"))
+        row = (
+            base.crossJoin(F.broadcast(orphan))
+            .crossJoin(F.broadcast(n_parent))
+            .crossJoin(F.broadcast(covered))
+            .select(
+                F.lit(name).alias("relationship"),
+                F.col("n_child").cast("bigint").alias("n_child"),
+                F.coalesce(F.col("n_null_fk"), F.lit(0))
+                .cast("bigint")
+                .alias("n_null_fk"),
+                F.col("n_orphan").cast("bigint").alias("n_orphan"),
+                F.col("n_parent").cast("bigint").alias("n_parent"),
+                F.col("n_parent_covered").cast("bigint").alias("n_parent_covered"),
+                F.when(
+                    F.col("n_parent") > 0,
+                    F.round(F.col("n_parent_covered") * 1.0 / F.col("n_parent"), 6),
+                ).alias("coverage"),
+            )
+        )
+        row_dfs.append(row)
+    out = row_dfs[0]
+    for r in row_dfs[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+_SEGMENT_SQL = """CASE
+        WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+        WHEN f_score >= 4 THEN 'loyal'
+        WHEN r_score <= 2 AND m_score >= 4 THEN 'at_risk'
+        WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+        ELSE 'regular' END"""
+
+
+@workload(
+    "rfm_customer_segments",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_custkey,
+               CAST(datediff('day', CAST(max(o_orderdate) AS DATE),
+                             DATE '{_RFM_NOW}') AS INTEGER) AS recency_days,
+               count(*) AS frequency,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        FROM orders
+        WHERE o_custkey IS NOT NULL
+        GROUP BY o_custkey
+        HAVING count(o_orderdate) > 0
+    ),
+    scored AS (
+        SELECT o_custkey, recency_days, frequency,
+               CAST(monetary AS DOUBLE) AS monetary,
+               CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey)
+                    AS INTEGER) AS r_score,
+               CAST(ntile(5) OVER (ORDER BY frequency ASC, o_custkey)
+                    AS INTEGER) AS f_score,
+               CAST(ntile(5) OVER (ORDER BY coalesce(monetary, 0) ASC, o_custkey)
+                    AS INTEGER) AS m_score
+        FROM base
+    )
+    SELECT o_custkey, recency_days, CAST(frequency AS BIGINT) AS frequency,
+           monetary, r_score, f_score, m_score,
+           {_SEGMENT_SQL} AS segment
+    FROM scored
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer Recency/Frequency/Monetary quintile
+    scores and a segment label.
+
+    The three NTILE(5)s use ``operators/ranking.distributed_ntile`` —
+    range partitioning + per-partition ranks + the NTILE closed form —
+    because a bare ``ntile() OVER (ORDER BY ...)`` is a ONE-task global
+    sort (the oracle can afford it; a 1.5B-customer table cannot). The
+    per-customer base is persisted once and feeds all three rankings.
+    NULL contract: customers with a NULL key or no non-NULL order date
+    are excluded (their recency is undefined and NULL ordering diverges
+    between engines); an all-NULL-price customer RANKS as monetary 0 but
+    keeps the true NULL monetary in the output column.
+    """
+    orders = load(spark, sf_dir, "orders")
+    base = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.lit(_RFM_NOW).cast("date"), F.to_date(F.max("o_orderdate"))
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+            F.count("o_orderdate").alias("__n_dates"),
+        )
+        .filter(F.col("__n_dates") > 0)
+        .drop("__n_dates")
+        .persist()
+    )
+    scored = distributed_ntile(
+        base, [F.col("recency_days").desc(), F.col("o_custkey").asc()], 5, "r_score"
+    )
+    scored = distributed_ntile(
+        scored, [F.col("frequency").asc(), F.col("o_custkey").asc()], 5, "f_score"
+    )
+    scored = distributed_ntile(
+        scored,
+        [
+            F.coalesce(F.col("monetary"), F.lit(0).cast("decimal(18,2)")).asc(),
+            F.col("o_custkey").asc(),
+        ],
+        5,
+        "m_score",
+    )
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        F.col("frequency").cast("bigint").alias("frequency"),
+        F.col("monetary").cast("double").alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        F.expr(_SEGMENT_SQL).alias("segment"),
+    )
+
+
+# Exact median via the dual-rank trick: for n ordered values the median is
+# the mean of the values at ranks (n+1) DIV 2 and (n+2) DIV 2 (equal for
+# odd n). Pure integer rank arithmetic + one mean of at most two doubles —
+# bit-identical in both engines, no interpolation-formula seam.
+_MEDIAN_CTE = """
+vals AS (
+    SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM vals
+),
+med AS (
+    SELECT event_type, avg(value) AS med
+    FROM ranked
+    WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+    GROUP BY event_type
+),
+devs AS (
+    SELECT v.event_type, v.event_id, v.value, m.med,
+           abs(v.value - m.med) AS dev
+    FROM vals v JOIN med m ON v.event_type IS NOT DISTINCT FROM m.event_type
+),
+dev_ranked AS (
+    SELECT event_type, dev,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY dev, event_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM devs
+),
+mad AS (
+    SELECT event_type, avg(dev) AS mad
+    FROM dev_ranked
+    WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+    GROUP BY event_type
+)"""
+
+
+@workload(
+    "anomaly_mad_robust_z",
+    oracle=f"""
+    WITH {_MEDIAN_CTE}
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_values,
+           round(any_value(d.med), 6) AS med,
+           round(any_value(a.mad), 6) AS mad,
+           CAST(sum(CASE WHEN a.mad > 0
+                          AND abs(0.6745 * (d.value - d.med) / a.mad) > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM devs d JOIN mad a ON d.event_type IS NOT DISTINCT FROM a.event_type
+    GROUP BY d.event_type
+    """,
+)
+def anomaly_mad_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per event type: modified z-score
+    ``0.6745·(x − median) / MAD`` with outliers at |z| > 3.5 (the
+    Iglewicz–Hoaglin rule) — median/MAD shrug off the heavy tail that
+    wrecks a mean/stddev z-score (cf. ``outlier_filter_iqr`` for the
+    quartile-fence variant).
+
+    Medians are EXACT via the dual-rank trick (see ``_MEDIAN_CTE``): rank
+    arithmetic is integral and the final mean touches at most two doubles,
+    so Spark and DuckDB agree bit-for-bit — no percentile-interpolation
+    seam. Two exchanges on event_type (values pass + deviations pass); the
+    per-type medians join back broadcast. At 100 TB the same shape holds
+    with approx_percentile replacing the exact ranks (see
+    ``approx_quantiles_error`` for the bounded-error variant).
+    NULL contract: NULL values are excluded (count(value) semantics); a
+    NULL event_type forms its own group in BOTH engines (GROUP BY and
+    window PARTITION BY both retain it; the joins are null-safe).
+    """
+    events = load(spark, sf_dir, "events")
+    vals = events.filter(F.col("value").isNotNull()).select(
+        "event_type", "event_id", "value"
+    )
+
+    def exact_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col, "event_id")
+        wc = Window.partitionBy("event_type")
+        ranked = df.withColumn("rn", F.row_number().over(w)).withColumn(
+            "n", F.count(F.lit(1)).over(wc)
+        )
+        mid = ranked.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+        )
+        return mid.groupBy("event_type").agg(F.avg(col).alias(out))
+
+    # The MAD median derives from `devs`, which derives from `vals` — the
+    # join keys must be renamed or Spark's ambiguous-self-join detection
+    # (correctly) refuses the shared-lineage equality.
+    med = exact_median(vals, "value", "med").withColumnRenamed("event_type", "et")
+    devs = vals.join(
+        F.broadcast(med), F.col("event_type").eqNullSafe(F.col("et")), "inner"
+    ).select(
+        "event_type",
+        "event_id",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+    )
+    mad = exact_median(devs, "dev", "mad").withColumnRenamed("event_type", "et")
+    joined = devs.join(
+        F.broadcast(mad), F.col("event_type").eqNullSafe(F.col("et")), "inner"
+    ).select("event_type", "value", "med", "dev", "mad")
+    is_out = (F.col("mad") > 0) & (
+        F.abs(F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")) > 3.5
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        F.round(F.any_value("med"), 6).alias("med"),
+        F.round(F.any_value("mad"), 6).alias("mad"),
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+    )
+
+
+@workload(
+    "streak_longest_daily",
+    oracle="""
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    grouped AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INTEGER) AS grp
+        FROM active
+    ),
+    streaks AS (
+        SELECT user_id, count(*) AS streak_len, min(d) AS streak_start
+        FROM grouped GROUP BY user_id, grp
+    ),
+    flagged AS (
+        SELECT user_id, streak_len, streak_start,
+               max(streak_len) OVER (PARTITION BY user_id) AS max_len
+        FROM streaks
+    )
+    SELECT user_id,
+           CAST(sum(streak_len) AS BIGINT) AS n_active_days,
+           CAST(max(streak_len) AS BIGINT) AS longest_streak,
+           min(CASE WHEN streak_len = max_len THEN streak_start END)
+               AS streak_start
+    FROM flagged GROUP BY user_id
+    """,
+)
+def streak_longest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-days streak per user (gaps-and-islands):
+    distinct (user, day) → ``day − row_number`` collapses each run to a
+    constant → one groupBy sizes the runs, a window + groupBy picks the
+    longest (earliest-start tiebreak). Everything partitions by user_id —
+    one exchange chain, no global sort. NULL contract: activity needs a
+    user and an instant; NULL user_id/ts rows are excluded on both sides.
+    """
+    events = load(spark, sf_dir, "events")
+    active = (
+        events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    grouped = active.withColumn("grp", F.date_sub(F.col("d"), F.row_number().over(w)))
+    streaks = grouped.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_len"), F.min("d").alias("streak_start")
+    )
+    flagged = streaks.withColumn(
+        "max_len", F.max("streak_len").over(Window.partitionBy("user_id"))
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("streak_len").cast("bigint").alias("n_active_days"),
+        F.max("streak_len").cast("bigint").alias("longest_streak"),
+        F.min(
+            F.when(F.col("streak_len") == F.col("max_len"), F.col("streak_start"))
+        ).alias("streak_start"),
+    )
+
+
+_Z_BITS = 8  # per dimension; 16-bit Morton code, 64 buckets of 1024 codes
+_Z_BUCKET_SHIFT = 10
+
+
+def _zorder_interleave_sql(u: str, d: str) -> str:
+    """The exact SQL twin of ``operators/zorder.zorder_value`` for two
+    dimensions: column 0 (u) lands on even bit positions, column 1 (d) on
+    odd — generated, not hand-written, so the bit layout can't drift."""
+    terms = []
+    for j in range(_Z_BITS):
+        terms.append(f"((({u} >> {j}) & 1) << {2 * j})")
+        terms.append(f"((({d} >> {j}) & 1) << {2 * j + 1})")
+    return " | ".join(terms)
+
+
+def _zorder_norm_sql(col: str, mn: str, mx: str) -> str:
+    """SQL twin of ``operators/zorder._normalize_to_bits``: identical
+    association — (x − mn) * (255.0 / (mx − mn)) — so the doubles match
+    Spark bit-for-bit, then the same floor + clamp."""
+    hi = (1 << _Z_BITS) - 1
+    return f"""CASE WHEN {mx} = {mn} THEN 0
+            ELSE least(greatest(CAST(floor((CAST({col} AS DOUBLE) - {mn})
+                                * (CAST({hi} AS DOUBLE) / ({mx} - {mn})))
+                           AS BIGINT), 0), {hi}) END"""
+
+
+@workload(
+    "zorder_layout_events",
+    oracle=f"""
+    WITH coords AS (
+        SELECT CAST(user_id AS BIGINT) AS u,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS d
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    s AS (
+        SELECT CAST(min(u) AS DOUBLE) AS mnu, CAST(max(u) AS DOUBLE) AS mxu,
+               CAST(min(d) AS DOUBLE) AS mnd, CAST(max(d) AS DOUBLE) AS mxd
+        FROM coords
+    ),
+    nrm AS (
+        SELECT u, d,
+               {_zorder_norm_sql("u", "s.mnu", "s.mxu")} AS un,
+               {_zorder_norm_sql("d", "s.mnd", "s.mxd")} AS dn
+        FROM coords, s
+    ),
+    coded AS (
+        SELECT u, d, ({_zorder_interleave_sql("un", "dn")}) >> {_Z_BUCKET_SHIFT}
+                   AS bucket
+        FROM nrm
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(u) AS min_user, max(u) AS max_user,
+           min(d) AS min_day, max(d) AS max_day,
+           max(u) - min(u) AS user_span,
+           max(d) - min(d) AS day_span
+    FROM coded GROUP BY bucket
+    """,
+)
+def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout audit over events on (user_id, day):
+    normalize both dimensions to 8 bits, interleave, bucket by the top
+    6 Morton bits, and report each bucket's per-dimension min/max spans —
+    the row-group statistics a writer clustered this way would expose for
+    data skipping (see ``operators/zorder.zorder_repartition``, which is
+    the write path; tight spans on BOTH columns = both predicates prune).
+
+    The min/max normalization bounds are two scalar aggregates collected
+    once on the driver (bounds, not data); the oracle recomputes them in a
+    CTE with the identical double association, and the bit interleave SQL
+    is GENERATED from the same layout as ``zorder_value`` so the bucket
+    ids match exactly. NULL coordinates have no place on the curve and are
+    excluded on both sides.
+    """
+    events = load(spark, sf_dir, "events")
+    coords = (
+        events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            F.col("user_id").cast("bigint").alias("u"),
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("d"),
+        )
+    )
+    stats = coords.agg(
+        F.min("u").cast("double").alias("mnu"),
+        F.max("u").cast("double").alias("mxu"),
+        F.min("d").cast("double").alias("mnd"),
+        F.max("d").cast("double").alias("mxd"),
+    ).first()
+    un = _normalize_to_bits(F.col("u"), stats["mnu"], stats["mxu"], _Z_BITS)
+    dn = _normalize_to_bits(F.col("d"), stats["mnd"], stats["mxd"], _Z_BITS)
+    bucket = F.shiftright(zorder_value([un, dn], _Z_BITS), _Z_BUCKET_SHIFT)
+    return (
+        coords.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("u").alias("min_user"),
+            F.max("u").alias("max_user"),
+            F.min("d").alias("min_day"),
+            F.max("d").alias("max_day"),
+            (F.max("u") - F.min("u")).alias("user_span"),
+            (F.max("d") - F.min("d")).alias("day_span"),
+        )
+    )

@@ -1596,3 +1596,108 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         _split_col().alias("split"),
         _split_pct_col().alias("pct"),
     )
+
+
+@workload(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}, {_LSH_CTE},
+    e AS (SELECT id_a AS a, id_b AS b FROM cand),
+    tri AS (
+        SELECT count(*) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    deg AS (
+        SELECT node, count(*) AS deg
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+        GROUP BY node
+    ),
+    nd AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+        FROM deg
+    )
+    SELECT nd.n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           nd.n_wedges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+           CASE WHEN nd.n_wedges > 0
+                THEN round(3.0 * tri.n_triangles / nd.n_wedges, 6)
+           END AS clustering
+    FROM nd, tri
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the near-dup
+    candidate graph (LSH pairs, ``lsh_candidate_pairs``): how clique-like
+    the duplicate neighborhoods are — high clustering means LSH buckets
+    capture coherent dup groups, low means stringy borderline chains.
+
+    Spark side runs the DEGREE-ORIENTED node-iterator: orient each edge
+    from its lower-(degree, id) endpoint to the higher, enumerate wedges
+    from the common source, close them with one more oriented-edge join.
+    Orientation makes wedge fan-out per node min(deg, …) bounded by graph
+    arboricity instead of raw degree — the classic distributed-triangle
+    trick that keeps a power-law hub from exploding the join (the naive
+    a<b<c triple self-join the DuckDB oracle runs is fine at oracle scale
+    and counts the identical set). Output is one row of graph-level
+    scalars; wedges = Σ C(deg,2) over the undirected degrees.
+    """
+    docs = load(spark, sf_dir, "documents")
+    pairs = (
+        lsh_candidate_pairs(docs, "doc_id", "text")
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .persist()
+    )
+    deg = (
+        pairs.select(F.col("a").alias("node"))
+        .unionAll(pairs.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
+    )
+    dega = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    degb = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    ed = pairs.join(dega, "a").join(degb, "b")
+    a_lower = F.struct(F.col("dega"), F.col("a")) < F.struct(
+        F.col("degb"), F.col("b")
+    )
+    okey_b = F.struct(F.col("degb").alias("dk"), F.col("b").alias("nk"))
+    okey_a = F.struct(F.col("dega").alias("dk"), F.col("a").alias("nk"))
+    o = ed.select(
+        F.when(a_lower, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_lower, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_lower, okey_b).otherwise(okey_a).alias("okey_dst"),
+    )
+    o1 = o.select("src", F.col("dst").alias("y"), F.col("okey_dst").alias("ky"))
+    o2 = o.select("src", F.col("dst").alias("z"), F.col("okey_dst").alias("kz"))
+    wedges_df = o1.join(o2, "src").filter(F.col("ky") < F.col("kz"))
+    closing = o.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    tri = wedges_df.join(closing, ["y", "z"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    nd = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(
+            ((F.col("deg") * (F.col("deg") - 1)) / 2).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    n_edges = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        nd.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6),
+            ).alias("clustering"),
+        )
+    )
