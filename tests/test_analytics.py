@@ -1,0 +1,111 @@
+"""Unit/property tests for the analytics batch: the distributed NTILE
+operator against Spark's own ntile(), and the degree-oriented triangle
+count against a naive a<b<c enumeration."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fn_rq_report_etl_dev_spark.operators.ranking import distributed_ntile
+
+
+@pytest.mark.parametrize(
+    ("n", "k"),
+    [(0, 5), (1, 5), (3, 5), (5, 5), (7, 3), (100, 5), (101, 4), (997, 7)],
+)
+def test_distributed_ntile_matches_native(spark, n, k):
+    """distributed_ntile == ntile() OVER (ORDER BY v, id) for a total
+    order, across empty / n<k / n%k==0 / n%k!=0 shapes, with heavy value
+    ties (id breaks them)."""
+    rng = random.Random(42 + n)
+    rows = [(i, rng.randint(0, 9)) for i in range(n)]
+    df = spark.createDataFrame(rows, "id bigint, v int") if rows else (
+        spark.createDataFrame([], "id bigint, v int")
+    )
+    order = [F.col("v").asc(), F.col("id").asc()]
+    got = {
+        r["id"]: r["nt"]
+        for r in distributed_ntile(df, order, k, "nt", num_partitions=5).collect()
+    }
+    want = {
+        r["id"]: r["nt"]
+        for r in df.select(
+            "id", F.ntile(k).over(Window.orderBy(*order)).alias("nt")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_distributed_ntile_desc_and_single_partition(spark):
+    """Descending order and num_partitions=1 both reproduce native ntile."""
+    rows = [(i, i % 13) for i in range(57)]
+    df = spark.createDataFrame(rows, "id bigint, v int")
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = {
+        r["id"]: r["nt"]
+        for r in distributed_ntile(df, order, 4, "nt", num_partitions=1).collect()
+    }
+    want = {
+        r["id"]: r["nt"]
+        for r in df.select(
+            "id", F.ntile(4).over(Window.orderBy(*order)).alias("nt")
+        ).collect()
+    }
+    assert got == want
+
+
+def _naive_triangles(edges: set[tuple[int, int]]) -> int:
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    count = 0
+    for a, b in edges:
+        for c in adj[a]:
+            if c > b and c in adj[b]:
+                count += 1
+    return count
+
+
+def test_oriented_triangle_count_matches_naive(spark):
+    """The degree-oriented wedge-close join counts exactly the naive
+    a<b<c triangle set on a random graph (including hub skew)."""
+    rng = random.Random(7)
+    edges = set()
+    # a hub node (0) plus random sparse edges — exercises the orientation
+    for i in range(1, 30):
+        edges.add((0, i))
+    while len(edges) < 120:
+        a, b = rng.randrange(60), rng.randrange(60)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(sorted(edges), "a bigint, b bigint")
+    deg = (
+        pairs.select(F.col("a").alias("node"))
+        .unionAll(pairs.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    dega = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    degb = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    ed = pairs.join(dega, "a").join(degb, "b")
+    a_lower = F.struct(F.col("dega"), F.col("a")) < F.struct(
+        F.col("degb"), F.col("b")
+    )
+    okey_b = F.struct(F.col("degb").alias("dk"), F.col("b").alias("nk"))
+    okey_a = F.struct(F.col("dega").alias("dk"), F.col("a").alias("nk"))
+    o = ed.select(
+        F.when(a_lower, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_lower, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_lower, okey_b).otherwise(okey_a).alias("okey_dst"),
+    )
+    o1 = o.select("src", F.col("dst").alias("y"), F.col("okey_dst").alias("ky"))
+    o2 = o.select("src", F.col("dst").alias("z"), F.col("okey_dst").alias("kz"))
+    wedges = o1.join(o2, "src").filter(F.col("ky") < F.col("kz"))
+    closing = o.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    got = wedges.join(closing, ["y", "z"]).count()
+    assert got == _naive_triangles(edges)

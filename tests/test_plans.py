@@ -325,3 +325,30 @@ def test_basket_pairs_generate_map_side(spark, sf_dir):
         assert "InMemoryTableScan" in plan
     finally:
         spark.catalog.clearCache()
+
+
+def test_rfm_has_no_single_partition_global_window(spark, sf_dir):
+    """The RFM quintiles use distributed_ntile: range exchanges + windows
+    partitioned by spark_partition_id — NEVER the one-task
+    `Exchange SinglePartition` a bare global ntile() would plan."""
+    plan = formatted_plan(QUERIES["rfm_customer_segments"](spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert plan.count("rangepartitioning") >= 3  # one per score
+
+
+def test_attribution_single_exchange_window(spark, sf_dir):
+    """Last-touch attribution is ONE window over user_id: a single
+    hash exchange, no join in the plan."""
+    df = QUERIES["attribution_last_touch"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert exchange_count(df) == 1
+    assert "Join" not in plan
+
+
+def test_zorder_layout_scan_agg_only(spark, sf_dir):
+    """The Z-order layout audit is scan → project (codegen'd bit ops) →
+    one group-by exchange: no joins, no UDFs."""
+    df = QUERIES["zorder_layout_events"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert exchange_count(df) == 1
+    assert "Join" not in plan and "Python" not in plan
