@@ -40,6 +40,8 @@ HEADLINERS = [
     ("profile_column_stats", "five exact count(DISTINCT)s in ONE Expand aggregate over a single scan (no scan union); swap approx_count_distinct for the Expand at 100 TB"),
     ("basket_brand_pairs", "apriori prune via broadcast semi-join BEFORE pair generation; C(k,2) pairs map-side from sorted basket arrays (persisted item set, no row-level self-join shuffle — measured trade-off in SCALING.md)"),
     ("sample_weighted_reservoir", "PPS sampling (r05): Partial WindowGroupLimit pre-trims each map task to a K-heap per source BEFORE the one exchange — shuffle carries O(K x sources x tasks) at any corpus size; sort key is one IEEE division (bit-identical cross-engine)"),
+    ("rfm_customer_segments", "distributed NTILE (r05): three range exchanges + per-partition row_number windows keyed by spark_partition_id — NO Exchange SinglePartition anywhere (a bare global ntile() plans a one-task sort); offsets are <=32 driver scalars"),
+    ("graph_triangle_count", "degree-oriented triangle join (r05): edges oriented low->high (deg,id) so wedge fan-out per node is arboricity-bounded, hub-safe; wedge enumeration + one closing equi-join on the oriented edge set"),
 ]
 
 spark = get_spark(app_name="gen-plans")

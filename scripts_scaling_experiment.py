@@ -237,6 +237,62 @@ def pps_sample_experiment():
     return out
 
 
+def ntile_experiment():
+    """distributed_ntile vs the bare global-window ntile at 20M rows
+    (SCALING.md §ntile). The global form plans `Exchange SinglePartition`
+    — ONE task sorts all 20M rows; the distributed form range-partitions,
+    ranks per partition, and applies the NTILE closed form with
+    per-partition-count offsets. Equality asserted exactly: identical
+    per-bucket counts AND an id×bucket checksum over all 20M rows."""
+    from pyspark.sql.window import Window
+
+    from fn_rq_report_etl_dev_spark.operators.ranking import distributed_ntile
+
+    N, K = 20_000_000, 100
+    df = (
+        spark.range(N)
+        .select(
+            "id",
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("v"),
+        )
+        .persist()
+    )
+    df.count()
+    order = [F.col("v").asc(), F.col("id").asc()]
+
+    def run(frame):
+        chk = frame.agg(
+            F.sum(F.col("id") * F.col("nt")).alias("chk"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        counts = {
+            r["nt"]: r["c"]
+            for r in frame.groupBy("nt").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        return chk["chk"], chk["n"], counts
+
+    out = {}
+    t0 = time.time()
+    d_chk, d_n, d_counts = run(
+        distributed_ntile(df, order, K, "nt", num_partitions=32)
+    )
+    out["distributed_sec"] = round(time.time() - t0, 2)
+    t1 = time.time()
+    g_chk, g_n, g_counts = run(
+        df.select("id", F.ntile(K).over(Window.orderBy(*order)).alias("nt"))
+    )
+    out["global_window_sec"] = round(time.time() - t1, 2)
+    assert (d_chk, d_n) == (g_chk, g_n), (d_chk, d_n, g_chk, g_n)
+    assert d_counts == g_counts
+    out["n_rows"], out["k"] = N, K
+    print(json.dumps({"ntile": out}))
+
+
+if EXPERIMENT == "ntile":
+    ntile_experiment()
+    sys.exit(0)
 if EXPERIMENT == "skew":
     skew_experiment()
     sys.exit(0)
