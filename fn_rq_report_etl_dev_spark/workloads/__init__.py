@@ -230,6 +230,8 @@ _RECHECK: list[str] = [
     "streak_longest_daily",
     "zorder_layout_events",
     "graph_triangle_count",
+    "timeseries_ohlc_daily",
+    "event_bigram_lift",
 ]
 
 _REPO_ROOT = os.path.dirname(

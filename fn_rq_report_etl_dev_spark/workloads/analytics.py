@@ -602,3 +602,149 @@ def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("d") - F.min("d")).alias("day_span"),
         )
     )
+
+
+@workload(
+    "timeseries_ohlc_daily",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, ts, event_id, value
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_id IS NOT NULL AND value IS NOT NULL
+    )
+    SELECT user_id, d,
+           (min(struct_pack(ts := ts, event_id := event_id, value := value))).value
+               AS open,
+           max(value) AS high,
+           min(value) AS low,
+           (max(struct_pack(ts := ts, event_id := event_id, value := value))).value
+               AS close,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM pts GROUP BY user_id, d
+    """,
+)
+def timeseries_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to daily OHLC bars per user: open/close
+    via lexicographic struct min/max over (ts, event_id, value) — the
+    argmin/argmax-by-time trick that stays a plain aggregate (map-side
+    partials, ONE exchange on (user, day)) instead of a first_value
+    window + distinct. event_id makes the order total at equal
+    timestamps. NULL contract: a bar point needs user, instant and value
+    — NULL in any of them excludes the row on both sides."""
+    events = load(spark, sf_dir, "events")
+    pts = events.filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        "user_id", F.to_date("ts").alias("d"), "ts", "event_id", "value"
+    )
+    point = F.struct("ts", "event_id", "value")
+    return pts.groupBy("user_id", "d").agg(
+        F.min(point).getField("value").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(point).getField("value").alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+    )
+
+
+@workload(
+    "event_bigram_lift",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    pairs AS (
+        SELECT prev_type, event_type FROM seq WHERE prev_type IS NOT NULL
+    ),
+    ab AS (
+        SELECT prev_type, event_type, count(*) AS n_ab
+        FROM pairs GROUP BY prev_type, event_type
+    ),
+    margins AS (
+        SELECT prev_type, sum(n_ab) AS n_prev FROM ab GROUP BY prev_type
+    ),
+    margins2 AS (
+        SELECT event_type, sum(n_ab) AS n_cur FROM ab GROUP BY event_type
+    ),
+    tot AS (SELECT sum(n_ab) AS n_total FROM ab)
+    SELECT ab.prev_type, ab.event_type,
+           CAST(ab.n_ab AS BIGINT) AS n_ab,
+           CAST(m1.n_prev AS BIGINT) AS n_prev,
+           CAST(m2.n_cur AS BIGINT) AS n_cur,
+           CAST(tot.n_total AS BIGINT) AS n_total,
+           round((CAST(ab.n_ab AS DOUBLE) * CAST(tot.n_total AS DOUBLE))
+                 / (CAST(m1.n_prev AS DOUBLE) * CAST(m2.n_cur AS DOUBLE)), 6)
+               AS lift
+    FROM ab
+    JOIN margins m1 ON m1.prev_type = ab.prev_type
+    JOIN margins2 m2 ON m2.event_type = ab.event_type
+    CROSS JOIN tot
+    """,
+)
+def event_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition lift: for every consecutive (prev → next)
+    event-type bigram per user, the observed/expected-under-independence
+    ratio — lift > 1 marks real behavioral sequences (view→click),
+    lift < 1 anti-patterns. The market-basket lift formula on sequence
+    bigrams, with no log (libm seams) — pure integer counts and one
+    double ratio with identical association in both engines.
+
+    Shape: ONE window exchange on user_id builds the bigrams, one
+    groupBy on the (prev, next) pair; the marginals derive FROM the pair
+    counts (≤ |types|² rows) and broadcast back — consistent by
+    construction, no second scan. NULL contract: sequence position needs
+    user/ts/event_id/type; NULL-type rows are removed BEFORE the lag so
+    they don't break adjacency; the lag's leading NULL pairs drop.
+    """
+    events = load(spark, sf_dir, "events")
+    seq = (
+        events.filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.lag("event_type")
+            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    ab = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n_ab")
+    ).persist()
+    m1 = ab.groupBy("prev_type").agg(F.sum("n_ab").alias("n_prev"))
+    m2 = ab.groupBy("event_type").agg(F.sum("n_ab").alias("n_cur"))
+    tot = ab.agg(F.sum("n_ab").alias("n_total"))
+    return (
+        ab.join(F.broadcast(m1), "prev_type")
+        .join(F.broadcast(m2), "event_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "prev_type",
+            "event_type",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.col("n_prev").cast("bigint").alias("n_prev"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            F.col("n_total").cast("bigint").alias("n_total"),
+            F.round(
+                (F.col("n_ab").cast("double") * F.col("n_total").cast("double"))
+                / (F.col("n_prev").cast("double") * F.col("n_cur").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
