@@ -88,3 +88,70 @@ def cluster_survivors(components: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.min("id").alias("survivor_id"),
     )
+
+
+def oriented_triangle_stats(pairs: DataFrame) -> DataFrame:
+    """Graph-level triangle statistics over an undirected edge set
+    ``(a, b)`` with a < b: one row of (n_nodes, n_edges, n_wedges,
+    n_triangles, clustering) where n_wedges = Σ C(deg, 2) over undirected
+    degrees and clustering = 3·triangles / wedges.
+
+    Triangles run the DEGREE-ORIENTED node-iterator: each edge is
+    oriented from its lower-(degree, id) endpoint to the higher, wedges
+    are enumerated from the common *source* and closed with one more
+    oriented-edge equi-join. Under this total order every triangle is
+    counted exactly once at its lowest-order vertex, and per-node wedge
+    fan-out is C(out-degree, 2) — bounded by graph arboricity, so a
+    power-law hub (whose edges all orient INTO it, out-degree ~0)
+    cannot explode the join the way the naive Σ C(deg, 2) enumeration
+    does. ``pairs`` is persisted (it feeds the degree pass and the edge
+    count)."""
+    pairs = pairs.persist()
+    deg = (
+        pairs.select(F.col("a").alias("node"))
+        .unionAll(pairs.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
+    )
+    dega = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    degb = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    ed = pairs.join(dega, "a").join(degb, "b")
+    a_lower = F.struct(F.col("dega"), F.col("a")) < F.struct(
+        F.col("degb"), F.col("b")
+    )
+    okey_b = F.struct(F.col("degb").alias("dk"), F.col("b").alias("nk"))
+    okey_a = F.struct(F.col("dega").alias("dk"), F.col("a").alias("nk"))
+    o = ed.select(
+        F.when(a_lower, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_lower, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_lower, okey_b).otherwise(okey_a).alias("okey_dst"),
+    )
+    o1 = o.select("src", F.col("dst").alias("y"), F.col("okey_dst").alias("ky"))
+    o2 = o.select("src", F.col("dst").alias("z"), F.col("okey_dst").alias("kz"))
+    wedges_df = o1.join(o2, "src").filter(F.col("ky") < F.col("kz"))
+    closing = o.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    tri = wedges_df.join(closing, ["y", "z"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    nd = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(((F.col("deg") * (F.col("deg") - 1)) / 2).cast("bigint"))
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    n_edges = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        nd.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6),
+            ).alias("clustering"),
+        )
+    )

@@ -290,6 +290,111 @@ def ntile_experiment():
     print(json.dumps({"ntile": out}))
 
 
+def _hash_edges(n_edges, n_nodes, salt):
+    return (
+        spark.range(n_edges)
+        .select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(salt), F.col("id").cast("string"))), 1, 8),
+                    16,
+                    10,
+                ).cast("bigint")
+                % (n_nodes - 1)
+                + 1
+            ).alias("x"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(salt + "y"), F.col("id").cast("string"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % (n_nodes - 1)
+                + 1
+            ).alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .distinct()
+    )
+
+
+def tri_experiment():
+    """Degree-oriented triangle counting on a hub-skewed graph
+    (SCALING.md §triangles). Naive wedge enumeration is Σ C(deg,2): a
+    50k-degree hub ALONE contributes C(50k,2) ≈ 1.25e9 wedges — the
+    power-law failure mode. Orientation (low→high by (deg,id)) makes the
+    hub's out-degree ~0, so enumerated wedges collapse to Σ C(outdeg,2).
+    Correctness: asserted exactly vs a DuckDB naive a<b<c triple join on
+    a 50k-edge subgraph (plus the unit test's adjacency enumeration)."""
+    import duckdb
+
+    from fn_rq_report_etl_dev_spark.operators.graph import oriented_triangle_stats
+
+    # -- sub-scale exact equality vs an independent engine
+    small = _hash_edges(50_000, 5_000, "s").persist()
+    srow = oriented_triangle_stats(small).collect()[0]
+    pdf = small.toPandas()
+    con = duckdb.connect()
+    con.register("e", pdf)
+    naive = con.execute(
+        "SELECT count(*) FROM e e1 JOIN e e2 ON e2.a = e1.b "
+        "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"
+    ).fetchone()[0]
+    assert srow["n_triangles"] == naive, (srow["n_triangles"], naive)
+
+    # -- hub scale: 1M random edges + one 50k-degree hub
+    N_NODES, HUB, N_RAND = 200_000, 50_000, 1_000_000
+    hub = spark.range(1, HUB + 1).select(
+        F.lit(0).cast("bigint").alias("a"), F.col("id").alias("b")
+    )
+    edges = hub.unionAll(_hash_edges(N_RAND, N_NODES, "big")).distinct().persist()
+    n_edges = edges.count()
+    t0 = time.time()
+    row = oriented_triangle_stats(edges).collect()[0]
+    secs = round(time.time() - t0, 2)
+    # enumerated wedges under orientation = Σ C(outdeg, 2)
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    dega = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    degb = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    ed = edges.join(dega, "a").join(degb, "b")
+    a_lower = F.struct(F.col("dega"), F.col("a")) < F.struct(
+        F.col("degb"), F.col("b")
+    )
+    out_wedges = (
+        ed.select(F.when(a_lower, F.col("a")).otherwise(F.col("b")).alias("src"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("od"))
+        .agg(F.sum(((F.col("od") * (F.col("od") - 1)) / 2).cast("bigint")))
+        .collect()[0][0]
+    )
+    print(
+        json.dumps(
+            {
+                "triangles": {
+                    "sub_equality_vs_duckdb": int(naive),
+                    "n_nodes": int(row["n_nodes"]),
+                    "n_edges": int(n_edges),
+                    "naive_wedges": int(row["n_wedges"]),
+                    "oriented_wedges": int(out_wedges),
+                    "n_triangles": int(row["n_triangles"]),
+                    "oriented_sec": secs,
+                }
+            }
+        )
+    )
+
+
+if EXPERIMENT == "tri":
+    tri_experiment()
+    sys.exit(0)
 if EXPERIMENT == "ntile":
     ntile_experiment()
     sys.exit(0)

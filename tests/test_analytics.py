@@ -72,8 +72,11 @@ def _naive_triangles(edges: set[tuple[int, int]]) -> int:
 
 
 def test_oriented_triangle_count_matches_naive(spark):
-    """The degree-oriented wedge-close join counts exactly the naive
-    a<b<c triangle set on a random graph (including hub skew)."""
+    """oriented_triangle_stats counts exactly the naive a<b<c triangle
+    set on a random graph (including hub skew), and its wedge count is
+    the closed-form sum of C(deg, 2)."""
+    from fn_rq_report_etl_dev_spark.operators.graph import oriented_triangle_stats
+
     rng = random.Random(7)
     edges = set()
     # a hub node (0) plus random sparse edges — exercises the orientation
@@ -84,28 +87,12 @@ def test_oriented_triangle_count_matches_naive(spark):
         if a != b:
             edges.add((min(a, b), max(a, b)))
     pairs = spark.createDataFrame(sorted(edges), "a bigint, b bigint")
-    deg = (
-        pairs.select(F.col("a").alias("node"))
-        .unionAll(pairs.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    dega = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
-    degb = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
-    ed = pairs.join(dega, "a").join(degb, "b")
-    a_lower = F.struct(F.col("dega"), F.col("a")) < F.struct(
-        F.col("degb"), F.col("b")
-    )
-    okey_b = F.struct(F.col("degb").alias("dk"), F.col("b").alias("nk"))
-    okey_a = F.struct(F.col("dega").alias("dk"), F.col("a").alias("nk"))
-    o = ed.select(
-        F.when(a_lower, F.col("a")).otherwise(F.col("b")).alias("src"),
-        F.when(a_lower, F.col("b")).otherwise(F.col("a")).alias("dst"),
-        F.when(a_lower, okey_b).otherwise(okey_a).alias("okey_dst"),
-    )
-    o1 = o.select("src", F.col("dst").alias("y"), F.col("okey_dst").alias("ky"))
-    o2 = o.select("src", F.col("dst").alias("z"), F.col("okey_dst").alias("kz"))
-    wedges = o1.join(o2, "src").filter(F.col("ky") < F.col("kz"))
-    closing = o.select(F.col("src").alias("y"), F.col("dst").alias("z"))
-    got = wedges.join(closing, ["y", "z"]).count()
-    assert got == _naive_triangles(edges)
+    row = oriented_triangle_stats(pairs).collect()[0]
+    assert row["n_triangles"] == _naive_triangles(edges)
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    assert row["n_wedges"] == sum(d * (d - 1) // 2 for d in deg.values())
+    assert row["n_edges"] == len(edges)
+    assert row["n_nodes"] == len(deg)
