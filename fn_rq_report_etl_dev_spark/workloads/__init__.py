@@ -232,6 +232,7 @@ _RECHECK: list[str] = [
     "graph_triangle_count",
     "timeseries_ohlc_daily",
     "event_bigram_lift",
+    "multimodal_audio_decode",
 ]
 
 _REPO_ROOT = os.path.dirname(

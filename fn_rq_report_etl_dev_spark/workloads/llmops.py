@@ -1652,3 +1652,105 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     )
     return oriented_triangle_stats(pairs)
+
+
+@workload(
+    "multimodal_audio_decode",
+    oracle="""
+    WITH calc AS (
+        SELECT doc_id, n_chars + 8 AS n, (n_chars + 8) // 3 AS k,
+               (doc_id * 131) % 128 AS m1,
+               (doc_id * 57) % 128 AS m2
+        FROM documents WHERE n_chars IS NOT NULL
+    )
+    SELECT doc_id AS asset_id,
+           CAST((127 - m2) // 32 AS BIGINT) AS peak_bucket,
+           CAST(CAST(CAST(n - k AS DOUBLE) / n AS REAL) AS DOUBLE) AS peak_share,
+           CASE WHEN k > 0 THEN CAST(4 + m1 // 32 AS BIGINT) END AS minor_bucket,
+           CASE WHEN k > 0
+                THEN CAST(CAST(CAST(k AS DOUBLE) / n AS REAL) AS DOUBLE)
+           END AS minor_share,
+           CAST(CASE WHEN k > 0 THEN 2 ELSE 1 END AS BIGINT) AS n_nonzero
+    FROM calc
+    """,
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode end-to-end, ORACLE-CHECKED: synthesize a real PCM WAV
+    payload per document (16-bit, mono or stereo by doc parity, a
+    two-level square wave: the first n//3 samples at a positive
+    doc-derived amplitude, the rest at a negative one), run the stdlib
+    ``wave_audio_decoder`` through ``decode_features`` (mapInPandas,
+    Arrow batches), and report the amplitude-histogram peaks.
+
+    Every quantity is closed-form for SQL: the two amplitudes are exact
+    dyadic rationals (int16/32768), so their FEATURE_DIM-bucket indexes
+    are integer arithmetic, and each bucket's share is ONE IEEE division
+    (count/n) — replayed through a REAL cast because FEATURES_SCHEMA
+    carries float32. A genuine encode→decode→featurize round-trip
+    (8/16/24/32-bit and multichannel branches of the decoder are
+    pytest-pinned in test_llmops; this registry row proves the 16-bit
+    mono AND stereo paths against an independent engine). NULL n_chars
+    rows are excluded (no payload length to synthesize).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import decode_features, wave_audio_decoder
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull())
+        .select("doc_id", "n_chars")
+    )
+
+    def synth(batches):
+        import io
+        import wave
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n = int(doc_id), int(n_chars) + 8
+                k = n // 3
+                s1 = ((doc_id * 131) % 128) * 256
+                s2 = -(((doc_id * 57) % 128) + 1) * 256
+                mono = np.full(n, s2, dtype="<i2")
+                mono[:k] = s1
+                ch = 1 + (doc_id % 2)
+                frames = np.repeat(mono, ch)  # identical channels
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(ch)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(frames.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "mime": ["audio/wav"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    assets = docs.mapInPandas(synth, "asset_id long, mime string, payload binary")
+    feats = decode_features(assets, decode_fn=wave_audio_decoder())
+    peak_share_f = F.expr("array_max(features)")
+    minor_share_f = F.expr("array_min(filter(features, x -> x > float(0)))")
+    n_nonzero = F.expr("size(filter(features, x -> x > float(0)))").cast("bigint")
+    return feats.select(
+        "asset_id",
+        (F.expr("array_position(features, array_max(features))") - 1)
+        .cast("bigint")
+        .alias("peak_bucket"),
+        peak_share_f.cast("double").alias("peak_share"),
+        F.when(
+            n_nonzero > 1,
+            F.expr(
+                "array_position(features, array_min(filter(features, x -> x > float(0))))"
+            ).cast("bigint")
+            - 1,
+        ).alias("minor_bucket"),
+        F.when(n_nonzero > 1, minor_share_f.cast("double")).alias("minor_share"),
+        n_nonzero.alias("n_nonzero"),
+    )
