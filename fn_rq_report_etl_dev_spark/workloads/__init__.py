@@ -233,6 +233,7 @@ _RECHECK: list[str] = [
     "timeseries_ohlc_daily",
     "event_bigram_lift",
     "multimodal_audio_decode",
+    "incremental_join_view",
 ]
 
 _REPO_ROOT = os.path.dirname(

@@ -447,3 +447,68 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_urgent"),
         )
     )
+
+
+# Join-IVM batch boundary on the ship date (mid-range for the TPC-H-ish
+# generator's 1995-2001 span).
+_JOIN_IVM_CUTOFF = "1998-01-01"
+
+
+@workload(
+    "incremental_join_view",
+    oracle=f"""
+    SELECT l.l_orderkey, l.l_linenumber,
+           CAST(CASE WHEN abs(l.l_extendedprice) < 1e12
+                     THEN CAST(floor(l.l_extendedprice * 100) AS BIGINT) END
+                AS BIGINT) AS price_cents,
+           o.o_custkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           CASE WHEN l.l_shipdate < TIMESTAMP '{_JOIN_IVM_CUTOFF} 00:00:00'
+                THEN 'history' ELSE 'delta' END AS batch
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a materialized JOIN view (the join
+    sibling of ``incremental_agg_merge``): for an insert-only fact delta,
+    Δ(L ⋈ O) = ΔL ⋈ O — the maintained view is the stored history result
+    UNION ALL the delta join, and the oracle proves it equals a full
+    recompute. Only the delta leg runs per batch at scale (the history
+    union is stored data; with both sides bucketed by the join key the
+    delta join is also co-located — see operators/merge_partitioned.py).
+
+    3VL seam pinned here: the delta predicate must be the NEGATION of the
+    history predicate, not its mirror — ``l_shipdate >= cutoff`` silently
+    DROPS NULL-shipdate rows that a full recompute keeps, so the delta
+    filter is ``>= cutoff OR IS NULL`` (and the oracle's CASE puts NULL
+    in 'delta' via ELSE). Money flows as guarded floor-cents BIGINT.
+    """
+    cutoff = F.lit(f"{_JOIN_IVM_CUTOFF} 00:00:00").cast("timestamp")
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+
+    def leg(li: DataFrame, tag: str) -> DataFrame:
+        return (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .select(
+                "l_orderkey",
+                "l_linenumber",
+                F.when(
+                    F.abs(F.col("l_extendedprice")) < 1e12,
+                    F.floor(F.col("l_extendedprice") * 100).cast("bigint"),
+                )
+                .cast("bigint")
+                .alias("price_cents"),
+                "o_custkey",
+                F.to_date("o_orderdate").alias("o_orderdate"),
+                F.lit(tag).alias("batch"),
+            )
+        )
+
+    history = leg(lineitem.filter(F.col("l_shipdate") < cutoff), "history")
+    delta = leg(
+        lineitem.filter(
+            (F.col("l_shipdate") >= cutoff) | F.col("l_shipdate").isNull()
+        ),
+        "delta",
+    )
+    return history.unionAll(delta)
