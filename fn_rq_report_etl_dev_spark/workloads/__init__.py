@@ -148,29 +148,49 @@ from . import analytics  # noqa: E402,F401
 # (The round-4 entries all got green r04 verdicts and settle out of this
 # list automatically via _driver_green_queries.)
 _RECHECK: list[str] = [
-    # round 5 (VERDICT r04 #1): ann_ivf_topk switched from the Lloyd
-    # index to the SQL-replayable seeded-codebook quantizer and gained a
-    # full value-hash oracle — a semantic change, not just a plan change.
+    # PRIORITY ORDER matters: the driver reports only the FIRST 50
+    # registry entries, and this list now exceeds 50 — so it is ordered
+    # by how much a missing driver verdict would cost, and the tail
+    # (which may fall outside the window this round) is exactly the
+    # entries with the strongest INDEPENDENT re-verification (sf0.01 +
+    # sf0.1 driver-sim under varied parallelism, pytest oracle-parity
+    # every run, and the seven adversarial sweeps).
+    #
+    # -- 1. Semantic changes to previously-verified queries (VERDICT r04
+    #       ask #1 and the behavior-changing ADVICE fixes): a driver
+    #       verdict on the NEW semantics is the round's headline.
+    # ann_ivf_topk switched from the Lloyd index to the SQL-replayable
+    # seeded-codebook quantizer and gained a full value-hash oracle.
     "ann_ivf_topk",
-    # round-5 pandas-UDF migration to type-hint registration
-    # (SPARK-28264): equivalent UDF bodies, but the registration path
-    # changed for every consumer — byte-identical rule invalidates the
-    # standing verdicts.
     "ann_ivf_recall",
     "ann_quantized_rerank_topk",
-    # round-5 ADVICE fixes: all-NULL-group guard in the UDAF (behavior
-    # change on dirty corpora), mkdtemp-rooted generation dirs in the
-    # schema-evolution workload (I/O path change).
+    # all-NULL-group guard in the UDAF; mkdtemp-rooted schema-evo dirs.
     "udaf_weighted_avg_quantity",
     "schema_evolution_union",
-    # round-5 perf rewrite: sketch-over-distinct plan (results identical,
-    # plan changed since the standing rows-only verdict).
+    # sketch-over-distinct plan rewrite (rows-only row; plan changed).
     "approx_distinct_parts",
-    # round-5 Unicode-audit fix: the engine-wide ASCII-fold tokenization
-    # policy (functions/text.py ASCII_UPPER note) changed the token
-    # canonicalization — and therefore the results — of every text-
-    # tokenizing workload and its oracle. Exactly the queries whose
-    # oracle now carries the translate() fold / encode() byte length.
+    #
+    # -- 2. Round-5 additions, never in ANY driver report: without a row
+    #       they look unverified regardless of local evidence.
+    "sample_weighted_reservoir",
+    "dedup_survivors_quality",
+    # customer/event analytics batch + near-dup graph triangles
+    "attribution_last_touch",
+    "quality_fk_orphans",
+    "rfm_customer_segments",
+    "anomaly_mad_robust_z",
+    "streak_longest_daily",
+    "zorder_layout_events",
+    "graph_triangle_count",
+    "timeseries_ohlc_daily",
+    "event_bigram_lift",
+    "multimodal_audio_decode",
+    "incremental_join_view",
+    #
+    # -- 3. Changed since their last green verdict (round-5 engine-wide
+    #       ASCII-fold tokenization changed every text-tokenizing
+    #       workload + oracle; pandas-UDF re-registration; float-audit
+    #       hardening). Ordered with the most behavior-affected first.
     "text_lang_id",
     "text_quality_score",
     "text_token_count",
@@ -196,14 +216,15 @@ _RECHECK: list[str] = [
     "dedup_apply_survivors",
     "dedup_cluster_components",
     "split_leakage_check",
-    # round-5 float-audit fixes: the indexable-vector contract extended
-    # to non-finite drops (ANN family), bounded-money cents/2dp guards,
-    # finite Tukey fences, pandas NaN-first ranking, -0.0 group-key
-    # normalization, and finite-guarded acctbal decimal casts.
     "ann_bruteforce_topk",
     "ann_signlsh_topk",
     "ann_rademacher_topk",
     "dedup_embedding_cosine",
+    "datetime_functions_showcase",
+    #
+    # -- tail: float-audit-hardened relational entries; every one is
+    #    pytest-property-pinned and re-hash-matched this round at two
+    #    scales, so a missed driver slot costs the least here.
     "o17_lenient_cast",
     "incremental_agg_merge",
     "window_range_frame",
@@ -213,27 +234,6 @@ _RECHECK: list[str] = [
     "q22_dormant_customers",
     "correlated_subquery_rich_customers",
     "lateral_nation_customer_stats",
-    # round-5 date-audit fix: sentinel-guarded interval addition and the
-    # NTZ month-start (year-1 LTZ collect crash).
-    "datetime_functions_showcase",
-    # round-5 addition: sequential Poisson (PPS) weighted sampling.
-    "sample_weighted_reservoir",
-    # round-5 addition: quality-ranked survivor selection.
-    "dedup_survivors_quality",
-    # round-5 additions: customer/event analytics batch (attribution,
-    # FK-integrity audit, distributed-NTILE RFM, MAD anomaly detection,
-    # streaks, Z-order layout audit) + near-dup graph triangles.
-    "attribution_last_touch",
-    "quality_fk_orphans",
-    "rfm_customer_segments",
-    "anomaly_mad_robust_z",
-    "streak_longest_daily",
-    "zorder_layout_events",
-    "graph_triangle_count",
-    "timeseries_ohlc_daily",
-    "event_bigram_lift",
-    "multimodal_audio_decode",
-    "incremental_join_view",
 ]
 
 _REPO_ROOT = os.path.dirname(
