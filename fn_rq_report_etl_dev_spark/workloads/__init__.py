@@ -186,6 +186,7 @@ _RECHECK: list[str] = [
     "event_bigram_lift",
     "multimodal_audio_decode",
     "incremental_join_view",
+    "session_paths_topk",
     #
     # -- 3. Changed since their last green verdict (round-5 engine-wide
     #       ASCII-fold tokenization changed every text-tokenizing

@@ -748,3 +748,93 @@ def event_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@workload(
+    "session_paths_topk",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_id IS NOT NULL AND event_type IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM seq
+    ),
+    ranked AS (
+        SELECT user_id, sid, event_type,
+               row_number() OVER (PARTITION BY user_id, sid
+                                  ORDER BY ts, event_id) AS rn
+        FROM sess
+    ),
+    paths AS (
+        SELECT user_id, sid, string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ranked WHERE rn <= 5 GROUP BY user_id, sid
+    )
+    SELECT path,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    """,
+)
+def session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path analysis: 30-minute-gap sessions (the ``sessionize_
+    events`` definition), each summarized by its first five event types
+    joined ``a>b>c``, then path frequencies and user reach — the funnel-
+    discovery query behind "what do users actually do".
+
+    The ordered path concat is engine-portable: Spark has no ordered
+    string_agg, so the path is ``array_join(transform(array_sort(
+    collect_list(struct(rn, event_type)))))`` — collect_list is
+    order-nondeterministic, but sorting the (rn, type) structs AFTER
+    collection restores the unique rn order, making the result exact.
+    Everything partitions by user (two stacked windows share one
+    exchange), then one groupBy on the bounded path domain.
+    NULL contract: as ``sessionize_events`` plus NULL event_type/event_id
+    rows excluded (a path element must exist and order must be total).
+    """
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = events.filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    prev_ts = F.lag("ts").over(w)
+    new_s = F.when(
+        prev_ts.isNull()
+        | ((F.col("ts") - prev_ts) > F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    sess = base.withColumn("new_s", new_s).withColumn(
+        "sid",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ranked = sess.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+        ),
+    ).filter(F.col("rn") <= 5)
+    paths = ranked.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
