@@ -155,3 +155,72 @@ def oriented_triangle_stats(pairs: DataFrame) -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+def pagerank_integer(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 5,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration damped PageRank in SCALED-INTEGER arithmetic.
+
+    ``nodes`` is one column ``node``; ``edges`` is distinct directed
+    ``(src, dst)``. Returns ``(node, r)`` where ``r`` is the rank after
+    ``iterations`` rounds, represented as a bigint on a ``scale`` grid.
+
+    Why integers: the textbook formulation sums doubles across incoming
+    edges, and float addition is order-dependent — the same graph would
+    hash differently across partition counts (and engines). Every
+    quantity here is a nonnegative bigint and every division an integral
+    ``div``, so the result is EXACTLY reproducible: any engine replaying
+    the same recurrence (e.g. an unrolled SQL CTE chain in DuckDB) gets
+    bit-identical ranks. The recurrence per round:
+
+        contrib(u) = r(u) div outdeg(u)                    (u with edges)
+        r'(v) = ((100-d)*(scale div N) + d*sum_in(v)) div 100
+
+    Dangling/isolated nodes keep the teleport term only (their mass is
+    dropped, not redistributed — documented contract, same both engines).
+
+    Scale shape: ranks and degrees are node-sized (|parts| << |edges|),
+    so the per-round edge join BROADCASTS the contribution table and the
+    only shuffle per round is the map-side-combined sum over ``dst``; the
+    big edge relation is never re-partitioned. A fixed iteration count
+    keeps the composed plan depth bounded (no convergence collect).
+    """
+    teleport_pct = 100 - damping_pct
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n_df = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    base = f"CAST({scale} AS BIGINT) div n_nodes"
+    ranks = (
+        nodes.crossJoin(F.broadcast(n_df)).select("node", F.expr(base).alias("r"))
+    )
+    # deg/insum re-derive from `edges`, so every join key is RENAMED before
+    # joining back (csrc/vdst) — avoids Spark's ambiguous self-join lineage.
+    degc = deg.select(F.col("src").alias("cnode"), "outdeg")
+    for _ in range(iterations):
+        contrib = ranks.join(
+            degc, ranks["node"] == degc["cnode"]
+        ).select(F.col("cnode").alias("csrc"), F.expr("r div outdeg").alias("c"))
+        insum = (
+            edges.join(F.broadcast(contrib), F.col("src") == F.col("csrc"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(F.col("dst").alias("vdst"), "s")
+        )
+        ranks = (
+            nodes.join(
+                F.broadcast(insum), nodes["node"] == insum["vdst"], "left"
+            )
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "node",
+                F.expr(
+                    f"({teleport_pct} * ({base}) + {damping_pct} * "
+                    "coalesce(s, CAST(0 AS BIGINT))) div 100"
+                ).alias("r"),
+            )
+        )
+    return ranks

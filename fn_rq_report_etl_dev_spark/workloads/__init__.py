@@ -187,6 +187,7 @@ _RECHECK: list[str] = [
     "multimodal_audio_decode",
     "incremental_join_view",
     "session_paths_topk",
+    "graph_pagerank_parts",
     #
     # -- 3. Changed since their last green verdict (round-5 engine-wide
     #       ASCII-fold tokenization changed every text-tokenizing

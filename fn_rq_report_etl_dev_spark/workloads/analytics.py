@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.graph import pagerank_integer
 from ..operators.ranking import distributed_ntile
 from ..operators.zorder import _normalize_to_bits, zorder_value
 from . import load, workload
@@ -837,4 +838,119 @@ def session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paths.groupBy("path").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
         F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+def _pagerank_oracle(iterations: int = 5, scale: int = 10**12) -> str:
+    """Unroll the integer-PageRank recurrence of
+    ``operators.graph.pagerank_integer`` into a DuckDB CTE chain — the
+    sketch-replay trick (`text_heavy_hitters_cms`, `ann_ivf_topk`) applied
+    to an iterative algorithm: because every step is integral, the SQL
+    replay is bit-identical, not approximately equal."""
+    base = f"({scale} // (SELECT n_nodes FROM n))"
+    ctes = [
+        """items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    )""",
+        """edges AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    )""",
+        "nodes AS (SELECT DISTINCT l_partkey AS node FROM items)",
+        "n AS (SELECT count(*) AS n_nodes FROM nodes)",
+        "deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({base} AS BIGINT) AS r FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"""i{k} AS (
+        SELECT e.dst AS node, sum(r.r // d.outdeg) AS s
+        FROM edges e
+        JOIN r{k - 1} r ON r.node = e.src
+        JOIN deg d ON d.node = e.src
+        GROUP BY e.dst
+    )"""
+        )
+        ctes.append(
+            f"""r{k} AS (
+        SELECT nd.node,
+               CAST((15 * {base} + 85 * coalesce(i.s, 0)) // 100 AS BIGINT) AS r
+        FROM nodes nd LEFT JOIN i{k} i ON i.node = nd.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT nd.node AS partkey,
+           CAST(coalesce(d.outdeg, 0) AS BIGINT) AS degree,
+           r.r AS rank5
+    FROM nodes nd
+    LEFT JOIN deg d ON d.node = nd.node
+    JOIN r{iterations} r ON r.node = nd.node
+    """
+    )
+
+
+@workload("graph_pagerank_parts", oracle=_pagerank_oracle())
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (edge = two parts appear
+    in the same order), 5 damped iterations — "which products sit at the
+    center of the catalog". The engine's second iterative-algorithm class
+    after min-label components, and the first with a VALUE-HASHED oracle:
+    the whole recurrence runs in scaled-integer arithmetic
+    (`operators.graph.pagerank_integer`), so the DuckDB replay of the
+    same 5 unrolled rounds is bit-identical — no float-order seam.
+
+    Scale shape: co-purchase pairs are generated MAP-SIDE per order from
+    a sorted distinct-part array (C(k,2) HOF expansion, k = basket size —
+    never a row-level self-join; the measured-cheaper shape from
+    SCALING.md's pair-generation experiment), deduped once; per PageRank
+    round the node-sized contribution table broadcasts and the single
+    shuffle is the map-side-combined sum over ``dst``. Edges/nodes are
+    persisted across the 5 rounds. NULL contract: NULL order/part keys
+    are filtered before pairing (Spark's groupBy would pool NULL keys
+    into one giant pseudo-basket; SQL equi-joins drop them). Isolated
+    parts (never co-purchased) stay at the teleport rank with degree 0.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    items = (
+        li.filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    baskets = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    half = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .distinct()
+    )
+    edges = (
+        half.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(half.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .persist()
+    )
+    nodes = items.select(F.col("l_partkey").alias("node")).distinct().persist()
+    ranks = pagerank_integer(nodes, edges, iterations=5)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    return (
+        ranks.join(F.broadcast(deg), ranks["node"] == deg["src"], "left")
+        .select(
+            F.col("node").alias("partkey"),
+            F.coalesce(F.col("outdeg"), F.lit(0)).cast("bigint").alias("degree"),
+            F.col("r").alias("rank5"),
+        )
     )

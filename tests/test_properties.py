@@ -541,3 +541,50 @@ def test_weighted_reservoir_matches_python_replay(spark, texts, n_sources):
         ):
             exp.append((doc_id, source, weight, rank))
     assert got == sorted(exp)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=0,
+        max_size=40,
+    ),
+    iters=st.integers(1, 4),
+)
+def test_pagerank_integer_matches_python_replay(spark, pairs, iters):
+    """pagerank_integer is a pure integer recurrence — an independent
+    pure-Python replay over arbitrary digraphs (self-loops removed,
+    duplicate edges deduped, isolated nodes kept) must produce the
+    IDENTICAL bigint ranks: the whole point of the scaled-integer
+    formulation is that no float-order seam exists to hide in."""
+    from fn_rq_report_etl_dev_spark.operators.graph import pagerank_integer
+
+    edge_set = sorted({(a, b) for a, b in pairs if a != b})
+    node_set = sorted(
+        {a for a, _ in pairs} | {b for _, b in pairs} | {0}
+    )
+    nodes = spark.createDataFrame([(n,) for n in node_set], "node bigint")
+    edges = spark.createDataFrame(
+        edge_set or [(0, 0)], "src bigint, dst bigint"
+    )
+    if not edge_set:
+        edges = edges.filter(F.lit(False))
+    got = {
+        r["node"]: r["r"]
+        for r in pagerank_integer(nodes, edges, iterations=iters).collect()
+    }
+
+    scale = 10**12
+    n = len(node_set)
+    base = scale // n
+    outdeg: dict[int, int] = {}
+    for a, _ in edge_set:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    ranks = {v: base for v in node_set}
+    for _ in range(iters):
+        insum = {v: 0 for v in node_set}
+        for a, b in edge_set:
+            insum[b] += ranks[a] // outdeg[a]
+        ranks = {v: (15 * base + 85 * insum[v]) // 100 for v in node_set}
+    assert got == ranks
