@@ -56,6 +56,10 @@ EAGER_SCHEMAS: dict[str, str] = {
     ),
     "streaming_dedup_watermark_boundary": "doc_key string, ts timestamp, payload string",
     "streaming_interval_join": "user_id bigint, view_ts timestamp, click_ts timestamp",
+    "streaming_static_enrich": (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "c_mktsegment string, c_name string"
+    ),
     "streaming_stateful_sessions": (
         "user_id bigint, session_start timestamp, session_end timestamp, "
         "n_events bigint"
@@ -188,6 +192,7 @@ _RECHECK: list[str] = [
     "incremental_join_view",
     "session_paths_topk",
     "graph_pagerank_parts",
+    "streaming_static_enrich",
     #
     # -- 3. Changed since their last green verdict (round-5 engine-wide
     #       ASCII-fold tokenization changed every text-tokenizing

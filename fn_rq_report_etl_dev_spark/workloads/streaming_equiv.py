@@ -519,3 +519,95 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_stream_sessions(spark, landing, checkpoint, out_path, events.schema)
 
     return spark.read.parquet(out_path)
+
+
+_STATIC_ENRICH_ORACLE = """
+    SELECT event_id, ts, user_id, event_type, c_mktsegment, c_name
+    FROM events LEFT JOIN customer ON user_id = c_custkey
+    """
+
+
+@workload(
+    "streaming_static_enrich",
+    oracle=_STATIC_ENRICH_ORACLE,
+    checkpointed_drain=True,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC dimension enrichment — the one classic streaming
+    join shape the registry lacked: an event stream broadcast-joined to a
+    batch customer dimension, drained in two checkpointed AvailableNow
+    micro-batches split at CUTOFF, then hash-checked against the one-shot
+    batch LEFT JOIN over the same rows.
+
+    Semantics under stream-static rules: the static side is re-read per
+    micro-batch, needs NO watermark and holds NO state — only the stream
+    side progresses through the checkpoint. The second drain resumes from
+    the persisted offset log and processes only file 2; a restart bug
+    (reprocessing file 1) would double those rows and fail the count
+    check. LEFT join keeps NULL-user events with NULL enrichment — same
+    3VL as the SQL oracle's LEFT JOIN.
+
+    Scale shape: this is THE 100 TB enrichment pattern — the dimension
+    broadcasts to every executor once per micro-batch (no shuffle on the
+    unbounded side, no state store at all), so throughput is the parquet
+    scan rate. Contrast `streaming_interval_join`, which pays watermarked
+    state on both sides.
+    """
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    dim = (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_name")
+    )
+    root = tempfile.mkdtemp(prefix="rq_stream_enrich_")
+    landing = os.path.join(root, "landing")
+    checkpoint = os.path.join(root, "checkpoint")
+    out = os.path.join(root, "out")
+
+    def drain() -> None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        try:
+            stream = spark.readStream.schema(events.schema).parquet(landing)
+            enriched = stream.join(
+                F.broadcast(dim),
+                stream["user_id"] == dim["c_custkey"],
+                "left",
+            ).select(
+                "event_id", "ts", "user_id", "event_type",
+                "c_mktsegment", "c_name",
+            )
+            q = (
+                enriched.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            if q.exception() is not None:
+                raise q.exception()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    events.filter(
+        F.col("ts").isNull() | (F.col("ts") < F.lit(CUTOFF))
+    ).write.mode("append").parquet(landing)
+    drain()
+    events.filter(F.col("ts") >= F.lit(CUTOFF)).write.mode("append").parquet(
+        landing
+    )
+    drain()
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("c_mktsegment", T.StringType(), True),
+        T.StructField("c_name", T.StringType(), True),
+    ])
+    return spark.read.schema(out_schema).parquet(out)
