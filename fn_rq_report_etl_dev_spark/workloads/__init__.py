@@ -193,6 +193,7 @@ _RECHECK: list[str] = [
     "session_paths_topk",
     "graph_pagerank_parts",
     "streaming_static_enrich",
+    "text_inverted_index",
     #
     # -- 3. Changed since their last green verdict (round-5 engine-wide
     #       ASCII-fold tokenization changed every text-tokenizing

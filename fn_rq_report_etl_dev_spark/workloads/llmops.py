@@ -1754,3 +1754,73 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n_nonzero > 1, minor_share_f.cast("double")).alias("minor_share"),
         n_nonzero.alias("n_nonzero"),
     )
+
+
+@workload(
+    "text_inverted_index",
+    oracle=r"""
+    WITH raw AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(translate(text,
+                   'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                   'abcdefghijklmnopqrstuvwxyz')), '\s+')) AS word
+        FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    w AS (SELECT DISTINCT doc_id, word FROM raw)
+    SELECT word,
+           CAST(count(*) AS BIGINT) AS df,
+           array_to_string(
+               list_slice(list(doc_id ORDER BY doc_id), 1, 16), ','
+           ) AS postings
+    FROM w GROUP BY word
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (search-side of the corpus tooling): token →
+    document frequency + the first 16 postings (ascending doc_id), the
+    structure a retrieval layer materializes from a corpus. Uses the
+    engine-wide ASCII-fold whitespace tokenizer (`functions.text.words`,
+    the canonicalization pinned by the Unicode audit).
+
+    Scale shape: one explode → (word, doc_id) DISTINCT, persisted, then
+    TWO word-keyed aggregates: the exact df count, and the posting sample
+    via a rank-≤16 window that Spark ≥3.5's InferWindowGroupLimit trims
+    MAP-SIDE (the measured skew defense from SCALING.md) — so a stopword
+    term never materializes its full posting set on one reducer; the
+    real-engine analogue is posting-segment files. collect_list then runs
+    on ≤16 rows per word, sorted for determinism. NULL doc_id/text rows
+    are excluded on both engines.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    d = (
+        docs.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select(
+            "doc_id", F.explode(TXT.words(F.col("text"))).alias("word")
+        )
+        .distinct()
+        .persist()
+    )
+    dfreq = d.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    top16 = (
+        d.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("word").orderBy("doc_id")),
+        )
+        .filter(F.col("rn") <= 16)
+        .groupBy("word")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+    return dfreq.join(top16, "word").select("word", "df", "postings")
