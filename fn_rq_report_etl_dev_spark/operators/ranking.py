@@ -90,3 +90,45 @@ def distributed_ntile(
         r + _idiv(grn - threshold - 1, q_safe) + 1
     )
     return ranged.withColumn(out_col, bucket.cast("int")).drop("__pid", "__local_rn")
+
+
+def pareto_frontier_2d(
+    points: DataFrame, x: str, y: str, buckets: int = 32
+) -> DataFrame:
+    """2-D skyline: the DISTINCT ``(x, y)`` points not strictly dominated
+    by any other (``x' >= x AND y' >= y`` with at least one strict).
+
+    The quadratic dominance definition collapses to one sorted sweep:
+    ordering points by ``(x DESC, y DESC)``, a point is dominated iff the
+    running max of ``y`` over STRICTLY preceding points reaches ``y`` —
+    every preceding point has larger x, or equal x with larger y, so the
+    covering max witness is always a true dominator (and equal (x,y)
+    pairs are collapsed by the distinct beforehand).
+
+    Scale shape: the sweep needs a global order, which would be a
+    one-task window — so a LOCAL frontier prunes first, partitioned by a
+    hash bucket of x: dominance within ANY subset implies global
+    dominance, so pruning is sound, and local survivors are at most
+    (frontier ∪ per-bucket frontier overlap), typically orders of
+    magnitude smaller than n. Only the survivors hit the global window.
+    Same two-phase shape as ``distributed_ntile``'s per-partition
+    pre-pass. Callers must ensure x/y are non-NULL (NULL orders by
+    engine-specific rules).
+    """
+    pts = points.select(x, y).distinct()
+    prev_max = lambda w: F.max(y).over(  # noqa: E731
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wb = Window.partitionBy("__b").orderBy(F.col(x).desc(), F.col(y).desc())
+    local = (
+        pts.withColumn("__b", F.pmod(F.hash(F.col(x)), F.lit(buckets)))
+        .withColumn("__pm", prev_max(wb))
+        .filter(F.col("__pm").isNull() | (F.col("__pm") < F.col(y)))
+        .drop("__b", "__pm")
+    )
+    wg = Window.orderBy(F.col(x).desc(), F.col(y).desc())
+    return (
+        local.withColumn("__pm", prev_max(wg))
+        .filter(F.col("__pm").isNull() | (F.col("__pm") < F.col(y)))
+        .drop("__pm")
+    )

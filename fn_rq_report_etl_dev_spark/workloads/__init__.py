@@ -194,6 +194,7 @@ _RECHECK: list[str] = [
     "graph_pagerank_parts",
     "streaming_static_enrich",
     "text_inverted_index",
+    "skyline_customer_value",
     #
     # -- 3. Changed since their last green verdict (round-5 engine-wide
     #       ASCII-fold tokenization changed every text-tokenizing

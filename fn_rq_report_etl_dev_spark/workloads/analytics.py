@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.graph import pagerank_integer
-from ..operators.ranking import distributed_ntile
+from ..operators.ranking import distributed_ntile, pareto_frontier_2d
 from ..operators.zorder import _normalize_to_bits, zorder_value
 from . import load, workload
 
@@ -954,3 +954,54 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r").alias("rank5"),
         )
     )
+
+
+@workload(
+    "skyline_customer_value",
+    oracle="""
+    WITH agg AS (
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+        FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
+    )
+    SELECT a.o_custkey, a.n_orders, a.total_spend
+    FROM agg a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM agg b
+        WHERE b.total_spend >= a.total_spend
+          AND b.n_orders >= a.n_orders
+          AND (b.total_spend > a.total_spend OR b.n_orders > a.n_orders)
+    )
+    """,
+)
+def skyline_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query: customers not strictly dominated
+    on (total spend, order count) — "who is inarguably a top customer".
+    A new operator class (multi-objective preference query, the classic
+    SKYLINE OF from the literature).
+
+    The Spark plan is `operators.ranking.pareto_frontier_2d`: bucketed
+    LOCAL frontier pruning, then ONE global sorted sweep over the tiny
+    survivor set — O(n log n) with no single-task scan of n, vs the
+    oracle which states the O(n²) NOT-EXISTS dominance definition
+    directly (sound at driver-check scale). Equal (spend, count) points
+    tie and survive together via the join-back on the frontier point set.
+    Money stays in DECIMAL(18,2) end to end; NULL customer keys are
+    excluded on both engines.
+    """
+    orders = load(spark, sf_dir, "orders")
+    agg = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "total_spend"
+            ),
+        )
+    )
+    frontier = pareto_frontier_2d(agg, "total_spend", "n_orders")
+    return agg.join(
+        F.broadcast(frontier), ["total_spend", "n_orders"]
+    ).select("o_custkey", "n_orders", "total_spend")

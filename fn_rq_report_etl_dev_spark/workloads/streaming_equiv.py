@@ -602,6 +602,10 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import types as T
 
+    # An empty corpus commits zero batches and the parquet sink never
+    # creates `out` — pre-create it so the schema-pinned read returns an
+    # empty DataFrame instead of a missing-path error.
+    os.makedirs(out, exist_ok=True)
     out_schema = T.StructType([
         T.StructField("event_id", T.LongType(), True),
         T.StructField("ts", T.TimestampType(), True),
