@@ -195,6 +195,7 @@ _RECHECK: list[str] = [
     "streaming_static_enrich",
     "text_inverted_index",
     "skyline_customer_value",
+    "attribution_position_based",
     #
     # -- 3. Changed since their last green verdict (round-5 engine-wide
     #       ASCII-fold tokenization changed every text-tokenizing

@@ -1005,3 +1005,104 @@ def skyline_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.join(
         F.broadcast(frontier), ["total_spend", "n_orders"]
     ).select("o_custkey", "n_orders", "total_spend")
+
+
+@workload(
+    "attribution_position_based",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, user_id, ts, event_type FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+    ),
+    p AS (SELECT user_id, ts AS pts, event_id AS pid
+          FROM ev WHERE event_type = 'purchase'),
+    t AS (SELECT user_id, ts AS tts, event_id AS tid
+          FROM ev WHERE event_type IN ('view', 'click')),
+    cand AS (
+        SELECT p.pid, t.tid, t.tts FROM p JOIN t
+          ON p.user_id = t.user_id
+         AND t.tts < p.pts AND t.tts >= p.pts - INTERVAL 7 DAY
+    ),
+    rk AS (
+        SELECT pid, tid,
+               row_number() OVER (PARTITION BY pid ORDER BY tts, tid) AS pos,
+               count(*) OVER (PARTITION BY pid) AS k
+        FROM cand
+    )
+    SELECT pid AS purchase_id, tid AS touch_event_id,
+           CAST(pos AS BIGINT) AS pos, CAST(k AS BIGINT) AS n_touches,
+           CAST(CASE WHEN k = 1 THEN 10000
+                     WHEN k = 2 THEN 5000
+                     WHEN pos = 1 OR pos = k THEN 4000
+                     ELSE 2000 // (k - 2)
+                          + CASE WHEN pos = k - 1 THEN 2000 % (k - 2) ELSE 0 END
+                END AS BIGINT) AS credit_bps
+    FROM rk
+    """,
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution in EXACT basis
+    points: each purchase splits 10000 bps across its view/click touches
+    of the prior 7 days — 40/40 to first and last, middles share 2000 via
+    integer division with the remainder pinned to the last middle, so
+    credits sum to exactly 10000 per purchase on any engine (no float
+    split, no drifting percentages).
+
+    Scale shape: purchase×touch candidates come from the bucketized
+    range-join pattern (`range_join_ship_week`): both sides bucketed to
+    the 7-day grain, purchases exploded to the 2 covering buckets,
+    equi-join on (user, bucket) + exact residual — never a per-user
+    theta join. Ranking then partitions by purchase id (bounded groups).
+    NULL user/ts/event_id rows are excluded on both engines.
+    """
+    bucket_us = 7 * 86400 * 1_000_000
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"),
+        F.expr(f"unix_micros(ts) div {bucket_us}").alias("p_bucket"),
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("tid"),
+        F.expr(f"unix_micros(ts) div {bucket_us}").alias("t_bucket"),
+    )
+    probes = purch.withColumn(
+        "t_bucket",
+        F.explode(F.array(F.col("p_bucket") - 1, F.col("p_bucket"))),
+    )
+    cand = probes.join(touch, ["user_id", "t_bucket"]).filter(
+        (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    win = Window.partitionBy("pid")
+    rk = cand.select(
+        "pid",
+        "tid",
+        F.row_number()
+        .over(win.orderBy("tts", "tid"))
+        .cast("bigint")
+        .alias("pos"),
+        F.count(F.lit(1)).over(win).cast("bigint").alias("k"),
+    )
+    return rk.select(
+        F.col("pid").alias("purchase_id"),
+        F.col("tid").alias("touch_event_id"),
+        "pos",
+        F.col("k").alias("n_touches"),
+        F.expr(
+            "CAST(CASE WHEN k = 1 THEN 10000"
+            "          WHEN k = 2 THEN 5000"
+            "          WHEN pos = 1 OR pos = k THEN 4000"
+            "          ELSE 2000 div (k - 2)"
+            "               + CASE WHEN pos = k - 1 THEN 2000 % (k - 2)"
+            "                      ELSE 0 END"
+            "     END AS BIGINT)"
+        ).alias("credit_bps"),
+    )

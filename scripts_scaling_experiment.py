@@ -392,6 +392,137 @@ def tri_experiment():
     )
 
 
+
+
+def skyline_experiment():
+    """pareto_frontier_2d at 20M random points: the bucketed local-prune
+    pass vs the naive single global window. Measures (a) how many rows
+    survive local pruning (= the global window's input), (b) wall time of
+    both plans; asserts identical frontiers. On iid random (x, y) the
+    expected frontier size is ~ln(n) — the local prune should collapse
+    20M rows to a few hundred survivors, making the global sort free."""
+    from pyspark.sql.window import Window
+    from fn_rq_report_etl_dev_spark.operators.ranking import pareto_frontier_2d
+
+    N = 20_000_000
+    pts = (
+        spark.range(N)
+        .select(
+            (F.hash(F.col("id"), F.lit(1)).cast("bigint") % 1_000_003).alias("x"),
+            (F.hash(F.col("id"), F.lit(2)).cast("bigint") % 1_000_003).alias("y"),
+        )
+        .persist()
+    )
+    _force(pts)
+
+    t0 = time.perf_counter()
+    two_phase = pareto_frontier_2d(pts, "x", "y")
+    tp_rows = sorted(map(tuple, two_phase.collect()))
+    tp_s = round(time.perf_counter() - t0, 2)
+
+    # survivors entering the global window (re-run the local pass alone)
+    d = pts.select("x", "y").distinct()
+    prev_max = lambda w: F.max("y").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    wb = Window.partitionBy("__b").orderBy(F.col("x").desc(), F.col("y").desc())
+    survivors = (
+        d.withColumn("__b", F.pmod(F.hash(F.col("x")), F.lit(32)))
+        .withColumn("__pm", prev_max(wb))
+        .filter(F.col("__pm").isNull() | (F.col("__pm") < F.col("y")))
+        .count()
+    )
+
+    t0 = time.perf_counter()
+    wg = Window.orderBy(F.col("x").desc(), F.col("y").desc())
+    naive = (
+        d.withColumn("__pm", prev_max(wg))
+        .filter(F.col("__pm").isNull() | (F.col("__pm") < F.col("y")))
+        .drop("__pm")
+    )
+    nv_rows = sorted(map(tuple, naive.collect()))
+    nv_s = round(time.perf_counter() - t0, 2)
+
+    assert tp_rows == nv_rows, "two-phase frontier != naive frontier"
+    pts.unpersist()
+    print(json.dumps({
+        "experiment": "skyline", "n_points": N,
+        "frontier_size": len(tp_rows),
+        "global_window_input_rows": survivors,
+        "two_phase_s": tp_s, "naive_global_window_s": nv_s,
+    }))
+
+
+def pagerank_experiment():
+    """pagerank_integer on a synthetic hub-skewed digraph (dst keys
+    concentrate on low ids — a hubby in-degree distribution): the
+    broadcast-contrib plan vs a variant that shuffle-joins ranks into
+    edges, at 5M and 20M edges over 100k nodes. Asserts identical final
+    ranks (integer arithmetic => bit equality or bust)."""
+    from fn_rq_report_etl_dev_spark.operators.graph import pagerank_integer
+
+    N_NODES = 100_000
+    for n_edges in (5_000_000, 20_000_000):
+        edges = (
+            spark.range(n_edges)
+            .select(
+                (F.abs(F.hash(F.col("id"), F.lit(11))).cast("bigint")
+                 % N_NODES).alias("src"),
+                (F.pmod(
+                    F.abs(F.hash(F.col("id"), F.lit(23))).cast("bigint"),
+                    F.when(F.pmod(F.col("id"), F.lit(10)) < 7, F.lit(1000))
+                    .otherwise(F.lit(N_NODES)),
+                )).alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .persist()
+        )
+        nodes = spark.range(N_NODES).select(F.col("id").alias("node")).persist()
+        _force(edges); _force(nodes)
+
+        t0 = time.perf_counter()
+        bc = pagerank_integer(nodes, edges, iterations=5)
+        bc_sum = bc.agg(F.sum("r"), F.sum(F.hash("node", "r").cast("bigint")), F.count("*")).collect()[0]
+        bc_s = round(time.perf_counter() - t0, 2)
+
+        # shuffle-join variant: identical recurrence, no broadcast hints
+        t0 = time.perf_counter()
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        degc = deg.select(F.col("src").alias("cnode"), "outdeg")
+        n_df = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        base = "CAST(1000000000000 AS BIGINT) div n_nodes"
+        ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+            "node", F.expr(base).alias("r"))
+        for _ in range(5):
+            contrib = ranks.join(degc, ranks["node"] == degc["cnode"]).select(
+                F.col("cnode").alias("csrc"), F.expr("r div outdeg").alias("c"))
+            insum = (edges.join(contrib, F.col("src") == F.col("csrc"))
+                     .groupBy("dst").agg(F.sum("c").alias("s"))
+                     .select(F.col("dst").alias("vdst"), "s"))
+            ranks = (nodes.join(insum, nodes["node"] == insum["vdst"], "left")
+                     .crossJoin(F.broadcast(n_df))
+                     .select("node", F.expr(
+                         f"(15 * ({base}) + 85 * coalesce(s, CAST(0 AS BIGINT)))"
+                         " div 100").alias("r")))
+        sh_sum = ranks.agg(F.sum("r"), F.sum(F.hash("node", "r").cast("bigint")), F.count("*")).collect()[0]
+        sh_s = round(time.perf_counter() - t0, 2)
+
+        assert tuple(bc_sum) == tuple(sh_sum), (bc_sum, sh_sum)
+        n_e = edges.count()
+        edges.unpersist(); nodes.unpersist()
+        print(json.dumps({
+            "experiment": "pagerank", "n_nodes": N_NODES,
+            "n_distinct_edges": n_e, "iterations": 5,
+            "broadcast_contrib_s": bc_s, "shuffle_join_s": sh_s,
+            "rank_checksum": int(bc_sum[0]),
+        }))
+
+
+if EXPERIMENT == "skyline":
+    skyline_experiment()
+    sys.exit(0)
+if EXPERIMENT == "pagerank":
+    pagerank_experiment()
+    sys.exit(0)
 if EXPERIMENT == "tri":
     tri_experiment()
     sys.exit(0)
