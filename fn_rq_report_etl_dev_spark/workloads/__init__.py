@@ -196,6 +196,7 @@ _RECHECK: list[str] = [
     "text_inverted_index",
     "skyline_customer_value",
     "attribution_position_based",
+    "rolling_distinct_users",
     #
     # -- 3. Changed since their last green verdict (round-5 engine-wide
     #       ASCII-fold tokenization changed every text-tokenizing

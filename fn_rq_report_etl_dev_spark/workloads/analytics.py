@@ -1106,3 +1106,57 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
             "     END AS BIGINT)"
         ).alias("credit_bps"),
     )
+
+
+@workload(
+    "rolling_distinct_users",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    days AS (SELECT DISTINCT day FROM ud)
+    SELECT d.day AS end_day,
+           CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_users_7d
+    FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+)
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (the product-metrics WAU curve): for
+    each ACTIVE day, the exact distinct-user count over the window ending
+    that day. Distinct-over-sliding-windows does NOT decompose like a sum
+    — the exact pattern is the k-way expansion: each (user, day) pair
+    contributes itself to the 7 windows it can close, then one
+    count_distinct per end day.
+
+    Scale shape: the expansion multiplies the DISTINCT (user, day) pairs
+    (not raw events) by exactly 7 before the final shuffle — linear,
+    bounded, no per-window re-scan; the 100 TB escape hatch when 7× is
+    too much is the mergeable-sketch path already proven by
+    `approx_distinct_error`. Windows ending on inactive days are excluded
+    by construction (the end-day set is the active-day set — same join in
+    the oracle). NULL user/ts rows are excluded on both engines.
+    """
+    ud = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    days = ud.select("day").distinct()
+    expanded = ud.select(
+        "user_id",
+        F.explode(
+            F.expr("transform(sequence(0, 6), i -> date_add(day, i))")
+        ).alias("end_day"),
+    )
+    return (
+        expanded.join(
+            F.broadcast(days.select(F.col("day").alias("end_day"))),
+            "end_day",
+            "semi",
+        )
+        .groupBy("end_day")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users_7d"))
+    )
