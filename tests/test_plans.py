@@ -352,3 +352,64 @@ def test_zorder_layout_scan_agg_only(spark, sf_dir):
     plan = formatted_plan(df)
     assert exchange_count(df) == 1
     assert "Join" not in plan and "Python" not in plan
+
+
+def test_pagerank_broadcasts_contrib_per_round(spark, sf_dir):
+    """Each of the 5 PageRank rounds joins the big edge relation to the
+    node-sized contribution table via an EXPLICIT broadcast — the edge
+    side must never be re-shuffled into a SortMergeJoin per iteration."""
+    df = QUERIES["graph_pagerank_parts"](spark, sf_dir)
+    try:
+        plan = formatted_plan(df)
+        assert plan.count("BroadcastHashJoin") >= 10  # contrib + insum, x5
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_inverted_index_posting_sample_group_limited(spark, sf_dir):
+    """The posting sample must go through InferWindowGroupLimit (map-side
+    rank<=16 trim) so hot stopword terms never pool a full posting set on
+    one reducer, and the shared distinct scan is persisted."""
+    df = QUERIES["text_inverted_index"](spark, sf_dir)
+    try:
+        plan = formatted_plan(df)
+        assert "WindowGroupLimit" in plan
+        assert "InMemoryTableScan" in plan
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_skyline_prunes_locally_before_global_sweep(spark, sf_dir):
+    """pareto_frontier_2d: a bucket-partitioned local frontier window
+    must run BEFORE the single-partition global sweep (the global window
+    only ever sees local survivors), and the frontier join-back is
+    broadcast."""
+    df = QUERIES["skyline_customer_value"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "__b" in plan  # bucketed local pass survived optimization
+    assert "SinglePartition" in plan  # tiny global sweep exists
+    assert plan.index("__b") < plan.index("SinglePartition")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_position_attribution_is_bucketized_equi_join(spark, sf_dir):
+    """The purchase-touch candidate join must be an equi-join on
+    (user, 7-day bucket) + residual filter — never a nested-loop theta
+    join over per-user histories."""
+    df = QUERIES["attribution_position_based"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # 2-bucket probe explode
+
+
+def test_rolling_distinct_expansion_shape(spark, sf_dir):
+    """Exact sliding distinct: explode to the 7 closing windows
+    (Generate), active-day filter via broadcast semi-join, one final
+    distinct-aggregate — no window operator, no nested loop."""
+    df = QUERIES["rolling_distinct_users"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Generate" in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "NestedLoop" not in plan
