@@ -42,6 +42,10 @@ HEADLINERS = [
     ("sample_weighted_reservoir", "PPS sampling (r05): Partial WindowGroupLimit pre-trims each map task to a K-heap per source BEFORE the one exchange — shuffle carries O(K x sources x tasks) at any corpus size; sort key is one IEEE division (bit-identical cross-engine)"),
     ("rfm_customer_segments", "distributed NTILE (r05): three range exchanges + per-partition row_number windows keyed by spark_partition_id — NO Exchange SinglePartition anywhere (a bare global ntile() plans a one-task sort); offsets are <=32 driver scalars"),
     ("graph_triangle_count", "degree-oriented triangle join (r05): edges oriented low->high (deg,id) so wedge fan-out per node is arboricity-bounded, hub-safe; wedge enumeration + one closing equi-join on the oriented edge set"),
+    ("graph_pagerank_parts", "integer PageRank (r05): per round the node-sized contribution table BROADCASTS into the persisted edge relation — edges never re-shuffle across the 5 rounds; the only per-round exchange is the map-side-combined sum over dst (measured vs shuffle-join in SCALING.md)"),
+    ("skyline_customer_value", "2-D skyline (r05): bucketed local-frontier window prunes before the single tiny global sweep (20M->376 measured); frontier join-back broadcast; the quadratic dominance definition never appears in the plan"),
+    ("text_inverted_index", "inverted index (r05): posting sample via rank<=16 WindowGroupLimit (map-side trim on hot stopword terms); exact df from a separate word-keyed aggregate over the persisted distinct pair set"),
+    ("attribution_position_based", "U-shaped attribution (r05): purchase-touch candidates from the bucketized range join (7-day grain, 2-bucket probe explode, equi-join + residual); credit split is pure integer CASE arithmetic post-window"),
 ]
 
 spark = get_spark(app_name="gen-plans")
