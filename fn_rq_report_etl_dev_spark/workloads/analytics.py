@@ -1007,6 +1007,18 @@ def skyline_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_custkey", "n_orders", "total_spend")
 
 
+def _floor_bucket_us(bucket_us: int):
+    """FLOOR-division time bucket from unix_micros. `div` truncates
+    toward zero, which shifts every negative NON-multiple up one bucket;
+    case analysis shows the 2-bucket covering still holds, but only via a
+    sign-dependent argument — floor buckets make it unconditional
+    (window end in bucket b ⇒ start in b-1 or b, any sign). pmod's
+    nonnegative remainder makes the subtraction an exact multiple, so
+    the double division is exact (same idiom as `_idiv_min`)."""
+    m = F.unix_micros(F.col("ts"))
+    return ((m - F.pmod(m, F.lit(bucket_us))) / F.lit(bucket_us)).cast("bigint")
+
+
 @workload(
     "attribution_position_based",
     oracle="""
@@ -1065,13 +1077,13 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("ts").alias("pts"),
         F.col("event_id").alias("pid"),
-        F.expr(f"unix_micros(ts) div {bucket_us}").alias("p_bucket"),
+        _floor_bucket_us(bucket_us).alias("p_bucket"),
     )
     touch = ev.filter(F.col("event_type").isin("view", "click")).select(
         "user_id",
         F.col("ts").alias("tts"),
         F.col("event_id").alias("tid"),
-        F.expr(f"unix_micros(ts) div {bucket_us}").alias("t_bucket"),
+        _floor_bucket_us(bucket_us).alias("t_bucket"),
     )
     probes = purch.withColumn(
         "t_bucket",
