@@ -965,7 +965,8 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
         FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
     )
-    SELECT a.o_custkey, a.n_orders, a.total_spend
+    SELECT a.o_custkey, a.n_orders,
+           CAST(a.total_spend AS DOUBLE) AS total_spend
     FROM agg a
     WHERE NOT EXISTS (
         SELECT 1 FROM agg b
@@ -1002,9 +1003,14 @@ def skyline_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     frontier = pareto_frontier_2d(agg, "total_spend", "n_orders")
+    # DECIMAL end-to-end internally; the registered output casts money to
+    # DOUBLE at the boundary (driver hash canonicalization contract —
+    # tests/test_schema_alignment.py), after all comparisons are done.
     return agg.join(
         F.broadcast(frontier), ["total_spend", "n_orders"]
-    ).select("o_custkey", "n_orders", "total_spend")
+    ).select(
+        "o_custkey", "n_orders", F.col("total_spend").cast("double").alias("total_spend")
+    )
 
 
 def _floor_bucket_us(bucket_us: int):
