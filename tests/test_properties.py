@@ -588,3 +588,32 @@ def test_pagerank_integer_matches_python_replay(spark, pairs, iters):
             insum[b] += ranks[a] // outdeg[a]
         ranks = {v: (15 * base + 85 * insum[v]) // 100 for v in node_set}
     assert got == ranks
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(-50, 50)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_pareto_frontier_matches_naive_dominance(spark, pts):
+    """pareto_frontier_2d must equal the quadratic dominance definition
+    on arbitrary point sets — duplicates collapse, negative coordinates
+    and total ties included (the bucketed local prune must never drop a
+    global survivor)."""
+    from fn_rq_report_etl_dev_spark.operators.ranking import pareto_frontier_2d
+
+    df = spark.createDataFrame(pts, "x bigint, y bigint")
+    got = sorted(map(tuple, pareto_frontier_2d(df, "x", "y").collect()))
+
+    uniq = sorted(set(pts))
+    exp = sorted(
+        (x, y)
+        for x, y in uniq
+        if not any(
+            (a >= x and b >= y and (a > x or b > y)) for a, b in uniq
+        )
+    )
+    assert got == exp
