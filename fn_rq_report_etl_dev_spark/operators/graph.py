@@ -197,29 +197,31 @@ def pagerank_integer(
     ranks = (
         nodes.crossJoin(F.broadcast(n_df)).select("node", F.expr(base).alias("r"))
     )
-    # deg/insum re-derive from `edges`, so every join key is RENAMED before
-    # joining back (csrc/vdst) — avoids Spark's ambiguous self-join lineage.
+    # deg re-derives from `edges`, so its key is RENAMED before joining
+    # back (cnode/csrc) — avoids Spark's ambiguous self-join lineage.
+    # Teleport for no-inflow nodes is a UNION of zero rows into the same
+    # dst aggregate, NOT a nodes-LEFT-JOIN-insum: the left-join form costs
+    # an extra broadcast-exchange materialization JOB per round (nested
+    # broadcasts serialize), measured ~25% of round wall on tiny rounds —
+    # and at scale the union rides the existing dst shuffle for free.
     degc = deg.select(F.col("src").alias("cnode"), "outdeg")
+    zero = nodes.select("node", F.lit(0).cast("bigint").alias("c"))
     for _ in range(iterations):
         contrib = ranks.join(
             degc, ranks["node"] == degc["cnode"]
         ).select(F.col("cnode").alias("csrc"), F.expr("r div outdeg").alias("c"))
-        insum = (
-            edges.join(F.broadcast(contrib), F.col("src") == F.col("csrc"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-            .select(F.col("dst").alias("vdst"), "s")
-        )
+        inflow = edges.join(
+            F.broadcast(contrib), F.col("src") == F.col("csrc")
+        ).select(F.col("dst").alias("node"), "c")
         ranks = (
-            nodes.join(
-                F.broadcast(insum), nodes["node"] == insum["vdst"], "left"
-            )
+            inflow.unionByName(zero)
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
             .crossJoin(F.broadcast(n_df))
             .select(
                 "node",
                 F.expr(
-                    f"({teleport_pct} * ({base}) + {damping_pct} * "
-                    "coalesce(s, CAST(0 AS BIGINT))) div 100"
+                    f"({teleport_pct} * ({base}) + {damping_pct} * s) div 100"
                 ).alias("r"),
             )
         )
