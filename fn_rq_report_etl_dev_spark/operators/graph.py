@@ -226,3 +226,67 @@ def pagerank_integer(
             )
         )
     return ranks
+
+
+def bfs_min_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Minimum hop distance (breadth-first) from a seed node set over a
+    DIRECTED edge list, bounded at ``max_hops``. Returns
+    DataFrame[node, hops] covering exactly the nodes reachable within the
+    bound (seeds themselves at 0).
+
+    The level-synchronous shape: the frontier of round ``i`` joins the
+    edge table once, newly discovered nodes (anti-join against everything
+    already reached) become round ``i+1``'s frontier. BFS invariant: a
+    node discovered in round i has min-distance i, so no re-visits and no
+    min-aggregation over paths is ever needed — each edge is traversed at
+    most once per endpoint. ``localCheckpoint`` breaks per-round lineage
+    (same discipline as :func:`connected_components`, incl. unpersisting
+    superseded blocks); the per-round cost is ONE shuffled join + ONE
+    anti-join, and the loop is a fixed ``max_hops`` — no convergence
+    collect needed beyond an early-exit emptiness check on the frontier.
+    """
+    def _checkpoint_rdd(df: DataFrame):
+        plan = df._jdf.queryExecution().analyzed()
+        return plan.rdd() if plan.getClass().getSimpleName() == "LogicalRDD" else None
+
+    frontier = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    reached = frontier.withColumn("hops", F.lit(0).cast("int")).localCheckpoint(
+        eager=True
+    )
+    dead: list = []
+    prev_frontier_rdd = _checkpoint_rdd(frontier)
+    prev_reached_rdd = _checkpoint_rdd(reached)
+    e = edges.select(F.col(src_col).alias("e_src"), F.col(dst_col).alias("e_dst"))
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["e_src"])
+            .select(F.col("e_dst").alias("node"))
+            .distinct()
+            .join(reached, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if prev_frontier_rdd is not None:
+            prev_frontier_rdd.unpersist(False)
+        prev_frontier_rdd = _checkpoint_rdd(nxt)
+        frontier = nxt
+        if frontier.isEmpty():
+            break
+        reached = reached.unionByName(
+            frontier.withColumn("hops", F.lit(hop).cast("int"))
+        ).localCheckpoint(eager=True)
+        # the old reached blocks feed nothing after the union materializes
+        if prev_reached_rdd is not None:
+            prev_reached_rdd.unpersist(False)
+        prev_reached_rdd = _checkpoint_rdd(reached)
+    return reached

@@ -176,6 +176,10 @@ _RECHECK: list[str] = [
     #
     # -- 2. Round-5 additions, never in ANY driver report: without a row
     #       they look unverified regardless of local evidence.
+    "graph_khop_reach",
+    "timeseries_multigrain_rollup",
+    "cep_funnel_regex",
+    "regression_ship_price_trend",
     "sample_weighted_reservoir",
     "dedup_survivors_quality",
     # customer/event analytics batch + near-dup graph triangles

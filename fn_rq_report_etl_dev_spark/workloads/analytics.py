@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..operators.graph import pagerank_integer
+from ..operators.graph import bfs_min_hops, pagerank_integer
 from ..operators.ranking import distributed_ntile, pareto_frontier_2d
 from ..operators.zorder import _normalize_to_bits, zorder_value
 from . import load, workload
@@ -1177,4 +1177,217 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("end_day")
         .agg(F.count_distinct("user_id").cast("bigint").alias("n_users_7d"))
+    )
+
+
+_KHOP_EDGE_CTES = """items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ),
+    edges AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    )"""
+
+
+@workload(
+    "graph_khop_reach",
+    oracle=f"""
+    WITH RECURSIVE {_KHOP_EDGE_CTES},
+    seeds AS (
+        SELECT DISTINCT p_partkey AS node FROM part
+        WHERE p_size = 1 AND p_partkey IS NOT NULL
+    ),
+    reach(node, hops) AS (
+        SELECT node, 0 FROM seeds
+        UNION
+        SELECT e.dst, r.hops + 1
+        FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.hops < 3
+    )
+    SELECT node AS partkey, CAST(min(hops) AS INT) AS hops
+    FROM reach GROUP BY node
+    """,
+)
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-radius reachability: minimum co-purchase hop distance
+    (≤ 3) from the size-1 parts — "how close is every product to the
+    seed assortment". Third member of the iterative-graph family
+    (components, PageRank, now BFS), exercising the level-synchronous
+    frontier shape where each round is one edge join + one anti-join and
+    a node is expanded at most once (`operators.graph.bfs_min_hops`).
+
+    The oracle states the same bound as a recursive CTE whose UNION
+    dedups (node, hop) pairs; min(hop) per node is the BFS distance —
+    integer-only, so the match is exact. Scale: the co-purchase edges are
+    generated map-side per basket (the measured C(k,2) HOF expansion from
+    `graph_pagerank_parts`), and BFS touches each edge at most once per
+    round with the frontier shrinking monotonically; contrast with the
+    oracle's path enumeration, which is exponential in dense graphs.
+    NULL keys are filtered before pairing on both sides.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    items = (
+        li.filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    baskets = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    half = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .distinct()
+    )
+    edges = (
+        half.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(half.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .persist()
+    )
+    seeds = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 1) & F.col("p_partkey").isNotNull())
+        .select(F.col("p_partkey").alias("node"))
+    )
+    reached = bfs_min_hops(edges, seeds, max_hops=3)
+    edges.unpersist()
+    return reached.select(F.col("node").alias("partkey"), F.col("hops"))
+
+
+@workload(
+    "timeseries_multigrain_rollup",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bh,
+               CAST(date_trunc('day',  ts) AS TIMESTAMP) AS bd,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS bw,
+               value
+        FROM events WHERE ts IS NOT NULL
+    )
+    SELECT CASE WHEN GROUPING(bh) = 0 THEN 'hour'
+                WHEN GROUPING(bd) = 0 THEN 'day' ELSE 'week' END AS grain,
+           coalesce(bh, bd, bw) AS bucket_ts,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN abs(value) < 1e15
+                         THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS total_value
+    FROM b
+    GROUP BY GROUPING SETS ((bh), (bd), (bw))
+    """,
+)
+def timeseries_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: the SAME event stream
+    aggregated at hour, day, and week grain in ONE pass. GROUPING SETS
+    over the three precomputed buckets makes Catalyst expand the scan
+    once (a single Expand + partial agg + one exchange) instead of three
+    separate scan/shuffle pipelines — at 100 TB that is one read of the
+    fact table for the whole rollup hierarchy, the multi-grain matview
+    refresh shape (TimescaleDB continuous aggregates, Druid rollup).
+
+    Grain is derived from GROUPING() (not bucket NULL-ness alone) so a
+    hypothetical NULL bucket can't masquerade as a coarser grain; ts is
+    filtered non-NULL on both sides. Week truncation is ISO-Monday in
+    both engines (DuckDB returns DATE for week — CAST unifies). The value
+    sum carries the registry's guarded DECIMAL(18,2) money contract.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    b = ev.select(
+        F.date_trunc("hour", "ts").alias("bh"),
+        F.date_trunc("day", "ts").alias("bd"),
+        F.date_trunc("week", "ts").alias("bw"),
+        "value",
+    )
+    return (
+        b.groupingSets([["bh"], ["bd"], ["bw"]], "bh", "bd", "bw")
+        .agg(
+            # grouping() resolves only during the aggregate — computed
+            # here, consumed by the grain CASE one projection later.
+            F.expr("grouping(bh)").alias("g_bh"),
+            F.expr("grouping(bd)").alias("g_bd"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.abs(F.col("value")) < 1e15, F.col("value").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.when(F.col("g_bh") == 0, F.lit("hour"))
+            .when(F.col("g_bd") == 0, F.lit("day"))
+            .otherwise(F.lit("week"))
+            .alias("grain"),
+            F.coalesce("bh", "bd", "bw").alias("bucket_ts"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@workload(
+    "cep_funnel_regex",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                   AS s
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_id IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(s) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(s, 'vc+p')) AS BIGINT) AS n_funnels
+    FROM seq
+    """,
+)
+def cep_funnel_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern match (Flink CEP / MATCH_RECOGNIZE
+    strict contiguity): per user, how many times does the exact sequence
+    view → click⁺ → purchase occur with NO intervening event? The event
+    history compresses to one character per event (the five generated
+    types have distinct initials) ordered by (ts, event_id) — a total
+    order — and the pattern becomes a regex over that string; counting is
+    leftmost non-overlapping in both engines, and the pattern avoids
+    constructs where Java and RE2 semantics diverge (no \\b, no
+    backrefs).
+
+    Scale: one groupBy shuffle keyed on user; per-user history must fit a
+    row (bounded event cardinality per user — same contract as
+    `session_paths_topk`); the regex evaluates JVM-side per row, no UDF.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("ch")).alias(
+                "o"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr("array_join(transform(array_sort(collect_list(o)), x -> x.ch), '')")
+            .alias("s")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("bigint").alias("seq_len"),
+        F.expr("regexp_count(s, 'vc+p')").cast("bigint").alias("n_funnels"),
     )

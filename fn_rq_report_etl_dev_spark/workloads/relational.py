@@ -2073,3 +2073,104 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pair_support") * 100 >= F.col("n_baskets"))
         .select("brand_a", "brand_b", "pair_support")
     )
+
+
+@workload(
+    "regression_ship_price_trend",
+    oracle="""
+    WITH pts AS (
+        SELECT l_returnflag AS flag,
+               CAST(CAST(l_shipdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS x,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_shipdate IS NOT NULL
+          AND l_extendedprice IS NOT NULL AND abs(l_extendedprice) < 1e12
+    ),
+    s AS (
+        SELECT flag,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(x AS DECIMAL(18,0))) AS sx,
+               sum(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS sxx,
+               sum(CAST(cents AS DECIMAL(18,0))) AS sy,
+               sum(CAST(cents AS DECIMAL(18,0)) * CAST(cents AS DECIMAL(18,0))) AS syy,
+               sum(CAST(x AS DECIMAL(18,0)) * CAST(cents AS DECIMAL(18,0))) AS sxy
+        FROM pts GROUP BY flag
+    )
+    SELECT flag, n,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) + 0.0
+           END AS slope_cents_per_day,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                THEN ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) + 0.0
+           END AS r_squared
+    FROM s
+    """,
+)
+def regression_ship_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend (does extended price drift
+    over ship date?) computed from EXACT sufficient statistics: x = days
+    since 1992-01-01 (integer), y = price in integer cents, and the five
+    sums (Σx, Σx², Σy, Σy², Σxy) accumulated in DECIMAL — so the
+    distributed aggregation is order-insensitive and the ONLY floating
+    point is the final closed-form division, written with the identical
+    expression tree in both engines (deterministic IEEE, no regr_slope
+    merge-order seam — the reason this does not use the built-in
+    regr_* aggregates, whose one-pass covariance update is
+    partition-order-dependent in a parallel engine).
+
+    Scale: one map-side-combined groupBy over three keys; the sufficient-
+    statistics pattern is how any moment-based model (OLS, variance,
+    covariance matrices) should aggregate at 100 TB — exact partials that
+    merge associatively, floats only at the driver-sized end. Zero-
+    variance groups yield NULL slope/r² via the explicit positive-
+    denominator guard on both sides; `+ 0.0` folds a potential -0.0.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isNotNull()
+        & F.col("l_shipdate").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+        & (F.abs(F.col("l_extendedprice")) < 1e12)
+    )
+    d18 = "decimal(18,0)"
+    pts = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.datediff(F.to_date("l_shipdate"), F.lit("1992-01-01"))
+        .cast("bigint")
+        .alias("x"),
+        (F.col("l_extendedprice").cast(_D2) * 100).cast("bigint").alias("cents"),
+    )
+    s = pts.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(d18)).alias("sx"),
+        F.sum(F.col("x").cast(d18) * F.col("x").cast(d18)).alias("sxx"),
+        F.sum(F.col("cents").cast(d18)).alias("sy"),
+        F.sum(F.col("cents").cast(d18) * F.col("cents").cast(d18)).alias("syy"),
+        F.sum(F.col("x").cast(d18) * F.col("cents").cast(d18)).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, sxxd = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    syd, syyd = F.col("sy").cast("double"), F.col("syy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    dxx = nd * sxxd - sxd * sxd
+    dyy = nd * syyd - syd * syd
+    cov = nd * sxyd - sxd * syd
+    return s.select(
+        "flag",
+        "n",
+        F.when(dxx > 0, cov / dxx + 0.0).alias("slope_cents_per_day"),
+        F.when(dxx * dyy > 0, (cov * cov) / (dxx * dyy) + 0.0).alias("r_squared"),
+    )

@@ -617,3 +617,50 @@ def test_pareto_frontier_matches_naive_dominance(spark, pts):
         )
     )
     assert got == exp
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=0,
+        max_size=40,
+    ),
+    seeds=st.lists(st.integers(0, 12), min_size=1, max_size=4),
+    max_hops=st.integers(0, 4),
+)
+def test_bfs_min_hops_matches_python_bfs(spark, pairs, seeds, max_hops):
+    """bfs_min_hops must equal a textbook Python BFS over arbitrary
+    digraphs: same reachable set within the bound, same minimum hop per
+    node — including seeds not present in the edge set (hop 0) and the
+    early-exit on an exhausted frontier."""
+    from fn_rq_report_etl_dev_spark.operators.graph import bfs_min_hops
+
+    edge_set = sorted({(a, b) for a, b in pairs if a != b})
+    seed_set = sorted(set(seeds))
+    edges = spark.createDataFrame(
+        edge_set or [(0, 0)], "src bigint, dst bigint"
+    )
+    if not edge_set:
+        edges = edges.filter(F.lit(False))
+    seeds_df = spark.createDataFrame([(s,) for s in seed_set], "node bigint")
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_min_hops(edges, seeds_df, max_hops=max_hops).collect()
+    }
+
+    adj: dict[int, list[int]] = {}
+    for a, b in edge_set:
+        adj.setdefault(a, []).append(b)
+    exp = {s: 0 for s in seed_set}
+    frontier = list(seed_set)
+    for hop in range(1, max_hops + 1):
+        nxt = sorted(
+            {d for s in frontier for d in adj.get(s, []) if d not in exp}
+        )
+        if not nxt:
+            break
+        for d in nxt:
+            exp[d] = hop
+        frontier = nxt
+    assert got == exp
