@@ -132,3 +132,42 @@ def pareto_frontier_2d(
         .filter(F.col("__pm").isNull() | (F.col("__pm") < F.col(y)))
         .drop("__pm")
     )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list[Column],
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = ROW_NUMBER() over the global ``order_by``
+    total order — distributed sequential ID assignment (document IDs,
+    export line numbers) via the same zipWithIndex shape as
+    :func:`distributed_ntile`, steps 1–3: range partition, per-partition
+    row_number, per-partition-count offsets (≤ #partitions driver
+    scalars). No ``Exchange SinglePartition`` anywhere; the caller's
+    ordering must be total and non-NULL (module docstring contract)."""
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_parts, *order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__local_rn",
+            F.row_number().over(Window.partitionBy("__pid").orderBy(*order_by)),
+        )
+        .persist()
+    )
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_col = F.lit(0).cast("bigint")
+    for pid, off in offsets.items():
+        offset_col = F.when(F.col("__pid") == pid, F.lit(off)).otherwise(offset_col)
+    return ranged.withColumn(
+        out_col, (offset_col + F.col("__local_rn")).cast("bigint")
+    ).drop("__pid", "__local_rn")

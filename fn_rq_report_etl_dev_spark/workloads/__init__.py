@@ -180,6 +180,8 @@ _RECHECK: list[str] = [
     "timeseries_multigrain_rollup",
     "cep_funnel_regex",
     "regression_ship_price_trend",
+    "embedding_centroid_by_label",
+    "export_global_ids",
     "sample_weighted_reservoir",
     "dedup_survivors_quality",
     # customer/event analytics batch + near-dup graph triangles

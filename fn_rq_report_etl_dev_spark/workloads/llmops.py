@@ -1824,3 +1824,108 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dfreq.join(top16, "word").select("word", "df", "postings")
+
+
+@workload(
+    "embedding_centroid_by_label",
+    oracle="""
+    WITH e AS (
+        SELECT label, embedding FROM embeddings
+        WHERE label IS NOT NULL AND embedding IS NOT NULL
+          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+    ),
+    u AS (
+        SELECT label,
+               unnest(range(len(embedding))) AS dim,
+               unnest(embedding) AS v
+        FROM e
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           (CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT))
+                 AS DOUBLE) / 1048576.0)
+               / CAST(count(*) AS DOUBLE) + 0.0 AS centroid
+    FROM u GROUP BY label, dim
+    """,
+)
+def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean-pooled embedding centroid — the k-means update step
+    / class-prototype computation of a vector pipeline, as a query.
+
+    Exactness: components quantize to 2⁻²⁰ fixed point and accumulate as
+    BIGINT (an order-insensitive merge — a double Σ would depend on
+    partition order); the mean is ONE IEEE division chain of identical
+    exact operands. The quantizer is `floor(v * 2^20)`: the multiply is a
+    POWER-OF-TWO scale (exact for any float, no IEEE rounding) and floor
+    is tie-free — unlike a DECIMAL(18,9) cast, whose half-way rounding
+    hits real float32 inputs with probability ≈2⁻¹⁵ per value (Spark
+    HALF_UP vs DuckDB half-even — ~10 expected divergent casts per 320k
+    values; found by the sf0.1 hash check). A direct float→DECIMAL cast
+    is ALSO engine-divergent (DuckDB rounds the float's shortest decimal
+    representation, Spark the exact binary expansion), which is why the
+    chain starts with the lossless float→DOUBLE widening.
+
+    Scale: posexplode + groupBy(label, dim) looks like an n×d shuffle,
+    but partial aggregation collapses every map task to ≤ labels×d rows
+    before the exchange — the shuffle is bounded by cardinality, not
+    corpus size. NULL/non-finite vectors are dropped by the shared
+    `indexable` ANN contract.
+    """
+    from ..operators.similarity import indexable
+
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull() & indexable(F.col("embedding"))
+    )
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(
+                F.floor(F.col("v").cast("double") * 1048576.0).cast("bigint")
+            ).alias("s"),
+        )
+        .select(
+            "label",
+            F.col("dim").cast("int").alias("dim"),
+            "n_vecs",
+            (
+                (F.col("s").cast("double") / 1048576.0)
+                / F.col("n_vecs").cast("double")
+                + 0.0
+            ).alias("centroid"),
+        )
+    )
+
+
+@workload(
+    "export_global_ids",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                AS BIGINT) AS seq
+    FROM documents
+    WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+    """,
+)
+def export_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sequential ID assignment (longest documents first): the
+    export-manifest numbering every corpus shard step needs, computed
+    WITHOUT the one-task global window `row_number() OVER (ORDER BY …)`
+    plans — `operators.ranking.global_row_number` runs the zipWithIndex
+    shape instead (range partition → per-partition row_number →
+    ≤ #partitions count scalars as offsets). Plan-pinned to contain no
+    `Exchange SinglePartition`. The ordering is total (doc_id tiebreak)
+    and non-NULL by filter on both sides — Spark and DuckDB disagree on
+    NULL placement under DESC, so NULLs never reach the sort.
+    """
+    from ..operators.ranking import global_row_number
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull() & F.col("n_chars").isNotNull())
+        .select("doc_id", "n_chars")
+    )
+    return global_row_number(
+        docs, [F.col("n_chars").desc(), F.col("doc_id").asc()], "seq"
+    )

@@ -46,6 +46,11 @@ HEADLINERS = [
     ("skyline_customer_value", "2-D skyline (r05): bucketed local-frontier window prunes before the single tiny global sweep (20M->376 measured); frontier join-back broadcast; the quadratic dominance definition never appears in the plan"),
     ("text_inverted_index", "inverted index (r05): posting sample via rank<=16 WindowGroupLimit (map-side trim on hot stopword terms); exact df from a separate word-keyed aggregate over the persisted distinct pair set"),
     ("attribution_position_based", "U-shaped attribution (r05): purchase-touch candidates from the bucketized range join (7-day grain, 2-bucket probe explode, equi-join + residual); credit split is pure integer CASE arithmetic post-window"),
+    ("timeseries_multigrain_rollup", "continuous-aggregate hierarchy (r05): hour/day/week in ONE scan -> one Expand -> one partial-agg exchange — never a per-grain scan union"),
+    ("cep_funnel_regex", "CEP pattern count (r05): map-side partial collect_list, one user_id exchange, regex JVM-side in the output projection — no Python stage, no join"),
+    ("regression_ship_price_trend", "exact-OLS (r05): six DECIMAL sufficient statistics as map-side partials before the single group-by exchange; closed-form division is a post-agg scalar projection"),
+    ("export_global_ids", "global sequential IDs (r05): zipWithIndex shape — range exchange + per-partition row_number + <= #partitions offset scalars; NO Exchange SinglePartition"),
+    ("embedding_centroid_by_label", "mean-pool centroids (r05): posexplode + ONE group-by exchange; 2^-20 fixed-point bigint partial_sum collapses map tasks to labels x dims rows (tie-free cross-engine float aggregation)"),
 ]
 
 spark = get_spark(app_name="gen-plans")

@@ -96,3 +96,28 @@ def test_oriented_triangle_count_matches_naive(spark):
     assert row["n_wedges"] == sum(d * (d - 1) // 2 for d in deg.values())
     assert row["n_edges"] == len(edges)
     assert row["n_nodes"] == len(deg)
+
+
+@pytest.mark.parametrize("n", [0, 1, 7, 100, 997])
+def test_global_row_number_matches_native(spark, n):
+    """global_row_number == row_number() OVER (ORDER BY v DESC, id) across
+    empty / tiny / tie-heavy inputs and both sort directions."""
+    from fn_rq_report_etl_dev_spark.operators.ranking import global_row_number
+
+    rng = random.Random(7 + n)
+    rows = [(i, rng.randint(0, 9)) for i in range(n)]
+    df = spark.createDataFrame(rows, "id bigint, v int") if rows else (
+        spark.createDataFrame([], "id bigint, v int")
+    )
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = {
+        r["id"]: r["seq"]
+        for r in global_row_number(df, order, "seq", num_partitions=5).collect()
+    }
+    want = {
+        r["id"]: r["seq"]
+        for r in df.select(
+            "id", F.row_number().over(Window.orderBy(*order)).alias("seq")
+        ).collect()
+    }
+    assert got == want

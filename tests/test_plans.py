@@ -413,3 +413,62 @@ def test_rolling_distinct_expansion_shape(spark, sf_dir):
     assert "Generate" in plan
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "NestedLoop" not in plan
+
+
+def test_multigrain_rollup_single_expand_single_exchange(spark, sf_dir):
+    """The hour/day/week rollup hierarchy is ONE scan + one Expand + one
+    partial-agg exchange — never a per-grain union of three scans; the
+    ts filter reaches the parquet scan."""
+    df = QUERIES["timeseries_multigrain_rollup"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert exchange_count(df) == 1
+    # one Expand node: the tree summary and its detail section each name
+    # it once in the formatted plan
+    assert plan.count("Expand") == 2
+    assert "Union" not in plan and "Join" not in plan
+    assert has_pushed_filters(df)
+
+
+def test_cep_regex_single_exchange_no_udf(spark, sf_dir):
+    """CEP pattern count: map-side partial collect_list, one user_id
+    exchange, regex evaluated JVM-side in the output projection — no
+    Python stage, no join, and all four NULL filters pushed."""
+    df = QUERIES["cep_funnel_regex"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert exchange_count(df) == 1
+    assert "Python" not in plan and "Join" not in plan
+    assert "regexp_extract_all" in plan
+    assert has_pushed_filters(df)
+
+
+def test_regression_sufficient_stats_map_side(spark, sf_dir):
+    """Exact-OLS: all six sufficient statistics accumulate as map-side
+    partial_sum/partial_count before the ONE group-by exchange; the
+    closed-form division is a scalar projection after the final agg."""
+    df = QUERIES["regression_ship_price_trend"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert exchange_count(df) == 1
+    assert plan.count("partial_sum") >= 5
+    assert "Join" not in plan and "Python" not in plan
+    assert has_pushed_filters(df)
+
+
+def test_global_ids_no_single_partition(spark, sf_dir):
+    """Global sequential IDs must come from the zipWithIndex shape —
+    range exchange + per-partition windows — never a one-task
+    `Exchange SinglePartition` global sort."""
+    df = QUERIES["export_global_ids"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan
+
+
+def test_embedding_centroid_partial_agg_no_udf(spark, sf_dir):
+    """Centroid pooling: posexplode then ONE group-by exchange whose
+    partial aggregation collapses map tasks to labels×dims rows — no
+    Python stage, no join; the fixed-point sum is a bigint partial_sum."""
+    df = QUERIES["embedding_centroid_by_label"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert exchange_count(df) == 1
+    assert "partial_sum" in plan
+    assert "Python" not in plan and "Join" not in plan
