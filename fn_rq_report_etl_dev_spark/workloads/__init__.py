@@ -176,6 +176,8 @@ _RECHECK: list[str] = [
     #
     # -- 2. Round-5 additions, never in ANY driver report: without a row
     #       they look unverified regardless of local evidence.
+    "gaps_missing_event_ids",
+    "weighted_median_price",
     "graph_khop_reach",
     "timeseries_multigrain_rollup",
     "cep_funnel_regex",

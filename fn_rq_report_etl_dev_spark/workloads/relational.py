@@ -2174,3 +2174,144 @@ def regression_ship_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(dxx > 0, cov / dxx + 0.0).alias("slope_cents_per_day"),
         F.when(dxx * dyy > 0, (cov * cov) / (dxx * dyy) + 0.0).alias("r_squared"),
     )
+
+
+@workload(
+    "gaps_missing_event_ids",
+    oracle="""
+    WITH k AS (
+        SELECT DISTINCT event_id AS k FROM events
+        WHERE event_id IS NOT NULL AND event_type = 'purchase'
+    ),
+    nx AS (SELECT k, lead(k) OVER (ORDER BY k) AS nk FROM k)
+    SELECT k + 1 AS gap_start, nk - 1 AS gap_end, nk - k - 1 AS n_missing
+    FROM nx WHERE nk - k > 1
+    """,
+)
+def gaps_missing_event_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID-space gap detection: the maximal runs of event_id values
+    absent from the purchase feed (purchases are ~20% of events, so the
+    id space is gap-dense) — the completeness audit an ingest pipeline
+    runs over a sequence-keyed replication stream (reference analogue:
+    the daily-window completeness concern of rqtradein_etl.py's
+    incremental fetch). The oracle is the textbook
+    `lead() OVER (ORDER BY k)`, which on Spark would plan a ONE-TASK
+    window; the engine instead runs the TWO-LEVEL decomposition of a
+    distributed lag/lead:
+
+    1. keys bucket by ``k div 1000`` — lead() within each bucket is an
+       ordinary partitioned window (parallel, no skew: buckets are
+       fixed-width ID ranges);
+    2. only the per-bucket min summary — |id range|/1000 rows —
+       crosses a small ordered window to stitch boundaries: each
+       bucket-max key's successor is the NEXT NON-EMPTY bucket's min.
+       At 100 TB the summary is 3–5 orders of magnitude smaller than the
+       keys (size the bucket width so it stays single-task-scale, or
+       recurse the same decomposition once more).
+
+    Integer-only output (gap bounds inclusive, plus run length), so the
+    match is exact.
+    """
+    keys = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id").isNotNull() & (F.col("event_type") == "purchase"))
+        .select(F.col("event_id").alias("k"))
+        .distinct()
+        .withColumn("bkt", F.expr("k div 1000"))
+    )
+    in_bucket = keys.withColumn(
+        "nk_in",
+        F.lead("k").over(Window.partitionBy("bkt").orderBy("k")),
+    )
+    summary = keys.groupBy("bkt").agg(F.min("k").alias("bmin"))
+    next_min = summary.withColumn(
+        "next_bmin", F.lead("bmin").over(Window.orderBy("bkt"))
+    ).select("bkt", "next_bmin")
+    stitched = in_bucket.join(F.broadcast(next_min), "bkt").select(
+        "k", F.coalesce("nk_in", "next_bmin").alias("nk")
+    )
+    return stitched.filter((F.col("nk") - F.col("k")) > 1).select(
+        (F.col("k") + 1).alias("gap_start"),
+        (F.col("nk") - 1).alias("gap_end"),
+        (F.col("nk") - F.col("k") - 1).alias("n_missing"),
+    )
+
+
+@workload(
+    "weighted_median_price",
+    oracle="""
+    WITH pts AS (
+        SELECT l_returnflag AS flag,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL
+          AND l_extendedprice IS NOT NULL AND abs(l_extendedprice) < 1e12
+          AND NOT isnan(l_extendedprice)
+          AND l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+          AND l_quantity >= 1 AND l_quantity < 1e9
+    ),
+    tied AS (SELECT flag, cents, sum(w) AS w FROM pts GROUP BY flag, cents),
+    cum AS (
+        SELECT flag, cents, w,
+               sum(w) OVER (PARTITION BY flag ORDER BY cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cw,
+               sum(w) OVER (PARTITION BY flag) AS tot
+        FROM tied
+    )
+    SELECT flag, CAST(min(cents) AS DOUBLE) / 100.0 AS median_price,
+           CAST(max(tot) AS BIGINT) AS total_weight
+    FROM cum WHERE 2 * cw >= tot GROUP BY flag
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median (lower weighted median: the smallest value
+    whose cumulative weight reaches half the total) of extended price
+    per return flag, weighted by quantity — the robust-statistics
+    aggregate percentile_cont can't express.
+
+    Exactness: prices become integer cents, weights integer units, ties
+    COLLAPSE FIRST (groupBy (flag, cents) — the running window then
+    scans distinct values, not rows), and the median pick is pure
+    integer comparison `2·cumw ≥ total` — no interpolation, no float
+    ordering. Scale: both windows partition by flag (no global window);
+    the tie-collapse is a map-side-combinable aggregate that bounds the
+    window input by value cardinality. NaN/NULL/absurd values are
+    filtered identically on both sides (ANSI casts crash on NaN — the
+    guard is load-bearing, not cosmetic).
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+        & (F.abs(F.col("l_extendedprice")) < 1e12)
+        & ~F.isnan(F.col("l_extendedprice"))
+        & F.col("l_quantity").isNotNull()
+        & ~F.isnan(F.col("l_quantity"))
+        & (F.col("l_quantity") >= 1)
+        & (F.col("l_quantity") < 1e9)
+    )
+    pts = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice").cast(_D2) * 100).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    tied = pts.groupBy("flag", "cents").agg(F.sum("w").alias("w"))
+    wflag = Window.partitionBy("flag")
+    cum = tied.select(
+        "flag",
+        "cents",
+        F.sum("w")
+        .over(wflag.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cw"),
+        F.sum("w").over(wflag).alias("tot"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tot"))
+        .groupBy("flag")
+        .agg(
+            (F.min("cents").cast("double") / 100.0).alias("median_price"),
+            F.max("tot").cast("bigint").alias("total_weight"),
+        )
+    )

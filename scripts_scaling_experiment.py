@@ -517,11 +517,86 @@ def pagerank_experiment():
         }))
 
 
+
+
+def bfs_experiment():
+    """bfs_min_hops on a synthetic digraph (20M edges / 1M nodes, avg
+    degree ~20): the level-synchronous FRONTIER shape (newly discovered
+    nodes only, anti-join against reached) vs the naive fixed-point
+    iterate that re-joins the ENTIRE reached set to the edge table every
+    round and min-aggregates. Same hop assignments (integer BFS => exact
+    equality asserted via checksum); the frontier variant's per-round
+    join input shrinks as the wave passes, the naive one's grows
+    monotonically — the gap widens with radius and graph size."""
+    from fn_rq_report_etl_dev_spark.operators.graph import bfs_min_hops
+
+    N_NODES = 1_000_000
+    MAX_HOPS = 4
+    for n_edges in (5_000_000, 20_000_000):
+        edges = (
+            spark.range(n_edges)
+            .select(
+                (F.pmod(F.hash(F.col("id"), F.lit(31)).cast("bigint"),
+                        F.lit(N_NODES))).alias("src"),
+                (F.pmod(F.hash(F.col("id"), F.lit(47)).cast("bigint"),
+                        F.lit(N_NODES))).alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .persist()
+        )
+        seeds = spark.range(100).select(F.col("id").alias("node")).persist()
+        _force(edges); _force(seeds)
+
+        t0 = time.perf_counter()
+        fr = bfs_min_hops(edges, seeds, max_hops=MAX_HOPS)
+        fr_sum = fr.agg(
+            F.sum(F.hash("node", "hops").cast("bigint")), F.count("*"),
+            F.sum("hops")).collect()[0]
+        fr_s = round(time.perf_counter() - t0, 2)
+
+        # naive fixed-point: re-join the whole reached set every round,
+        # min-aggregate hop labels (localCheckpoint discipline identical
+        # so the comparison isolates the JOIN-INPUT shape, not lineage).
+        t0 = time.perf_counter()
+        e = edges.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+        reached = seeds.withColumn("hops", F.lit(0).cast("int")).localCheckpoint(eager=True)
+        for hop in range(1, MAX_HOPS + 1):
+            nxt = (
+                reached.join(e, reached["node"] == e["e_src"])
+                .select(F.col("e_dst").alias("node"),
+                        (F.col("hops") + 1).alias("hops"))
+            )
+            reached = (
+                reached.unionByName(nxt)
+                .groupBy("node")
+                .agg(F.min("hops").cast("int").alias("hops"))
+                .localCheckpoint(eager=True)
+            )
+        nv_sum = reached.agg(
+            F.sum(F.hash("node", "hops").cast("bigint")), F.count("*"),
+            F.sum("hops")).collect()[0]
+        nv_s = round(time.perf_counter() - t0, 2)
+
+        assert tuple(fr_sum) == tuple(nv_sum), (fr_sum, nv_sum)
+        n_e = edges.count()
+        edges.unpersist(); seeds.unpersist()
+        print(json.dumps({
+            "experiment": "bfs", "n_nodes": N_NODES, "max_hops": MAX_HOPS,
+            "n_distinct_edges": n_e, "n_reached": int(fr_sum[1]),
+            "frontier_s": fr_s, "naive_reiterate_s": nv_s,
+            "hops_checksum": int(fr_sum[2]),
+        }))
+
+
 if EXPERIMENT == "skyline":
     skyline_experiment()
     sys.exit(0)
 if EXPERIMENT == "pagerank":
     pagerank_experiment()
+    sys.exit(0)
+if EXPERIMENT == "bfs":
+    bfs_experiment()
     sys.exit(0)
 if EXPERIMENT == "tri":
     tri_experiment()
