@@ -24,7 +24,7 @@ everywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import ascii_lower
@@ -289,8 +289,15 @@ def ngram_jaccard_on_candidates(
     # (Spark's LRU store evicts the shingle cache under pressure).
     sh = _exploded_shingles(df, id_col, text_col).persist()
     cands = lsh_candidate_pairs(df, id_col, text_col, k, bands, shingles=sh)
-    counts = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return _jaccard_verify(sh, cands, min_jaccard)
 
+
+def _jaccard_verify(sh: DataFrame, cands: DataFrame, min_jaccard: float) -> DataFrame:
+    """Exact set-Jaccard of candidate ``(id_a, id_b)`` pairs over the
+    distinct shingle relation ``(__id, sh)`` — the shared verify phase of
+    every candidate-restricted similarity join (LSH recall, prefix
+    filter). Returns (id_a, id_b, jaccard ≥ ``min_jaccard``)."""
+    counts = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = sh.select(F.col("__id").alias("id_a"), "sh")
     sh_b = sh.select(F.col("__id").alias("id_b2"), F.col("sh").alias("sh_b"))
     common = (
@@ -314,6 +321,63 @@ def ngram_jaccard_on_candidates(
         )
     )
     return jac.filter(F.col("jaccard") >= min_jaccard)
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_jaccard: float = 0.5,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """EXACT θ-Jaccard similarity self-join via prefix filtering
+    (AllPairs/PPJoin family, Bayardo et al. WWW'07 / Xiao et al. WWW'08)
+    — the deterministic counterpart to MinHash LSH: same two-phase
+    candidate→verify shape, but the candidate generation is LOSSLESS, so
+    the result set equals the brute-force all-pairs join by theorem, not
+    in expectation.
+
+    Prefix-filtering principle: order every document's shingles by one
+    GLOBAL total order (ascending document frequency, rarest first, ties
+    by value); if J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, so A∩B must reach into
+    A's first |A| − ⌈t·|A|⌉ + 1 shingles — and with both prefixes under
+    the same global order, A and B must share a PREFIX shingle (the
+    max(P_A) ≤ max(P_B) pigeonhole). Candidates = the prefix-shingle
+    equi-join; everything outside it is provably below threshold.
+
+    Scale shape: at θ=0.5 each doc exposes ~half its shingles, and those
+    are its RAREST — the equi-join fans out on low-frequency keys by
+    construction (the frequent-shingle hot buckets that plague a naive
+    any-shared-token join are exactly the ones prefix filtering prunes).
+    Residual hot prefixes are chunk-capped by ``_bucket_pairs``
+    (``max_bucket`` ids per task). Verify is candidate-restricted exact
+    Jaccard, shared with the LSH path (``_jaccard_verify``).
+
+    NULL doc ids are dropped up front: a NULL id can't form an ordered
+    pair (the oracle's ``id_b > id_a`` is 3VL-false for NULL, and
+    ``_bucket_pairs`` sorts ids).
+    """
+    docs = df.filter(F.col(id_col).isNotNull())
+    sh = _exploded_shingles(docs, id_col, text_col).persist()
+    counts = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_sh"))
+    w_doc = Window.partitionBy("__id").orderBy("df_sh", "sh")
+    ranked = (
+        sh.join(freq, "sh")
+        .withColumn("__rn", F.row_number().over(w_doc))
+        .join(counts, "__id")
+    )
+    # p = |x| − ⌈t·|x|⌉ + 1; ceil is exact here (t·n is a small product of
+    # a dyadic-friendly threshold and an int — and even if inexact, a
+    # LONGER prefix is merely more candidates, never a miss).
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(min_jaccard) * F.col("n_sh")) + 1
+    prefix = ranked.filter(F.col("__rn") <= prefix_len).select("__id", "sh")
+    cands = (
+        _bucket_pairs(prefix, ["sh"], max_bucket=max_bucket)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _jaccard_verify(sh, cands, min_jaccard)
 
 
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

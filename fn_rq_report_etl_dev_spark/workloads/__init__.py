@@ -178,6 +178,9 @@ _RECHECK: list[str] = [
     #       they look unverified regardless of local evidence.
     "gaps_missing_event_ids",
     "weighted_median_price",
+    "running_total_global_scan",
+    "concurrency_peak_daily",
+    "dedup_prefix_jaccard",
     "graph_khop_reach",
     "timeseries_multigrain_rollup",
     "cep_funnel_regex",

@@ -156,6 +156,40 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "dedup_prefix_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    common AS (
+        SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS n_common
+        FROM shingles sa
+        JOIN shingles sb ON sb.sh = sa.sh AND sb.doc_id > sa.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN counts ca ON ca.doc_id = id_a
+    JOIN counts cb ON cb.doc_id = id_b
+    WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= 0.5
+    """,
+)
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard ≥ 0.5 similarity self-join via PREFIX FILTERING
+    (AllPairs/PPJoin) — the lossless counterpart to ``dedup_minhash_lsh``:
+    documents expose only their |x|−⌈t|x|⌉+1 globally-RAREST shingles,
+    pairs sharing a prefix shingle are the provably complete candidate
+    set, then candidate-restricted exact Jaccard verifies. The oracle is
+    the BRUTE-FORCE any-shared-shingle join — equality here proves the
+    filter loses nothing, which no LSH variant can claim."""
+    from ..operators.text_dedup import prefix_filter_jaccard_pairs
+
+    return prefix_filter_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", min_jaccard=0.5
+    )
+
+
+@workload(
     "split_leakage_check",
     oracle=f"""
     WITH {_SHINGLES_CTE}, {_LSH_CTE},

@@ -2315,3 +2315,158 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tot").cast("bigint").alias("total_weight"),
         )
     )
+
+
+@workload(
+    "running_total_global_scan",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_orderdate,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderkey IS NOT NULL AND o_orderdate IS NOT NULL
+          AND o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+          AND abs(o_totalprice) < 1e12
+    )
+    SELECT o_orderkey, o_orderdate,
+           CAST(sum(cents) OVER (ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_revenue_cents
+    FROM o
+    """,
+)
+def running_total_global_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue over EVERY order in date order — a running sum
+    whose window has no PARTITION BY, i.e. the query class where the
+    naive plan is a ONE-TASK global sort-window. The engine runs
+    ``operators/scan.bucketed_running_sum``: per-64-day-bucket windows
+    fully parallel, one tiny ordered window over the |buckets|-row
+    summary for the carry-ins, broadcast back. Money in integer cents so
+    the distributed re-association is exact; (o_orderdate, o_orderkey) is
+    a total order; NaN/absurd guards mirror the oracle (ANSI cast
+    crashes on NaN)."""
+    from ..operators.scan import bucketed_running_sum
+
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderkey").isNotNull()
+            & F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+            & ~F.isnan(F.col("o_totalprice"))
+            & (F.abs(F.col("o_totalprice")) < 1e12)
+        )
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            (F.col("o_totalprice").cast(_D2) * 100).cast("bigint").alias("cents"),
+        )
+    )
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date"))
+    scanned = bucketed_running_sum(
+        o,
+        bucket=((day - F.pmod(day, F.lit(64))) / 64).cast("bigint"),
+        order_by=[F.col("o_orderdate"), F.col("o_orderkey")],
+        value=F.col("cents"),
+        out_col="cum_revenue_cents",
+    )
+    return scanned.select("o_orderkey", "o_orderdate", "cum_revenue_cents")
+
+
+@workload(
+    "concurrency_peak_daily",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id, ts FROM events
+        WHERE user_id IS NOT NULL AND event_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s,
+               event_id
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    ),
+    sess AS (
+        SELECT user_id, sid, min(ts) AS s_start, max(ts) AS s_end
+        FROM numbered GROUP BY user_id, sid
+    ),
+    sweep AS (
+        SELECT user_id, s_start, s_start AS ts, 1 AS delta FROM sess
+        UNION ALL
+        SELECT user_id, s_start, s_end AS ts, -1 AS delta FROM sess
+    ),
+    run AS (
+        SELECT ts,
+               sum(delta) OVER (ORDER BY ts, delta DESC, user_id, s_start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        FROM sweep
+    )
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(max(conc) AS BIGINT) AS peak_concurrency
+    FROM run GROUP BY 1
+    """,
+)
+def concurrency_peak_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak number of SIMULTANEOUSLY open sessions per day — the
+    interval-overlap maximum (room occupancy / concurrent connections),
+    computed as a sweep line: sessionize (30-min gap), emit +1 at session
+    start and −1 at session end, running-sum the deltas over the global
+    time order, max per day. The global running sum is the one-task-
+    window trap again — ``operators/scan.bucketed_running_sum`` keys the
+    in-bucket windows by calendar day (the summary is |days| rows).
+    Overlap is INCLUSIVE at the instant boundary: +1 sorts before −1 at
+    equal ts (delta DESC), so back-to-back touching sessions count as
+    concurrent; (ts, delta, user_id, s_start) is a total order because a
+    session contributes exactly one +1 and one −1. All-integer deltas —
+    exact in any association."""
+    from ..operators.scan import bucketed_running_sum
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_s = F.when(
+        prev_ts.isNull() | ((F.col("ts") - prev_ts) > F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    numbered = ev.select(
+        "user_id",
+        "ts",
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("sid"),
+    )
+    sess = numbered.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    sweep = sess.select(
+        "user_id", "s_start", F.col("s_start").alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(
+        sess.select(
+            "user_id", "s_start", F.col("s_end").alias("ts"), F.lit(-1).alias("delta")
+        )
+    )
+    run = bucketed_running_sum(
+        sweep,
+        bucket=F.to_date("ts"),
+        order_by=[
+            F.col("ts"),
+            F.col("delta").desc(),
+            F.col("user_id"),
+            F.col("s_start"),
+        ],
+        value=F.col("delta"),
+        out_col="conc",
+    )
+    return run.groupBy(F.to_date("ts").alias("day")).agg(
+        F.max("conc").cast("bigint").alias("peak_concurrency")
+    )

@@ -525,13 +525,17 @@ def bfs_experiment():
     nodes only, anti-join against reached) vs the naive fixed-point
     iterate that re-joins the ENTIRE reached set to the edge table every
     round and min-aggregates. Same hop assignments (integer BFS => exact
-    equality asserted via checksum); the frontier variant's per-round
-    join input shrinks as the wave passes, the naive one's grows
-    monotonically — the gap widens with radius and graph size."""
+    equality asserted via checksum). The radius matters: up to the
+    saturation hop the two join similar row counts (frontier ≈ newly
+    reached ≈ most of reached, since expansion is geometric), but PAST
+    saturation the frontier empties — the frontier variant's remaining
+    rounds are no-ops (early exit) while the naive one re-joins all |V|
+    reached rows against the full edge table every round. 8 hops on a
+    graph that saturates at ~4 makes both regimes visible in one run."""
     from fn_rq_report_etl_dev_spark.operators.graph import bfs_min_hops
 
     N_NODES = 1_000_000
-    MAX_HOPS = 4
+    MAX_HOPS = 8
     for n_edges in (5_000_000, 20_000_000):
         edges = (
             spark.range(n_edges)

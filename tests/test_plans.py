@@ -472,3 +472,45 @@ def test_embedding_centroid_partial_agg_no_udf(spark, sf_dir):
     assert exchange_count(df) == 1
     assert "partial_sum" in plan
     assert "Python" not in plan and "Join" not in plan
+
+
+def test_running_total_scan_two_level(spark, sf_dir):
+    """Global running sum (no PARTITION BY): the data-path window must be
+    partitioned by the scan bucket; the ONLY SinglePartition exchange
+    feeds the |buckets|-row summary window (built from a map-side
+    partial_sum); carry-ins come back via broadcast join."""
+    df = QUERIES["running_total_global_scan"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert uses_broadcast_join(df)
+    assert plan.count("SinglePartition") == 1
+    assert "partial_sum" in plan
+
+
+def test_concurrency_sweep_two_level(spark, sf_dir):
+    """Sweep-line concurrency: same scan decomposition — one tiny
+    SinglePartition for the per-day summary, broadcast carry join; the
+    sweep rows themselves only ever see day-partitioned windows."""
+    df = QUERIES["concurrency_peak_daily"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert uses_broadcast_join(df)
+    assert plan.count("SinglePartition") == 1
+
+
+def test_gaps_two_level_lead(spark, sf_dir):
+    """Distributed lag/lead: per-bucket lead windows are partitioned; only
+    the per-bucket min summary crosses the single ordered window, and the
+    stitch joins back broadcast."""
+    df = QUERIES["gaps_missing_event_ids"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert uses_broadcast_join(df)
+    assert plan.count("SinglePartition") == 1
+
+
+def test_prefix_jaccard_equi_joins_only(spark, sf_dir):
+    """Prefix-filter Jaccard: every join is an equi-join on shingle or id
+    keys — no cartesian/broadcast-nested-loop anywhere despite being an
+    all-pairs similarity join by semantics."""
+    df = QUERIES["dedup_prefix_jaccard"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan

@@ -664,3 +664,80 @@ def test_bfs_min_hops_matches_python_bfs(spark, pairs, seeds, max_hops):
             exp[d] = hop
         frontier = nxt
     assert got == exp
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-20, 20), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_bucketed_running_sum_matches_global_window(spark, rows):
+    """bucketed_running_sum must equal the one-task global window
+    ``sum(v) OVER (ORDER BY k, idx ROWS UNBOUNDED PRECEDING)`` on
+    arbitrary integer data — duplicate keys, negative values, empty
+    buckets between occupied ones, and a bucket expression that is a
+    nondecreasing function of the leading order key."""
+    from fn_rq_report_etl_dev_spark.operators.scan import bucketed_running_sum
+
+    data = [(k, i, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k bigint, idx bigint, v bigint")
+    got = {
+        (r["k"], r["idx"]): r["cum"]
+        for r in bucketed_running_sum(
+            df,
+            bucket=(F.col("k") - F.pmod(F.col("k"), F.lit(5))) / 5,
+            order_by=[F.col("k"), F.col("idx")],
+            value=F.col("v"),
+            out_col="cum",
+        ).collect()
+    }
+
+    acc, exp = 0, {}
+    for k, i, v in sorted(data):
+        acc += v
+        exp[(k, i)] = acc
+    assert got == exp
+
+
+_doc_words = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+    min_size=0,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=st.lists(_doc_words, min_size=1, max_size=12))
+def test_prefix_filter_jaccard_matches_bruteforce(spark, docs):
+    """prefix_filter_jaccard_pairs must equal the brute-force all-pairs
+    word-3-gram Jaccard ≥ θ on arbitrary corpora — identical docs
+    (J=1.0 exactly at every prefix length), sub-3-word docs (no
+    shingles, never paired), and hot shingles shared by every doc (the
+    chunked pair generation must not drop or duplicate pairs)."""
+    from fn_rq_report_etl_dev_spark.operators.text_dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    data = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(data, "doc_id bigint, text string")
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_jaccard_pairs(df, "doc_id", "text", 0.5).collect()
+    )
+
+    def sh(ws):
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    sets = {i: sh(ws) for i, ws in enumerate(docs)}
+    exp = sorted(
+        (a, b)
+        for a in sets
+        for b in sets
+        if a < b
+        and sets[a] & sets[b]
+        and len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= 0.5
+    )
+    assert got == exp
