@@ -427,3 +427,82 @@ def boilerplate_segments(
         ).cast("bigint").alias("clean_n_words"),
     )
     return out
+
+
+def greedy_token_cover(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, ngram: int = 2
+) -> DataFrame:
+    """Greedy maximum-coverage document selection: pick ``k`` documents,
+    each round choosing the one covering the most NOT-YET-COVERED
+    distinct tokens (ties → smallest id) — the classic (1−1/e)-
+    approximation for submodular coverage, i.e. "which k docs teach the
+    model the most vocabulary", the core primitive of coverage-driven
+    corpus selection.
+
+    Greedy is inherently sequential in k, so each of the ≤k rounds is one
+    distributed aggregate (marginal gains) + one anti-join (retire the
+    winner's tokens from EVERY document's remaining set). Driver traffic
+    is ONE row per round (the argmax) — bounded scalars, never data; the
+    shrinking remaining-tokens relation is localCheckpoint'ed per round
+    with the superseded blocks unpersisted (the
+    ``cluster_components_min_label`` discipline). Returns
+    DataFrame[rank, doc_id, new_tokens] with ≤ k rows; stops early when
+    every token is covered. NULL ids are dropped (an argmax over NULL is
+    meaningless and the anti-join would retire nothing).
+    """
+
+    def _checkpoint_rdd(frame: DataFrame):
+        plan = frame._jdf.queryExecution().analyzed()
+        return plan.rdd() if plan.getClass().getSimpleName() == "LogicalRDD" else None
+
+    docs = df.filter(F.col(id_col).isNotNull())
+    if ngram == 1:
+        toks = _tokens(docs, id_col, text_col)
+    else:
+        # word n-grams via the posexplode + window-lead pipeline
+        # (_exploded_shingles' shape, parameterized) — a unigram basis is
+        # often degenerate (tiny vocab, one doc covers everything).
+        from pyspark.sql import Window
+
+        ws = docs.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(TXT.words(F.col(text_col))).alias("pos", "w0"),
+        )
+        wnd = Window.partitionBy("__id").orderBy("pos")
+        parts = [F.col("w0")] + [
+            F.lead("w0", j).over(wnd) for j in range(1, ngram)
+        ]
+        toks = (
+            ws.withColumn("w", F.concat_ws(" ", *parts))
+            .withColumn("__last", parts[-1])
+            .filter(F.col("__last").isNotNull() & (F.col("w0") != ""))
+            .select("__id", "w")
+        )
+    remaining = toks.distinct().localCheckpoint(eager=True)
+    prev_rdd = _checkpoint_rdd(remaining)
+    picked: list[tuple[int, int, int]] = []
+    for rank in range(1, k + 1):
+        top = (
+            remaining.groupBy("__id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.col("gain").desc(), F.col("__id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        picked.append((rank, top[0]["__id"], top[0]["gain"]))
+        winner_tokens = remaining.filter(F.col("__id") == top[0]["__id"]).select("w")
+        remaining = remaining.join(winner_tokens, "w", "left_anti").localCheckpoint(
+            eager=True
+        )
+        if prev_rdd is not None:
+            prev_rdd.unpersist(False)
+        prev_rdd = _checkpoint_rdd(remaining)
+    # The result lives in `picked` (≤ k driver rows); the last remaining-
+    # tokens checkpoint is dead weight — free it before returning.
+    if prev_rdd is not None:
+        prev_rdd.unpersist(False)
+    return df.sparkSession.createDataFrame(
+        picked, "rank bigint, doc_id bigint, new_tokens bigint"
+    )

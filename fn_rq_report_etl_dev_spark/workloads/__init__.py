@@ -76,6 +76,8 @@ EAGER_SCHEMAS: dict[str, str] = {
         "o_custkey bigint, recency_days int, frequency bigint, monetary double, "
         "r_score int, f_score int, m_score int, segment string"
     ),
+    # greedy coverage collects one argmax row per round (driver scalars)
+    "curation_greedy_coverage": "pick_rank bigint, doc_id bigint, new_tokens bigint",
     # collects the two-dimension min/max normalization bounds (driver scalars)
     "zorder_layout_events": (
         "bucket bigint, n_rows bigint, min_user bigint, max_user bigint, "
@@ -181,6 +183,8 @@ _RECHECK: list[str] = [
     "running_total_global_scan",
     "concurrency_peak_daily",
     "dedup_prefix_jaccard",
+    "curation_greedy_coverage",
+    "drift_value_chi2",
     "graph_khop_reach",
     "timeseries_multigrain_rollup",
     "cep_funnel_regex",

@@ -1391,3 +1391,101 @@ def cep_funnel_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("s").cast("bigint").alias("seq_len"),
         F.expr("regexp_count(s, 'vc+p')").cast("bigint").alias("n_funnels"),
     )
+
+
+@workload(
+    "drift_value_chi2",
+    oracle="""
+    WITH ev AS (
+        SELECT CAST(floor(value / 25) AS BIGINT) AS bin,
+               CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7)
+                    AS BIGINT) AS wk
+        FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)
+          AND value >= 0 AND value < 1e6 AND ts IS NOT NULL
+    ),
+    c AS (
+        SELECT bin,
+               count(*) FILTER (wk = 0) AS n_ref,
+               count(*) FILTER (wk = 1) AS n_cur
+        FROM ev WHERE wk IN (0, 1) GROUP BY bin
+    ),
+    t AS (
+        SELECT bin, n_ref, n_cur,
+               sum(n_ref) OVER () AS tot_ref,
+               sum(n_cur) OVER () AS tot_cur
+        FROM c
+    )
+    SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+           CASE WHEN n_ref > 0 THEN
+               (CAST(n_cur AS DOUBLE)
+                   - CAST(n_ref AS DOUBLE) * CAST(tot_cur AS DOUBLE)
+                     / CAST(tot_ref AS DOUBLE))
+               * (CAST(n_cur AS DOUBLE)
+                   - CAST(n_ref AS DOUBLE) * CAST(tot_cur AS DOUBLE)
+                     / CAST(tot_ref AS DOUBLE))
+               / (CAST(n_ref AS DOUBLE) * CAST(tot_cur AS DOUBLE)
+                     / CAST(tot_ref AS DOUBLE))
+           END AS chi2_term
+    FROM t
+    """,
+)
+def drift_value_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: chi-square contribution per value bin,
+    week 2 observed vs week 1 expected — the data-quality gate that
+    catches an upstream schema/unit change before it poisons training
+    data. Exact integer bin counts flow through ONE groupBy; the totals
+    come from an unpartitioned window over the ≤|bins| summary rows (the
+    tiny-side SinglePartition, same budget as the scan operators); the
+    only floats are the final expected/term expressions, written with the
+    identical association in both engines on identical integers. Bins
+    with no reference mass report NULL (no defensible expectation), not
+    +inf."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & ~F.isnan(F.col("value"))
+            & (F.col("value") >= 0)
+            & (F.col("value") < 1e6)
+            & F.col("ts").isNotNull()
+        )
+        .select(
+            F.floor(F.col("value") / 25).cast("bigint").alias("bin"),
+            F.floor(
+                F.datediff(
+                    F.to_date("ts"), F.lit("2024-01-01").cast("date")
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("wk"),
+        )
+        .filter(F.col("wk").isin(0, 1))
+    )
+    c = ev.groupBy("bin").agg(
+        F.count(F.when(F.col("wk") == 0, 1)).alias("n_ref"),
+        F.count(F.when(F.col("wk") == 1, 1)).alias("n_cur"),
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = c.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.sum("n_ref").over(wall).alias("tot_ref"),
+        F.sum("n_cur").over(wall).alias("tot_cur"),
+    )
+    e = (
+        F.col("n_ref").cast("double")
+        * F.col("tot_cur").cast("double")
+        / F.col("tot_ref").cast("double")
+    )
+    d = F.col("n_cur").cast("double") - e
+    return t.select(
+        "bin",
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.when(F.col("n_ref") > 0, d * d / e).alias("chi2_term"),
+    )

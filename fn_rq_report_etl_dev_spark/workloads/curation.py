@@ -486,3 +486,58 @@ def curation_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = load(spark, sf_dir, "documents")
     return boilerplate_segments(docs, "doc_id", "text", seg_words=10, min_docs=2)
+
+
+_GREEDY_TOKS_CTE = r"""gwords AS (
+    SELECT doc_id,
+           string_split_regex(trim(translate(text,
+               'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+               'abcdefghijklmnopqrstuvwxyz')), '\s+') AS ws
+    FROM documents WHERE doc_id IS NOT NULL
+),
+toks AS (
+    SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS tok
+    FROM gwords, UNNEST(range(1, len(ws))) AS t(i)
+    WHERE len(ws) >= 2 AND ws[i] <> ''
+)"""
+
+
+def _greedy_cover_sql(k: int) -> str:
+    """The greedy max-coverage recurrence unrolled into a CTE chain
+    (the ``graph_pagerank_parts`` trick): p_i picks round i's argmax
+    (gain DESC, doc_id ASC), r_i retires its tokens from every doc."""
+    parts = [_GREEDY_TOKS_CTE]
+    prev = "toks"
+    selects = []
+    for i in range(1, k + 1):
+        parts.append(
+            f"p{i} AS (SELECT doc_id, count(*) AS gain FROM {prev} "
+            f"GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1)"
+        )
+        selects.append(
+            f"SELECT CAST({i} AS BIGINT) AS pick_rank, doc_id, "
+            f"CAST(gain AS BIGINT) AS new_tokens FROM p{i}"
+        )
+        if i < k:
+            parts.append(
+                f"r{i} AS (SELECT t.doc_id, t.tok FROM {prev} t "
+                f"WHERE t.tok NOT IN "
+                f"(SELECT c.tok FROM {prev} c JOIN p{i} USING (doc_id)))"
+            )
+            prev = f"r{i}"
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@workload("curation_greedy_coverage", oracle=_greedy_cover_sql(5))
+def curation_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-driven corpus selection: the 5 documents a greedy
+    (1−1/e)-approximate maximum-coverage pass picks to cover the most
+    distinct vocabulary — `operators/curation.greedy_token_cover`
+    (one marginal-gain aggregate + one token-retiring anti-join per
+    round, one argmax row to the driver per round). The oracle unrolls
+    the same recurrence into a deterministic CTE chain; integer gains
+    and the (gain DESC, doc_id ASC) tiebreak make the match exact."""
+    from ..operators.curation import greedy_token_cover
+
+    sel = greedy_token_cover(load(spark, sf_dir, "documents"), "doc_id", "text", k=5)
+    return sel.select(F.col("rank").alias("pick_rank"), "doc_id", "new_tokens")

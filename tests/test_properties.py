@@ -741,3 +741,38 @@ def test_prefix_filter_jaccard_matches_bruteforce(spark, docs):
         and len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= 0.5
     )
     assert got == exp
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs=st.lists(_doc_words, min_size=1, max_size=10), k=st.integers(1, 4))
+def test_greedy_token_cover_matches_python_greedy(spark, docs, k):
+    """greedy_token_cover must equal a literal Python greedy
+    max-coverage replay on arbitrary corpora — duplicate docs (zero
+    marginal gain after the first), sub-n-gram docs (never picked),
+    early exit when coverage is exhausted, and the (gain DESC, id ASC)
+    tiebreak."""
+    from fn_rq_report_etl_dev_spark.operators.curation import greedy_token_cover
+
+    data = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(data, "doc_id bigint, text string")
+    got = sorted(
+        (r["rank"], r["doc_id"], r["new_tokens"])
+        for r in greedy_token_cover(df, "doc_id", "text", k=k, ngram=2).collect()
+    )
+
+    sets = {
+        i: {" ".join(ws[j : j + 2]) for j in range(len(ws) - 1)}
+        for i, ws in enumerate(docs)
+    }
+    covered: set[str] = set()
+    exp = []
+    for rank in range(1, k + 1):
+        gains = sorted(
+            ((len(s - covered), -i) for i, s in sets.items()), reverse=True
+        )
+        best_gain, neg_id = gains[0]
+        if best_gain == 0:
+            break
+        exp.append((rank, -neg_id, best_gain))
+        covered |= sets[-neg_id]
+    assert got == sorted(exp)
