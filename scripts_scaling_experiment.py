@@ -593,6 +593,60 @@ def bfs_experiment():
         }))
 
 
+
+
+def scan_experiment():
+    """bucketed_running_sum (per-bucket windows + broadcast carry-in) vs
+    the naive one-task global window `sum(v) OVER (ORDER BY k)` on 5M and
+    20M rows, local[32]; cumulative sums asserted IDENTICAL via per-row
+    hash checksum (integer values => bit-equality). The naive plan is the
+    scale-killer being designed out: ALL rows sort in ONE task."""
+    from pyspark.sql import Window
+    from fn_rq_report_etl_dev_spark.operators.scan import bucketed_running_sum
+
+    for n in (5_000_000, 20_000_000):
+        base = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("k"),
+                (F.pmod(F.hash(F.col("id")), F.lit(1001)) - 500)
+                .cast("bigint")
+                .alias("v"),
+            )
+            .repartition(32)  # hash-spread: the input arrives unsorted
+            .persist()
+        )
+        _force(base)
+
+        t0 = time.perf_counter()
+        two = bucketed_running_sum(
+            base,
+            bucket=F.expr("k div 65536"),
+            order_by=[F.col("k")],
+            value=F.col("v"),
+            out_col="cum",
+        )
+        two_sum = two.agg(
+            F.sum(F.hash("k", "cum").cast("bigint")), F.count("*")
+        ).collect()[0]
+        two_s = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+        naive = base.withColumn("cum", F.sum("v").over(w))
+        nv_sum = naive.agg(
+            F.sum(F.hash("k", "cum").cast("bigint")), F.count("*")
+        ).collect()[0]
+        nv_s = round(time.perf_counter() - t0, 2)
+
+        assert tuple(two_sum) == tuple(nv_sum), (two_sum, nv_sum)
+        base.unpersist()
+        print(json.dumps({
+            "experiment": "scan", "n_rows": n, "bucket_width": 65536,
+            "two_level_s": two_s, "one_task_window_s": nv_s,
+        }))
+
+
 if EXPERIMENT == "skyline":
     skyline_experiment()
     sys.exit(0)
@@ -601,6 +655,9 @@ if EXPERIMENT == "pagerank":
     sys.exit(0)
 if EXPERIMENT == "bfs":
     bfs_experiment()
+    sys.exit(0)
+if EXPERIMENT == "scan":
+    scan_experiment()
     sys.exit(0)
 if EXPERIMENT == "tri":
     tri_experiment()
