@@ -76,6 +76,9 @@ EAGER_SCHEMAS: dict[str, str] = {
         "o_custkey bigint, recency_days int, frequency bigint, monetary double, "
         "r_score int, f_score int, m_score int, segment string"
     ),
+    # two-phase selection collects the bucket histogram (bounded by the
+    # value RANGE, not the data) during build
+    "global_median_twophase": "median_cents bigint, n_rows bigint",
     # greedy coverage collects one argmax row per round (driver scalars)
     "curation_greedy_coverage": "pick_rank bigint, doc_id bigint, new_tokens bigint",
     # collects the two-dimension min/max normalization bounds (driver scalars)
@@ -185,6 +188,7 @@ _RECHECK: list[str] = [
     "dedup_prefix_jaccard",
     "curation_greedy_coverage",
     "drift_value_chi2",
+    "global_median_twophase",
     "graph_khop_reach",
     "timeseries_multigrain_rollup",
     "cep_funnel_regex",

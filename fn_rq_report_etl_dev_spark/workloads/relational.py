@@ -2470,3 +2470,86 @@ def concurrency_peak_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.groupBy(F.to_date("ts").alias("day")).agg(
         F.max("conc").cast("bigint").alias("peak_concurrency")
     )
+
+
+@workload(
+    "global_median_twophase",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            AS cents
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+          AND abs(l_extendedprice) < 1e12
+    ),
+    nn AS (SELECT count(*) AS n FROM pts)
+    SELECT
+        (SELECT cents FROM pts ORDER BY cents
+         LIMIT 1 OFFSET (SELECT (n + 1) // 2 FROM nn) - 1) AS median_cents,
+        (SELECT CAST(n AS BIGINT) FROM nn) AS n_rows
+    """,
+)
+def global_median_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median (lower median: the ⌈n/2⌉-th smallest) of
+    extendedprice over ALL lineitems — the distributed SELECTION problem.
+    A naive exact median sorts the whole relation (one-task window or a
+    full range sort for one value); the two-phase plan never sorts data:
+
+    1. histogram pass: count per 65536-cent bucket — one
+       map-side-combinable aggregate; the driver receives only the
+       ≤ |value range|/65536 bucket counts (bounded scalars for any row
+       count, since the PRICE RANGE, not the data, fixes the bucket
+       count) and locates the bucket containing rank ⌈n/2⌉;
+    2. refine pass: only that bucket's rows (≈ n/buckets) are re-counted
+       per distinct value and a tiny ordered window finds the first
+       value whose in-bucket cumulative count reaches the residual rank.
+
+    Recursing step 2 handles a pathological all-one-bucket distribution.
+    Integer cents ⇒ exact; the oracle is the literal ORDER BY/OFFSET
+    definition."""
+    pts = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_extendedprice").isNotNull()
+            & ~F.isnan(F.col("l_extendedprice"))
+            & (F.abs(F.col("l_extendedprice")) < 1e12)
+        )
+        .select(
+            (F.col("l_extendedprice").cast(_D2) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .persist()
+    )
+    hist = sorted(
+        (r["b"], r["c"])
+        for r in pts.groupBy(F.expr("cents div 65536").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    n = sum(c for _, c in hist)
+    if n == 0:
+        pts.unpersist()
+        return spark.createDataFrame([], "median_cents bigint, n_rows bigint")
+    k = (n + 1) // 2
+    cum = 0
+    for b_star, c in hist:
+        if cum + c >= k:
+            break
+        cum += c
+    local_k = k - cum
+    wb = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    med = (
+        pts.filter(F.expr("cents div 65536") == b_star)
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("cum", F.sum("c").over(wb))
+        .filter(F.col("cum") >= local_k)
+        .orderBy("cents")
+        .limit(1)
+        .select(
+            F.col("cents").alias("median_cents"),
+            F.lit(n).cast("bigint").alias("n_rows"),
+        )
+    )
+    return med
