@@ -290,3 +290,70 @@ def bfs_min_hops(
             prev_reached_rdd.unpersist(False)
         prev_reached_rdd = _checkpoint_rdd(reached)
     return reached
+
+
+def sssp_relax(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str = "w",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Multi-source shortest path over NONNEGATIVE integer edge weights:
+    ``rounds`` synchronous Bellman-Ford relaxations, i.e. exact min-plus
+    distance over paths of at most ``rounds`` edges (seeds at 0).
+    Returns DataFrame[node, dist] for every node reachable within the
+    bound. The weighted counterpart to :func:`bfs_min_hops` — hop counts
+    are the w≡1 special case, but with real weights a node's label can
+    IMPROVE after first discovery, so the frontier/anti-join shape is
+    unsound; the correct round is relax-everything + min-aggregate:
+
+        dist_{i+1}(v) = min(dist_i(v), min over (u,v,w): dist_i(u) + w)
+
+    Per round: ONE shuffled join (current labels × edges) + ONE
+    map-side-combinable min-aggregate. Integer arithmetic — exact in any
+    association, so a SQL replay of the unrolled recurrence matches
+    bit-for-bit. Early exit on a fixed point via a (count, sum) scalar
+    pair — the label multiset is monotone (counts only grow, sums only
+    shrink per node), so an unchanged pair means convergence.
+    ``localCheckpoint`` + unpersist-superseded lineage discipline as in
+    :func:`connected_components_min_label`.
+    """
+
+    def _checkpoint_rdd(df: DataFrame):
+        plan = df._jdf.queryExecution().analyzed()
+        return plan.rdd() if plan.getClass().getSimpleName() == "LogicalRDD" else None
+
+    e = edges.select(
+        F.col(src_col).alias("e_src"),
+        F.col(dst_col).alias("e_dst"),
+        F.col(w_col).cast("bigint").alias("e_w"),
+    )
+    dist = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    prev_rdd = _checkpoint_rdd(dist)
+    prev_sig = tuple(dist.agg(F.count(F.lit(1)), F.sum("dist")).collect()[0])
+    for _ in range(rounds):
+        relaxed = dist.join(e, dist["node"] == e["e_src"]).select(
+            F.col("e_dst").alias("node"), (F.col("dist") + F.col("e_w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if prev_rdd is not None:
+            prev_rdd.unpersist(False)
+        prev_rdd = _checkpoint_rdd(dist)
+        sig = tuple(dist.agg(F.count(F.lit(1)), F.sum("dist")).collect()[0])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return dist

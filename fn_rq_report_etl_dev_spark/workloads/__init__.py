@@ -79,6 +79,8 @@ EAGER_SCHEMAS: dict[str, str] = {
     # two-phase selection collects the bucket histogram (bounded by the
     # value RANGE, not the data) during build
     "global_median_twophase": "median_cents bigint, n_rows bigint",
+    # Bellman-Ford collects a (count, sum) fixed-point signature per round
+    "graph_sssp_weighted": "partkey bigint, dist bigint",
     # greedy coverage collects one argmax row per round (driver scalars)
     "curation_greedy_coverage": "pick_rank bigint, doc_id bigint, new_tokens bigint",
     # collects the two-dimension min/max normalization bounds (driver scalars)
@@ -189,6 +191,7 @@ _RECHECK: list[str] = [
     "curation_greedy_coverage",
     "drift_value_chi2",
     "global_median_twophase",
+    "graph_sssp_weighted",
     "graph_khop_reach",
     "timeseries_multigrain_rollup",
     "cep_funnel_regex",

@@ -1489,3 +1489,87 @@ def drift_value_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_cur").cast("bigint").alias("n_cur"),
         F.when(F.col("n_ref") > 0, d * d / e).alias("chi2_term"),
     )
+
+
+def _sssp_oracle(rounds: int) -> str:
+    """Bounded Bellman-Ford unrolled into a CTE chain (the pagerank
+    trick): d_{i+1} = min(d_i, min over edges(d_i[src] + w)). Weighted
+    edges reuse the khop co-purchase CTEs plus an integer weight."""
+    parts = [
+        _KHOP_EDGE_CTES.replace(
+            "AS dst\n",
+            "AS dst, 1 + (a.l_partkey + b.l_partkey) % 7 AS w\n",
+        ).replace("GROUP BY 1, 2", "GROUP BY 1, 2, 3"),
+        """seeds AS (
+        SELECT DISTINCT p_partkey AS node FROM part
+        WHERE p_size = 1 AND p_partkey IS NOT NULL
+    )""",
+        "d0 AS (SELECT node, CAST(0 AS BIGINT) AS d FROM seeds)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"d{i} AS (SELECT node, min(d) AS d FROM ("
+            f"SELECT node, d FROM d{i - 1} "
+            f"UNION ALL "
+            f"SELECT e.dst AS node, p.d + e.w AS d "
+            f"FROM d{i - 1} p JOIN edges e ON e.src = p.node"
+            f") GROUP BY node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node AS partkey, CAST(d AS BIGINT) AS dist FROM d{rounds}"
+    )
+
+
+@workload("graph_sssp_weighted", oracle=_sssp_oracle(4))
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED shortest paths (4 Bellman-Ford relaxation rounds) from
+    the size-1 parts over the co-purchase graph, edge weight
+    1 + (src+dst) mod 7 — the weighted counterpart to `graph_khop_reach`:
+    with real weights a settled node's label can still IMPROVE, so the
+    BFS frontier/anti-join shape is unsound and the correct round is
+    relax-all + min-aggregate (`operators.graph.sssp_relax`: one join +
+    one map-side-combinable min per round, early exit on the monotone
+    (count, sum) fixed-point signature). Integer weights make the
+    distributed min-plus exact, so the oracle — the same recurrence
+    unrolled into a CTE chain — matches bit-for-bit. NULL keys filtered
+    before pairing on both sides."""
+    from ..operators.graph import sssp_relax
+
+    li = load(spark, sf_dir, "lineitem")
+    items = (
+        li.filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    baskets = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    half = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .distinct()
+    )
+    edges = (
+        half.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(half.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .withColumn("w", 1 + (F.col("src") + F.col("dst")) % 7)
+        .persist()
+    )
+    seeds = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 1) & F.col("p_partkey").isNotNull())
+        .select(F.col("p_partkey").alias("node"))
+    )
+    dist = sssp_relax(edges, seeds, rounds=4)
+    edges.unpersist()
+    return dist.select(F.col("node").alias("partkey"), F.col("dist"))

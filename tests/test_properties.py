@@ -776,3 +776,42 @@ def test_greedy_token_cover_matches_python_greedy(spark, docs, k):
         exp.append((rank, -neg_id, best_gain))
         covered |= sets[-neg_id]
     assert got == sorted(exp)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 10), st.integers(0, 10), st.integers(0, 9)),
+        min_size=0,
+        max_size=30,
+    ),
+    seeds=st.lists(st.integers(0, 10), min_size=1, max_size=3),
+    rounds=st.integers(0, 4),
+)
+def test_sssp_relax_matches_python_bellman_ford(spark, pairs, seeds, rounds):
+    """sssp_relax must equal a literal Python Bellman-Ford bounded at the
+    same round count on arbitrary weighted digraphs — zero weights,
+    parallel edges (min survives), unreachable nodes absent, and labels
+    that improve AFTER first discovery (the case the BFS frontier shape
+    gets wrong)."""
+    from fn_rq_report_etl_dev_spark.operators.graph import sssp_relax
+
+    edge_list = [(a, b, w) for a, b, w in pairs if a != b]
+    seed_set = sorted(set(seeds))
+    if edge_list:
+        edges = spark.createDataFrame(edge_list, "src bigint, dst bigint, w bigint")
+    else:
+        edges = spark.createDataFrame([], "src bigint, dst bigint, w bigint")
+    seeds_df = spark.createDataFrame([(s,) for s in seed_set], "node bigint")
+    got = sorted(
+        (r["node"], r["dist"]) for r in sssp_relax(edges, seeds_df, rounds).collect()
+    )
+
+    dist = {s: 0 for s in seed_set}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for a, b, w in edge_list:
+            if a in dist and dist[a] + w < nxt.get(b, float("inf")):
+                nxt[b] = dist[a] + w
+        dist = nxt
+    assert got == sorted(dist.items())
