@@ -76,6 +76,8 @@ EAGER_SCHEMAS: dict[str, str] = {
         "o_custkey bigint, recency_days int, frequency bigint, monetary double, "
         "r_score int, f_score int, m_score int, segment string"
     ),
+    # distributed_ntile materializes per-partition counts (driver scalars)
+    "histogram_equidepth_price": "bucket int, n_rows bigint, lo_cents bigint, hi_cents bigint",
     # two-phase selection collects the bucket histogram (bounded by the
     # value RANGE, not the data) during build
     "global_median_twophase": "median_cents bigint, n_rows bigint",
@@ -192,6 +194,8 @@ _RECHECK: list[str] = [
     "drift_value_chi2",
     "global_median_twophase",
     "graph_sssp_weighted",
+    "histogram_equidepth_price",
+    "session_seconds_per_day",
     "graph_khop_reach",
     "timeseries_multigrain_rollup",
     "cep_funnel_regex",

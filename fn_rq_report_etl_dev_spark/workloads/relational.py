@@ -2553,3 +2553,142 @@ def global_median_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return med
+
+
+@workload(
+    "histogram_equidepth_price",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            AS cents
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+          AND abs(l_extendedprice) < 1e12
+    ),
+    t AS (SELECT cents, ntile(16) OVER (ORDER BY cents) AS bucket FROM pts)
+    SELECT CAST(bucket AS INT) AS bucket, count(*) AS n_rows,
+           min(cents) AS lo_cents, max(cents) AS hi_cents
+    FROM t GROUP BY bucket
+    """,
+)
+def histogram_equidepth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH (quantile) histogram of extendedprice: 16 buckets of
+    equal row count with exact boundaries — what an optimizer's
+    statistics collector or a data-profiling pass computes. The oracle's
+    `ntile(16) OVER (ORDER BY cents)` is the one-task global sort;
+    the engine runs `operators/ranking.distributed_ntile` (range
+    partition → per-partition row_number → partition-count offsets).
+    Ordering by cents alone is NOT total — but rows with equal cents are
+    interchangeable, so each bucket's (count, min, max) over CENTS is
+    determined by the sorted multiset alone and both engines agree
+    exactly."""
+    from ..operators.ranking import distributed_ntile
+
+    pts = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_extendedprice").isNotNull()
+            & ~F.isnan(F.col("l_extendedprice"))
+            & (F.abs(F.col("l_extendedprice")) < 1e12)
+        )
+        .select(
+            (F.col("l_extendedprice").cast(_D2) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    binned = distributed_ntile(pts, [F.col("cents")], 16, "bucket")
+    return binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+    )
+
+
+@workload(
+    "session_seconds_per_day",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id, ts FROM events
+        WHERE user_id IS NOT NULL AND event_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s,
+               event_id
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    ),
+    sess AS (
+        SELECT user_id, sid, min(ts) AS s_start, max(ts) AS s_end
+        FROM numbered GROUP BY user_id, sid
+    ),
+    segs AS (
+        SELECT s.user_id, s.s_start, s.s_end,
+               UNNEST(generate_series(CAST(s.s_start AS DATE),
+                                      CAST(s.s_end AS DATE),
+                                      INTERVAL 1 DAY)) AS day
+        FROM sess s
+    )
+    SELECT CAST(day AS DATE) AS day,
+           CAST(sum(
+               epoch_us(least(s_end, CAST(day AS TIMESTAMP) + INTERVAL 1 DAY))
+               - epoch_us(greatest(s_start, CAST(day AS TIMESTAMP)))
+           ) AS BIGINT) AS session_micros,
+           count(*) AS n_session_days
+    FROM segs GROUP BY 1
+    """,
+)
+def session_seconds_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state per calendar day: total session-open microseconds
+    attributed to each day — the interval-SPLIT aggregation (billing,
+    SLA accounting, occupancy integrals). Sessions crossing midnight are
+    EXPLODED into one row per overlapped day (``sequence`` of days — a
+    session spans few days, so the expansion is bounded) and each
+    segment contributes its clamped [max(start, day), min(end, day+1))
+    overlap. Microsecond integers end to end — exact; the day split is
+    pure map-side after the one sessionize exchange."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_s = F.when(
+        prev_ts.isNull() | ((F.col("ts") - prev_ts) > F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    numbered = ev.select(
+        "user_id",
+        "ts",
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("sid"),
+    )
+    sess = numbered.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    segs = sess.select(
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(F.to_date("s_start"), F.to_date("s_end"))
+        ).alias("day"),
+    )
+    day_start = F.col("day").cast("timestamp")
+    day_end = F.col("day").cast("timestamp") + F.expr("INTERVAL 1 DAY")
+    return segs.groupBy("day").agg(
+        F.sum(
+            F.unix_micros(F.least(F.col("s_end"), day_end))
+            - F.unix_micros(F.greatest(F.col("s_start"), day_start))
+        )
+        .cast("bigint")
+        .alias("session_micros"),
+        F.count(F.lit(1)).alias("n_session_days"),
+    )
