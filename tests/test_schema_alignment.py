@@ -108,16 +108,20 @@ def _green_from_reports(paths):
 
 
 def test_rotation_fronts_unverified_tpch_under_frozen_r02_reports():
-    """Simulate the round-3 state with a FROZEN input: greens = every
-    green row in the literal r01+r02 report files only. The 11 TPC-H
-    entries with no verdict at that point plus the 4 r02-red (since
-    fixed) queries must ALL land inside the driver's 50-slot window.
-    This holds for all future rounds because the simulated report set is
-    pinned, not globbed."""
+    """Simulate the round-3 state with FROZEN inputs: greens = every
+    green row in the literal r01+r02 report files only, and the registry
+    = the round-3 registry RECONSTRUCTED from the pinned report files
+    (r01+r02 greens ∪ r03's reported names — every query that provably
+    existed then). The 11 TPC-H entries with no verdict at that point
+    plus the 4 r02-red (since fixed) queries must ALL land inside the
+    driver's 50-slot window. Both inputs are pinned files, so the
+    simulation is immune to later registry growth (the first version of
+    this test used the LIVE registry and broke as soon as enough
+    alphabetically-early queries were added in round 5)."""
+    import json
     import os
 
     from fn_rq_report_etl_dev_spark.workloads import (
-        QUERIES,
         _REPO_ROOT,
         _ordered_names,
     )
@@ -127,7 +131,12 @@ def test_rotation_fronts_unverified_tpch_under_frozen_r02_reports():
         os.path.join(_REPO_ROOT, "CORRECTNESS_r02.json"),
     ]
     green = _green_from_reports(frozen)
-    ordered = _ordered_names(sorted(QUERIES), green, recheck=[])
+    with open(
+        os.path.join(_REPO_ROOT, "CORRECTNESS_r03.json"), encoding="utf-8"
+    ) as fh:
+        r03_names = list(json.load(fh))
+    registry_r03 = sorted(set(green) | set(r03_names))
+    ordered = _ordered_names(registry_r03, green, recheck=[])
     window = set(ordered[:50])
     must_verify = {
         "q8_market_share", "q9_product_profit", "q10_returned_items",
