@@ -51,6 +51,13 @@ HEADLINERS = [
     ("regression_ship_price_trend", "exact-OLS (r05): six DECIMAL sufficient statistics as map-side partials before the single group-by exchange; closed-form division is a post-agg scalar projection"),
     ("export_global_ids", "global sequential IDs (r05): zipWithIndex shape — range exchange + per-partition row_number + <= #partitions offset scalars; NO Exchange SinglePartition"),
     ("embedding_centroid_by_label", "mean-pool centroids (r05): posexplode + ONE group-by exchange; 2^-20 fixed-point bigint partial_sum collapses map tasks to labels x dims rows (tie-free cross-engine float aggregation)"),
+    ("running_total_global_scan", "distributed prefix scan (r05): per-bucket cumsum windows fully parallel; the ONLY SinglePartition exchange is the |buckets|-row carry summary (built map-side via partial_sum), broadcast back — a bare global running sum plans a one-task sort (measured 4.3x at 20M, SCALING.md)"),
+    ("gaps_missing_event_ids", "distributed lag/lead (r05): per-bucket lead windows partitioned by fixed-width ID ranges; only the per-bucket min summary crosses the single tiny ordered window; boundary stitch joins back broadcast"),
+    ("concurrency_peak_daily", "sweep-line concurrency (r05): sessionize -> +-1 deltas -> the same two-level scan keyed by calendar day -> per-day max; all-integer, the global running sum never sees a one-task window"),
+    ("weighted_median_price", "exact weighted median (r05): ties collapse FIRST (map-side-combinable groupBy bounds the window input by value cardinality); both windows partition by group key; median pick is integer 2*cumw >= total"),
+    ("dedup_prefix_jaccard", "prefix-filter Jaccard (r05): every join an equi-join — docs expose only their rarest |x|-ceil(t|x|)+1 shingles, candidates chunk-capped, exact verify candidate-restricted; the all-pairs semantics never appear as a cartesian"),
+    ("session_seconds_per_day", "interval-split accounting (r05): midnight-crossing sessions explode map-side into per-day clamped segments AFTER the one sessionize exchange; microsecond integer sums"),
+    ("drift_value_chi2", "drift monitor (r05): ONE integer bin-count aggregate; totals from an unpartitioned window over the <=|bins| summary rows; chi-square terms are post-agg scalar projections"),
 ]
 
 spark = get_spark(app_name="gen-plans")
