@@ -377,6 +377,22 @@ def prefix_filter_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    # Length filter (the AllPairs size bound): J(A,B) ≤ min(|A|,|B|) /
+    # max(|A|,|B|), so any pair with min < t·max is provably below
+    # threshold — drop it BEFORE the shingle-intersection verify (two
+    # cheap joins against the |docs|-row count table kill most
+    # mixed-size candidates that shared one rare prefix shingle).
+    na = counts.select(F.col("__id").alias("id_a"), F.col("n_sh").alias("__na"))
+    nb = counts.select(F.col("__id").alias("id_b"), F.col("n_sh").alias("__nb"))
+    cands = (
+        cands.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(
+            F.least("__na", "__nb").cast("double")
+            >= F.lit(min_jaccard) * F.greatest("__na", "__nb").cast("double")
+        )
+        .select("id_a", "id_b")
+    )
     return _jaccard_verify(sh, cands, min_jaccard)
 
 
