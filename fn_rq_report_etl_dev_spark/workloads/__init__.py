@@ -196,6 +196,7 @@ _RECHECK: list[str] = [
     "graph_sssp_weighted",
     "histogram_equidepth_price",
     "session_seconds_per_day",
+    "approx_rolling_distinct_hll",
     "graph_khop_reach",
     "timeseries_multigrain_rollup",
     "cep_funnel_regex",

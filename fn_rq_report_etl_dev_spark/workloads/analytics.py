@@ -1573,3 +1573,82 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = sssp_relax(edges, seeds, rounds=4)
     edges.unpersist()
     return dist.select(F.col("node").alias("partkey"), F.col("dist"))
+
+
+@workload(
+    "approx_rolling_distinct_hll",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    days AS (SELECT DISTINCT day FROM ud)
+    SELECT d.day AS end_day,
+           CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_users_7d,
+           CAST(1 AS BIGINT) AS est_within_5pct
+    FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+)
+def approx_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE PATH for `rolling_distinct_users`: one Datasketches HLL
+    sketch per day (`hll_sketch_agg`), each sketch replicated to the 7
+    windows it serves, merged per end day with `hll_union_agg` — sketch
+    MERGEABILITY is the property that makes rolling distinct tractable at
+    100 TB: the window expansion carries 7×|days| kilobyte sketches
+    instead of 7×|user-days| rows, and the same daily sketches serve ANY
+    window length for free. The estimate is asserted within 5% of the
+    exact count (lgConfigK=14 → rsd ≈0.41%, deterministic for fixed
+    data; measured max ≈1% at sf0.01); the exact counts themselves are
+    value-checked against DuckDB, so the flag row is driver-falsifiable."""
+    ud = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    days = ud.select("day").distinct()
+    daily_sk = ud.groupBy("day").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    exp_sk = daily_sk.select(
+        "sk",
+        F.explode(
+            F.expr("transform(sequence(0, 6), i -> date_add(day, i))")
+        ).alias("end_day"),
+    )
+    est = (
+        exp_sk.join(
+            F.broadcast(days.select(F.col("day").alias("end_day"))),
+            "end_day",
+            "semi",
+        )
+        .groupBy("end_day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    exact = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.expr("transform(sequence(0, 6), i -> date_add(day, i))")
+            ).alias("end_day"),
+        )
+        .join(
+            F.broadcast(days.select(F.col("day").alias("end_day"))),
+            "end_day",
+            "semi",
+        )
+        .groupBy("end_day")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users_7d"))
+    )
+    return exact.join(est, "end_day").select(
+        "end_day",
+        "n_users_7d",
+        (
+            F.abs(F.col("est") - F.col("n_users_7d"))
+            / F.col("n_users_7d")
+            <= 0.05
+        )
+        .cast("bigint")
+        .alias("est_within_5pct"),
+    )
