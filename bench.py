@@ -158,6 +158,61 @@ def main() -> None:
         force(QUERIES[name](spark, sf_dir))
         return time.perf_counter() - start
 
+    # ---- Canary subset (VERDICT r05 ask #3) ----------------------------
+    # A PINNED list of stable queries, timed FIRST every round at the same
+    # suite position (right after warm-up + index builds), median-of-3
+    # with full cache isolation between runs. Purpose: round-over-round
+    # comparability. The full-suite `value` moves whenever the registry
+    # grows and individual suite timings wear with JVM position (measured
+    # 15-20% drift); the canary is immune to both, so BENCH_r{N}.canary vs
+    # BENCH_r{N+1}.canary is the apples-to-apples engine-speed signal.
+    #
+    # DO NOT EDIT this list (append-only would re-order nothing but still
+    # shifts later members' JVM position): it is part of the cross-round
+    # measurement contract from r06 on. Selection criteria, for the
+    # record: no Arrow/pandas workers (worker-pool scheduling is the
+    # suite's noisiest component), no checkpointed drains, no iterative
+    # fixed-points (round-count noise), one member per major plan class —
+    # scan+agg, broadcast join, shuffle join, window, global scan,
+    # dedup/LSH, vector, sketch, timestamp parse, sampling, ntile, as-of
+    # join, text expressions, merge flagship.
+    CANARY = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q4_order_priority",
+        "q6_forecast_revenue",
+        "o8_multiformat_parse",
+        "o11_o12_est_derivation",
+        "o15_window_dedup",
+        "flagship_dedup_merge",
+        "window_range_frame",
+        "running_total_global_scan",
+        "sessionize_events",
+        "timeseries_ohlc_daily",
+        "concurrency_peak_daily",
+        "rfm_customer_segments",
+        "scd2_point_in_time_join",
+        "sample_stratified_hash",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_embedding_cosine",
+        "text_token_count",
+        "text_quality_score",
+        "ann_bruteforce_topk",
+        "approx_distinct_error",
+    ]
+    canary: dict[str, float] = {}
+    for name in CANARY:
+        if name not in QUERIES:
+            continue  # registry drift — the missing key itself is the signal
+        runs = []
+        for _ in range(3):
+            runs.append(timed_run(name))
+            isolate()
+        runs.sort()
+        canary[name] = round(runs[1], 3)
+    canary_total = round(sum(canary.values()), 3)
+
     # Checkpointed-streaming semantics proofs are timed OUTSIDE the suite:
     # their cost is state-store/commit fixture overhead on rows of synthetic
     # data (17.6 s on 7 rows in r03 — 20% of the suite total), which says
@@ -215,6 +270,7 @@ def main() -> None:
         json.dumps(
             {
                 "queries": timings,
+                "canary": canary,
                 "side_timings": side,
                 # r04+: `value` excludes checkpointed-streaming drains
                 # (state-store commit overhead, not engine time); r05
@@ -228,6 +284,7 @@ def main() -> None:
                 "ann_ivf_index_build": ivf_build_sec,
                 "ann_ivf_codebook_build": codebook_build_sec,
                 "pipeline_daily_batch": timings["pipeline_daily_batch"],
+                "canary_total": canary_total,
                 "value": total,
             }
         )

@@ -58,9 +58,7 @@ def merge_partial_aggregates(
             # maintained view diverges from a full recompute (null-audit
             # finding). One NULL partial combines as identity (0).
             out = F.when(a.isNull() & b.isNull(), F.lit(None)).otherwise(
-                F.when(
-                    a.isNull() & b.isNull(), F.lit(None)
-                ).otherwise(F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)))
+                F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
             )
         elif how == "min":
             out = F.coalesce(F.least(a, b), a, b)

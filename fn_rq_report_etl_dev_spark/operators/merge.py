@@ -231,7 +231,9 @@ def merge_upsert_delta(
     conflict detection — the production choice when the delta-spark jars
     are on the classpath. Import-gated: this environment ships plain
     parquet only, so calling it without delta installed raises with a
-    pointer to the join-rewrite backend above.
+    pointer to the join-rewrite backend above. (Install re-attempted and
+    still impossible as of round 6, 2026-08-15: the sandbox has no
+    package-index network route — pip retries end in NewConnectionError.)
     """
     try:
         from delta.tables import DeltaTable  # noqa: PLC0415

@@ -27,6 +27,16 @@ Determinism contract: the ordering must be TOTAL (caller appends a unique
 tiebreaker) and the ordering keys non-NULL (Spark sorts NULLS FIRST on
 ASC where most SQL engines default NULLS LAST — coalesce or filter at the
 call site).
+
+Persist lifetime: the range-partitioned frame MUST stay cached for as long
+as the returned DataFrame may be re-evaluated (offsets were derived from
+that exact shuffle output — see above), so these functions cannot
+unpersist it themselves. The cache is a regular ``persist()`` entry in
+Spark's CacheManager: per-query harnesses reclaim it wholesale via
+``session.release_intermediates`` / ``spark.catalog.clearCache()``, and
+library callers that keep the session alive can unpersist precisely via
+the handle attached to the result as ``<result>._graft_persisted`` once
+they have materialized (written/collected) the output.
 """
 
 from __future__ import annotations
@@ -89,7 +99,9 @@ def distributed_ntile(
     bucket = F.when(grn <= threshold, _idiv(grn - 1, q + 1) + 1).otherwise(
         r + _idiv(grn - threshold - 1, q_safe) + 1
     )
-    return ranged.withColumn(out_col, bucket.cast("int")).drop("__pid", "__local_rn")
+    out = ranged.withColumn(out_col, bucket.cast("int")).drop("__pid", "__local_rn")
+    out._graft_persisted = ranged  # unpersist hook (module docstring)
+    return out
 
 
 def pareto_frontier_2d(
@@ -168,6 +180,8 @@ def global_row_number(
     offset_col = F.lit(0).cast("bigint")
     for pid, off in offsets.items():
         offset_col = F.when(F.col("__pid") == pid, F.lit(off)).otherwise(offset_col)
-    return ranged.withColumn(
+    out = ranged.withColumn(
         out_col, (offset_col + F.col("__local_rn")).cast("bigint")
     ).drop("__pid", "__local_rn")
+    out._graft_persisted = ranged  # unpersist hook (module docstring)
+    return out

@@ -86,6 +86,22 @@ def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, distinct: bool
 DEFAULT_MAX_BUCKET = 1024  # cap on any collected id array / pair-expansion row
 
 
+def _rational(threshold: float) -> tuple[int, int]:
+    """Exact rational (num, den) for a similarity threshold, taken from the
+    float's shortest decimal repr (``str(0.55)`` → ``'0.55'`` → 11/20) —
+    the number the CALLER WROTE, not the nearest binary double. All
+    threshold tests in this module are then pure bigint comparisons, so
+    non-dyadic thresholds (0.55, 0.3) can't lose pairs to float-boundary
+    ceil/multiply rounding (an ADVICE-flagged hazard: 0.55·20 evaluates to
+    11.000000000000002 and float ceil overshoots)."""
+    from fractions import Fraction
+
+    if not (0 < threshold <= 1):
+        raise ValueError(f"similarity threshold must be in (0, 1]: {threshold}")
+    frac = Fraction(str(threshold))
+    return frac.numerator, frac.denominator
+
+
 def _bucket_pairs(
     df: DataFrame,
     key_cols: list[str],
@@ -296,7 +312,12 @@ def _jaccard_verify(sh: DataFrame, cands: DataFrame, min_jaccard: float) -> Data
     """Exact set-Jaccard of candidate ``(id_a, id_b)`` pairs over the
     distinct shingle relation ``(__id, sh)`` — the shared verify phase of
     every candidate-restricted similarity join (LSH recall, prefix
-    filter). Returns (id_a, id_b, jaccard ≥ ``min_jaccard``)."""
+    filter). Returns (id_a, id_b, jaccard ≥ ``min_jaccard``).
+
+    The threshold test is exact integer arithmetic on the set sizes
+    (c/(n_a+n_b−c) ≥ num/den ⟺ den·c ≥ num·(n_a+n_b−c)) — the reported
+    ``jaccard`` double is display-only, never compared."""
+    num, den = _rational(min_jaccard)
     counts = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = sh.select(F.col("__id").alias("id_a"), "sh")
     sh_b = sh.select(F.col("__id").alias("id_b2"), F.col("sh").alias("sh_b"))
@@ -318,9 +339,13 @@ def _jaccard_verify(sh: DataFrame, cands: DataFrame, min_jaccard: float) -> Data
                 F.col("n_common").cast("double")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
             ).alias("jaccard"),
+            (
+                F.lit(den) * F.col("n_common")
+                >= F.lit(num) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("__keep"),
         )
     )
-    return jac.filter(F.col("jaccard") >= min_jaccard)
+    return jac.filter(F.col("__keep")).drop("__keep")
 
 
 def prefix_filter_jaccard_pairs(
@@ -356,7 +381,15 @@ def prefix_filter_jaccard_pairs(
     NULL doc ids are dropped up front: a NULL id can't form an ordered
     pair (the oracle's ``id_b > id_a`` is 3VL-false for NULL, and
     ``_bucket_pairs`` sorts ids).
+
+    All threshold comparisons run in EXACT integer arithmetic on the
+    rational form t = num/den (``_rational``): a float ``ceil(t·n)`` can
+    overshoot for non-dyadic t (0.55·20 = 11.000000000000002 → ceil 12),
+    which SHORTENS the prefix and silently breaks the lossless guarantee.
+    Every bound below is restated multiplicatively in bigints so no
+    division or ceil is evaluated at all.
     """
+    num, den = _rational(min_jaccard)
     docs = df.filter(F.col(id_col).isNotNull())
     sh = _exploded_shingles(docs, id_col, text_col).persist()
     counts = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -367,13 +400,15 @@ def prefix_filter_jaccard_pairs(
         .withColumn("__rn", F.row_number().over(w_doc))
         .join(counts, "__id")
     )
-    # p = |x| − ⌈t·|x|⌉ + 1; ceil is exact here (t·n is a small product of
-    # a dyadic-friendly threshold and an int — and even if inexact, a
-    # LONGER prefix is merely more candidates, never a miss).
-    prefix_len = F.col("n_sh") - F.ceil(F.lit(min_jaccard) * F.col("n_sh")) + 1
-    prefix = ranked.filter(F.col("__rn") <= prefix_len).select("__id", "sh")
+    # Prefix membership: rn ≤ n − ⌈t·n⌉ + 1. With RHS-in-integers k =
+    # n − rn + 1 this is ⌈num·n/den⌉ ≤ k ⟺ num·n ≤ den·k (ceil(x) ≤ k for
+    # integer k iff x ≤ k) — exact for any rational threshold, no float.
+    prefix = ranked.filter(
+        F.lit(num) * F.col("n_sh")
+        <= F.lit(den) * (F.col("n_sh") - F.col("__rn") + F.lit(1))
+    ).select("__id", "sh", "__rn", "n_sh")
     cands = (
-        _bucket_pairs(prefix, ["sh"], max_bucket=max_bucket)
+        _bucket_pairs(prefix.select("__id", "sh"), ["sh"], max_bucket=max_bucket)
         .select("id_a", "id_b")
         .distinct()
     )
@@ -382,18 +417,61 @@ def prefix_filter_jaccard_pairs(
     # threshold — drop it BEFORE the shingle-intersection verify (two
     # cheap joins against the |docs|-row count table kill most
     # mixed-size candidates that shared one rare prefix shingle).
+    # Integer form: den·min ≥ num·max.
     na = counts.select(F.col("__id").alias("id_a"), F.col("n_sh").alias("__na"))
     nb = counts.select(F.col("__id").alias("id_b"), F.col("n_sh").alias("__nb"))
     cands = (
         cands.join(na, "id_a")
         .join(nb, "id_b")
         .filter(
-            F.least("__na", "__nb").cast("double")
-            >= F.lit(min_jaccard) * F.greatest("__na", "__nb").cast("double")
+            F.lit(den) * F.least("__na", "__nb")
+            >= F.lit(num) * F.greatest("__na", "__nb")
         )
-        .select("id_a", "id_b")
     )
-    return _jaccard_verify(sh, cands, min_jaccard)
+    # Positional filter (PPJoin, Xiao et al. WWW'08 §3.2): both docs list
+    # their shingles under ONE global total order, so shared shingles
+    # appear in the same relative order in both. Let the pair share o_p
+    # prefix shingles, the LAST of which (max order) sits at positions
+    # (i*, j*). Any shared shingle NOT counted in o_p fails prefix
+    # membership on at least one side, hence sits strictly after that last
+    # prefix match in the global order (its position exceeds the prefix
+    # bound ≥ i* resp. j*) — so at most min(n_a − i*, n_b − j*) further
+    # matches exist and |A∩B| ≤ o_p + min(n_a − i*, n_b − j*). The overlap
+    # threshold for J ≥ t is |A∩B| ≥ ⌈t·(n_a+n_b)/(1+t)⌉, i.e. in integers
+    # U·(num+den) ≥ num·(n_a+n_b). max(rn_a)/max(rn_b) identify the same
+    # shingle (shared order is strict), so the per-pair agg is exact.
+    # Cost: one re-join of surviving pairs against the (smaller-than-sh)
+    # prefix relation — strictly cheaper rows than the verify join it
+    # prunes, and provably lossless like every other stage here.
+    pa = prefix.select(
+        F.col("__id").alias("id_a"), "sh", F.col("__rn").alias("__rna")
+    )
+    pb = prefix.select(
+        F.col("__id").alias("id_b2"),
+        F.col("sh").alias("__shb"),
+        F.col("__rn").alias("__rnb"),
+    )
+    pos = (
+        cands.join(pa, "id_a")
+        .join(pb, (F.col("id_b") == F.col("id_b2")) & (F.col("sh") == F.col("__shb")))
+        .groupBy("id_a", "id_b", "__na", "__nb")
+        .agg(
+            F.count(F.lit(1)).alias("__op"),
+            F.max("__rna").alias("__istar"),
+            F.max("__rnb").alias("__jstar"),
+        )
+    )
+    survivors = pos.filter(
+        (
+            F.col("__op")
+            + F.least(
+                F.col("__na") - F.col("__istar"), F.col("__nb") - F.col("__jstar")
+            )
+        )
+        * F.lit(num + den)
+        >= F.lit(num) * (F.col("__na") + F.col("__nb"))
+    ).select("id_a", "id_b")
+    return _jaccard_verify(sh, survivors, min_jaccard)
 
 
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

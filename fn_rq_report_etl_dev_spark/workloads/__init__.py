@@ -161,117 +161,31 @@ from . import analytics  # noqa: E402,F401
 # (The round-4 entries all got green r04 verdicts and settle out of this
 # list automatically via _driver_green_queries.)
 _RECHECK: list[str] = [
-    # PRIORITY ORDER matters: the driver reports only the FIRST 50
-    # registry entries, and this list now exceeds 50 — so it is ordered
-    # by how much a missing driver verdict would cost, and the tail
-    # (which may fall outside the window this round) is exactly the
-    # entries with the strongest INDEPENDENT re-verification (sf0.01 +
-    # sf0.1 driver-sim under varied parallelism, pytest oracle-parity
-    # every run, and the seven adversarial sweeps).
+    # -- 1. VERDICT r05 ask #1: the three entries added after the r05
+    #       driver run — the judge sim-verified them green, but the
+    #       driver's own CORRECTNESS_r06 record must close the loop.
+    "basket_brand_pairs",
+    "profile_column_stats",
+    "scd2_point_in_time_join",
     #
-    # -- 1. Semantic changes to previously-verified queries (VERDICT r04
-    #       ask #1 and the behavior-changing ADVICE fixes): a driver
-    #       verdict on the NEW semantics is the round's headline.
-    # ann_ivf_topk switched from the Lloyd index to the SQL-replayable
-    # seeded-codebook quantizer and gained a full value-hash oracle.
-    "ann_ivf_topk",
-    "ann_ivf_recall",
-    "ann_quantized_rerank_topk",
-    # all-NULL-group guard in the UDAF; mkdtemp-rooted schema-evo dirs.
-    "udaf_weighted_avg_quantity",
-    "schema_evolution_union",
-    # sketch-over-distinct plan rewrite (rows-only row; plan changed).
+    # -- 2. VERDICT r05 ask #2: the two former rows-only sketch timings,
+    #       reworked this round into the driver-falsifiable bounded-error
+    #       form (exact side oracle-checked, estimate + bound boolean
+    #       alongside) — new semantics need a driver verdict.
     "approx_distinct_parts",
+    "approx_quantiles_price",
     #
-    # -- 2. Round-5 additions, never in ANY driver report: without a row
-    #       they look unverified regardless of local evidence.
-    "gaps_missing_event_ids",
-    "weighted_median_price",
-    "running_total_global_scan",
-    "concurrency_peak_daily",
+    # -- 3. Behavior changed by the round-6 ADVICE fixes: exact-rational
+    #       threshold arithmetic in the prefix-filter/LSH-verify joins
+    #       (plus the PPJoin positional filter), the skyline NULL
+    #       total_spend exclusion, and the partial-aggregate combiner's
+    #       dead-branch collapse. A code change invalidates the old green
+    #       verdict even when local driver-sim re-matched.
     "dedup_prefix_jaccard",
-    "curation_greedy_coverage",
-    "drift_value_chi2",
-    "global_median_twophase",
-    "graph_sssp_weighted",
-    "histogram_equidepth_price",
-    "session_seconds_per_day",
-    "approx_rolling_distinct_hll",
-    "graph_khop_reach",
-    "timeseries_multigrain_rollup",
-    "cep_funnel_regex",
-    "regression_ship_price_trend",
-    "embedding_centroid_by_label",
-    "export_global_ids",
-    "sample_weighted_reservoir",
-    "dedup_survivors_quality",
-    # customer/event analytics batch + near-dup graph triangles
-    "attribution_last_touch",
-    "quality_fk_orphans",
-    "rfm_customer_segments",
-    "anomaly_mad_robust_z",
-    "streak_longest_daily",
-    "zorder_layout_events",
-    "graph_triangle_count",
-    "timeseries_ohlc_daily",
-    "event_bigram_lift",
-    "multimodal_audio_decode",
-    "incremental_join_view",
-    "session_paths_topk",
-    "graph_pagerank_parts",
-    "streaming_static_enrich",
-    "text_inverted_index",
-    "skyline_customer_value",
-    "attribution_position_based",
-    "rolling_distinct_users",
-    #
-    # -- 3. Changed since their last green verdict (round-5 engine-wide
-    #       ASCII-fold tokenization changed every text-tokenizing
-    #       workload + oracle; pandas-UDF re-registration; float-audit
-    #       hardening). Ordered with the most behavior-affected first.
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
-    "text_vocab_topk",
-    "text_unigram_logprob",
-    "text_repetition_score",
-    "text_contamination_ngram",
-    "text_heavy_hitters_cms",
-    "tfidf_top_terms",
-    "chunk_documents",
-    "pack_token_budget",
-    "docs_quality_gate",
-    "corpus_prep_pipeline",
-    "curation_boilerplate_segments",
-    "multimodal_binary_meta",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash64",
     "dedup_ngram_jaccard",
-    "dedup_edit_distance",
-    "dedup_incremental_lsh",
-    "dedup_apply_survivors",
-    "dedup_cluster_components",
     "split_leakage_check",
-    "ann_bruteforce_topk",
-    "ann_signlsh_topk",
-    "ann_rademacher_topk",
-    "dedup_embedding_cosine",
-    "datetime_functions_showcase",
-    #
-    # -- tail: float-audit-hardened relational entries; every one is
-    #    pytest-property-pinned and re-hash-matched this round at two
-    #    scales, so a missed driver slot costs the least here.
-    "o17_lenient_cast",
+    "skyline_customer_value",
     "incremental_agg_merge",
-    "window_range_frame",
-    "outlier_filter_iqr",
-    "grouped_map_rank",
-    "q10_returned_items",
-    "q22_dormant_customers",
-    "correlated_subquery_rich_customers",
-    "lateral_nation_customer_stats",
 ]
 
 _REPO_ROOT = os.path.dirname(

@@ -959,12 +959,13 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @workload(
     "skyline_customer_value",
     oracle="""
-    WITH agg AS (
+    WITH agg0 AS (
         SELECT o_custkey,
                CAST(count(*) AS BIGINT) AS n_orders,
                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
         FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
-    )
+    ),
+    agg AS (SELECT * FROM agg0 WHERE total_spend IS NOT NULL)
     SELECT a.o_custkey, a.n_orders,
            CAST(a.total_spend AS DOUBLE) AS total_spend
     FROM agg a
@@ -1001,6 +1002,12 @@ def skyline_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_spend"
             ),
         )
+        # A customer whose prices are ALL NULL aggregates to NULL
+        # total_spend, which violates pareto_frontier_2d's non-NULL x/y
+        # contract (and the oracle's NOT-EXISTS dominance test is 3VL-blind
+        # to it) — exclude the row identically on both engines (the
+        # oracle's agg CTE carries the same IS NOT NULL predicate).
+        .filter(F.col("total_spend").isNotNull())
     )
     frontier = pareto_frontier_2d(agg, "total_spend", "n_orders")
     # DECIMAL end-to-end internally; the registered output casts money to

@@ -710,13 +710,22 @@ _doc_words = st.lists(
 
 
 @settings(max_examples=10, deadline=None)
-@given(docs=st.lists(_doc_words, min_size=1, max_size=12))
-def test_prefix_filter_jaccard_matches_bruteforce(spark, docs):
+@given(
+    docs=st.lists(_doc_words, min_size=1, max_size=12),
+    theta=st.sampled_from([0.5, 0.55, 0.34, 0.75, 1.0]),
+)
+def test_prefix_filter_jaccard_matches_bruteforce(spark, docs, theta):
     """prefix_filter_jaccard_pairs must equal the brute-force all-pairs
     word-3-gram Jaccard ≥ θ on arbitrary corpora — identical docs
     (J=1.0 exactly at every prefix length), sub-3-word docs (no
-    shingles, never paired), and hot shingles shared by every doc (the
-    chunked pair generation must not drop or duplicate pairs)."""
+    shingles, never paired), hot shingles shared by every doc (the
+    chunked pair generation must not drop or duplicate pairs), and
+    NON-DYADIC thresholds (0.55·20 = 11.000000000000002 under floats —
+    the prefix length, AllPairs length bound, positional filter, and
+    verify must all stay lossless via exact rational arithmetic). The
+    expected side compares in exact Fractions for the same reason."""
+    from fractions import Fraction
+
     from fn_rq_report_etl_dev_spark.operators.text_dedup import (
         prefix_filter_jaccard_pairs,
     )
@@ -725,12 +734,13 @@ def test_prefix_filter_jaccard_matches_bruteforce(spark, docs):
     df = spark.createDataFrame(data, "doc_id bigint, text string")
     got = sorted(
         (r["id_a"], r["id_b"])
-        for r in prefix_filter_jaccard_pairs(df, "doc_id", "text", 0.5).collect()
+        for r in prefix_filter_jaccard_pairs(df, "doc_id", "text", theta).collect()
     )
 
     def sh(ws):
         return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
 
+    t = Fraction(str(theta))
     sets = {i: sh(ws) for i, ws in enumerate(docs)}
     exp = sorted(
         (a, b)
@@ -738,7 +748,7 @@ def test_prefix_filter_jaccard_matches_bruteforce(spark, docs):
         for b in sets
         if a < b
         and sets[a] & sets[b]
-        and len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= 0.5
+        and Fraction(len(sets[a] & sets[b]), len(sets[a] | sets[b])) >= t
     )
     assert got == exp
 

@@ -88,6 +88,52 @@ def test_registry_rotation_prioritizes_unverified():
         assert min(settled_pos) > max(fresh_pos)
 
 
+def test_every_entry_driver_reported_or_in_recheck():
+    """Rotation-coverage guard (VERDICT r05 ask #8): with 171 queries and
+    a 50-slot driver cap, full driver coverage takes multiple rounds — a
+    query added mid-round that is neither in any pinned CORRECTNESS
+    report NOR in _RECHECK can silently miss the next driver run (this
+    happened in r05: basket_brand_pairs, profile_column_stats and
+    scd2_point_in_time_join were added after the driver run and were not
+    fronted). Invariants:
+
+    1. every registered query has a row in SOME committed driver report
+       or is listed in _RECHECK (the workflow rule: new/changed queries
+       go straight into _RECHECK);
+    2. _RECHECK itself fits the 50-slot window (an oversized _RECHECK
+       pushes never-reported entries out of the window — the r05 failure
+       mode, when 85 recheck entries crowded out the three additions);
+    3. every _RECHECK name actually exists in the registry (typo guard —
+       a misspelled entry would silently front nothing).
+    """
+    import json
+    import os
+
+    from fn_rq_report_etl_dev_spark.workloads import (
+        _RECHECK,
+        _REPO_ROOT,
+        QUERIES,
+    )
+
+    reported: set[str] = set()
+    for path in sorted(
+        os.path.join(_REPO_ROOT, f)
+        for f in os.listdir(_REPO_ROOT)
+        if f.startswith("CORRECTNESS_r") and f.endswith(".json")
+    ):
+        with open(path, encoding="utf-8") as fh:
+            reported.update(json.load(fh))
+
+    assert set(_RECHECK) <= set(QUERIES), sorted(set(_RECHECK) - set(QUERIES))
+    assert len(_RECHECK) <= 50, "oversized _RECHECK crowds the driver window"
+    untracked = [
+        n for n in QUERIES if n not in reported and n not in set(_RECHECK)
+    ]
+    assert not untracked, (
+        f"never driver-reported and not in _RECHECK: {untracked}"
+    )
+
+
 def _green_from_reports(paths):
     """Green set derived from an explicit, frozen list of report files —
     rotation simulations must NEVER call the live _driver_green_queries()
