@@ -392,21 +392,29 @@ def prefix_filter_jaccard_pairs(
     num, den = _rational(min_jaccard)
     docs = df.filter(F.col(id_col).isNotNull())
     sh = _exploded_shingles(docs, id_col, text_col).persist()
-    counts = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_sh"))
     w_doc = Window.partitionBy("__id").orderBy("df_sh", "sh")
-    ranked = (
-        sh.join(freq, "sh")
-        .withColumn("__rn", F.row_number().over(w_doc))
-        .join(counts, "__id")
+    # n_sh rides the SAME per-doc exchange as the rank window (a whole-
+    # partition count needs no ordering) — no separate counts aggregate
+    # or join; the doc-size table for the length bound below is recovered
+    # as distinct (__id, n_sh) FROM THE PREFIX (every doc with ≥1 shingle
+    # has a prefix row: rn = 1 always qualifies since num ≤ den).
+    ranked = sh.join(freq, "sh").select(
+        "__id",
+        "sh",
+        F.row_number().over(w_doc).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("__id")).alias("n_sh"),
     )
     # Prefix membership: rn ≤ n − ⌈t·n⌉ + 1. With RHS-in-integers k =
     # n − rn + 1 this is ⌈num·n/den⌉ ≤ k ⟺ num·n ≤ den·k (ceil(x) ≤ k for
     # integer k iff x ≤ k) — exact for any rational threshold, no float.
+    # Persisted: it feeds pair generation AND both positional join-back
+    # sides — unpersisted, the explode+freq-join+rank pipeline would
+    # re-execute three times (measured ~2 s/replay at sf0.1).
     prefix = ranked.filter(
         F.lit(num) * F.col("n_sh")
         <= F.lit(den) * (F.col("n_sh") - F.col("__rn") + F.lit(1))
-    ).select("__id", "sh", "__rn", "n_sh")
+    ).select("__id", "sh", "__rn", "n_sh").persist()
     cands = (
         _bucket_pairs(prefix.select("__id", "sh"), ["sh"], max_bucket=max_bucket)
         .select("id_a", "id_b")
@@ -418,6 +426,7 @@ def prefix_filter_jaccard_pairs(
     # cheap joins against the |docs|-row count table kill most
     # mixed-size candidates that shared one rare prefix shingle).
     # Integer form: den·min ≥ num·max.
+    counts = prefix.select("__id", "n_sh").distinct()
     na = counts.select(F.col("__id").alias("id_a"), F.col("n_sh").alias("__na"))
     nb = counts.select(F.col("__id").alias("id_b"), F.col("n_sh").alias("__nb"))
     cands = (

@@ -83,6 +83,8 @@ EAGER_SCHEMAS: dict[str, str] = {
     "global_median_twophase": "median_cents bigint, n_rows bigint",
     # Bellman-Ford collects a (count, sum) fixed-point signature per round
     "graph_sssp_weighted": "partkey bigint, dist bigint",
+    # delta-frontier Bellman-Ford checks frontier emptiness per round
+    "graph_sssp_delta": "partkey bigint, dist bigint",
     # greedy coverage collects one argmax row per round (driver scalars)
     "curation_greedy_coverage": "pick_rank bigint, doc_id bigint, new_tokens bigint",
     # collects the two-dimension min/max normalization bounds (driver scalars)
@@ -186,6 +188,10 @@ _RECHECK: list[str] = [
     "split_leakage_check",
     "skyline_customer_value",
     "incremental_agg_merge",
+    #
+    # -- 4. Round-6 addition (never driver-reported): the delta-frontier
+    #       SSSP variant, oracle-shared with graph_sssp_weighted.
+    "graph_sssp_delta",
 ]
 
 _REPO_ROOT = os.path.dirname(

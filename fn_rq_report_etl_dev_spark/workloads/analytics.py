@@ -1544,6 +1544,16 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     before pairing on both sides."""
     from ..operators.graph import sssp_relax
 
+    edges, seeds = _copurchase_weighted_graph(spark, sf_dir)
+    dist = sssp_relax(edges, seeds, rounds=4)
+    edges.unpersist()
+    return dist.select(F.col("node").alias("partkey"), F.col("dist"))
+
+
+def _copurchase_weighted_graph(spark: SparkSession, sf_dir: str):
+    """(edges persisted, seeds) for the weighted co-purchase graph shared
+    by the two SSSP variants — weight 1 + (src+dst) mod 7, seeds = the
+    size-1 parts. Caller unpersists edges."""
     li = load(spark, sf_dir, "lineitem")
     items = (
         li.filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
@@ -1577,7 +1587,26 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("p_size") == 1) & F.col("p_partkey").isNotNull())
         .select(F.col("p_partkey").alias("node"))
     )
-    dist = sssp_relax(edges, seeds, rounds=4)
+    return edges, seeds
+
+
+@workload("graph_sssp_delta", oracle=_sssp_oracle(4))
+def graph_sssp_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELTA-FRONTIER Bellman-Ford (`operators.graph.sssp_relax_delta`)
+    on the same weighted co-purchase graph, same 4 rounds, same unrolled-
+    CTE oracle as `graph_sssp_weighted` — per-round labels are provably
+    identical to relax-all (only nodes whose label improved last round
+    can improve a neighbor this round), so one oracle checks both
+    operators bit-for-bit. This is the run-to-convergence scale path:
+    SCALING.md's sssp experiment measured it 3.6× faster than relax-all
+    at 20M edges / avg degree 20 (the frontier collapses once labels
+    stabilize) and ~1.5× slower at 5M edges / degree 5 within the round
+    bound (frontier stays ≈|V|, the improvement-detection join is pure
+    overhead) — pick by regime, both exact."""
+    from ..operators.graph import sssp_relax_delta
+
+    edges, seeds = _copurchase_weighted_graph(spark, sf_dir)
+    dist = sssp_relax_delta(edges, seeds, rounds=4)
     edges.unpersist()
     return dist.select(F.col("node").alias("partkey"), F.col("dist"))
 

@@ -595,6 +595,69 @@ def bfs_experiment():
 
 
 
+def sssp_experiment():
+    """sssp_relax (relax-ALL labels × edges every round) vs
+    sssp_relax_delta (join only the changed-label frontier) on a
+    synthetic weighted digraph — 1M nodes, 5M and 20M edges, uniform
+    integer weights 1..100, 100 seeds, 8 rounds. Integer min-plus =>
+    bit-identical labels required (checksum assertion). The delta
+    frontier is SOUND (per-round labels identical — see the operator
+    docstring), unlike BFS's anti-join frontier; what this measures is
+    where the frontier's geometric collapse beats relax-all's flat
+    |V| ⋈ E join, and what the extra per-round full-outer label join
+    costs before the collapse pays for it."""
+    from fn_rq_report_etl_dev_spark.operators.graph import (
+        sssp_relax,
+        sssp_relax_delta,
+    )
+
+    N_NODES = 1_000_000
+    ROUNDS = 8
+    for n_edges in (5_000_000, 20_000_000):
+        edges = (
+            spark.range(n_edges)
+            .select(
+                (F.pmod(F.hash(F.col("id"), F.lit(31)).cast("bigint"),
+                        F.lit(N_NODES))).alias("src"),
+                (F.pmod(F.hash(F.col("id"), F.lit(47)).cast("bigint"),
+                        F.lit(N_NODES))).alias("dst"),
+                (F.pmod(F.hash(F.col("id"), F.lit(7)).cast("bigint"),
+                        F.lit(100)) + 1).alias("w"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            # one weight per distinct (src, dst): min — the multigraph
+            # collapse both variants would apply on the first relax anyway
+            .groupBy("src", "dst").agg(F.min("w").alias("w"))
+            .persist()
+        )
+        seeds = spark.range(100).select(F.col("id").alias("node")).persist()
+        _force(edges); _force(seeds)
+
+        t0 = time.perf_counter()
+        ra = sssp_relax(edges, seeds, rounds=ROUNDS)
+        ra_sum = ra.agg(
+            F.sum(F.hash("node", "dist").cast("bigint")), F.count("*"),
+            F.sum("dist")).collect()[0]
+        ra_s = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        de = sssp_relax_delta(edges, seeds, rounds=ROUNDS)
+        de_sum = de.agg(
+            F.sum(F.hash("node", "dist").cast("bigint")), F.count("*"),
+            F.sum("dist")).collect()[0]
+        de_s = round(time.perf_counter() - t0, 2)
+
+        assert tuple(ra_sum) == tuple(de_sum), (ra_sum, de_sum)
+        n_e = edges.count()
+        edges.unpersist(); seeds.unpersist()
+        print(json.dumps({
+            "experiment": "sssp", "n_nodes": N_NODES, "rounds": ROUNDS,
+            "n_distinct_edges": n_e, "n_reached": int(ra_sum[1]),
+            "relax_all_s": ra_s, "delta_frontier_s": de_s,
+            "dist_checksum": int(ra_sum[2]),
+        }))
+
+
 def scan_experiment():
     """bucketed_running_sum (per-bucket windows + broadcast carry-in) vs
     the naive one-task global window `sum(v) OVER (ORDER BY k)` on 5M and
@@ -656,6 +719,10 @@ if EXPERIMENT == "pagerank":
 if EXPERIMENT == "bfs":
     bfs_experiment()
     sys.exit(0)
+if EXPERIMENT == "sssp":
+    sssp_experiment()
+    sys.exit(0)
+
 if EXPERIMENT == "scan":
     scan_experiment()
     sys.exit(0)
