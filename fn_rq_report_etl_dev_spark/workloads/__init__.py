@@ -189,9 +189,12 @@ _RECHECK: list[str] = [
     "skyline_customer_value",
     "incremental_agg_merge",
     #
-    # -- 4. Round-6 addition (never driver-reported): the delta-frontier
-    #       SSSP variant, oracle-shared with graph_sssp_weighted.
+    # -- 4. Round-6 additions (never driver-reported): the delta-frontier
+    #       SSSP variant (oracle-shared with graph_sssp_weighted) and the
+    #       two-sample drift statistics on the distributed prefix scan.
     "graph_sssp_delta",
+    "drift_ks_value",
+    "drift_rank_mannwhitney",
 ]
 
 _REPO_ROOT = os.path.dirname(

@@ -1498,6 +1498,138 @@ def drift_value_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared first-half/second-half split + value guards for the two-sample
+# drift statistics below (chi2 above uses week bins; these use raw values).
+_TWO_SAMPLE_PTS_SQL = """
+    pts AS (
+        SELECT value AS v,
+               CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15' THEN 0 ELSE 1 END AS cur
+        FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)
+          AND value >= 0 AND value < 1e6 AND ts IS NOT NULL
+    )"""
+
+
+def _two_sample_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(v double, cur int) — events value observations split first half of
+    the month (ref, cur=0) vs second half (cur=1), with the same NaN/range
+    guards as drift_value_chi2. -0.0 passes the >= 0 guard on both
+    engines and both group it WITH +0.0 (Spark normalizes float group
+    keys; DuckDB groups by IEEE equality) — and v itself is never
+    emitted, only counts derived from it."""
+    return (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & ~F.isnan(F.col("value"))
+            & (F.col("value") >= 0)
+            & (F.col("value") < 1e6)
+            & F.col("ts").isNotNull()
+        )
+        .select(
+            F.col("value").alias("v"),
+            F.when(
+                F.to_date("ts") <= F.lit("2024-01-15").cast("date"), 0
+            ).otherwise(1).alias("cur"),
+        )
+    )
+
+
+@workload(
+    "drift_ks_value",
+    oracle=f"""
+    WITH {_TWO_SAMPLE_PTS_SQL},
+    g AS (
+        SELECT v, count(*) FILTER (cur = 0) AS nr,
+               count(*) FILTER (cur = 1) AS ncur
+        FROM pts GROUP BY v
+    ),
+    c AS (
+        SELECT sum(nr) OVER (ORDER BY v) AS cr,
+               sum(ncur) OVER (ORDER BY v) AS cc
+        FROM g
+    ),
+    t AS (SELECT sum(nr) AS tr, sum(ncur) AS tc FROM g)
+    SELECT CAST(t.tr AS BIGINT) AS n_ref, CAST(t.tc AS BIGINT) AS n_cur,
+           CAST(max(abs(c.cr * t.tc - c.cc * t.tr)) AS BIGINT) AS d_num,
+           CAST(max(abs(c.cr * t.tc - c.cc * t.tr)) AS DOUBLE)
+               / (CAST(t.tr AS DOUBLE) * CAST(t.tc AS DOUBLE)) AS ks_d
+    FROM c, t GROUP BY t.tr, t.tc
+    """,
+)
+def drift_ks_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic over the events
+    value distribution, first half of the month vs second —
+    D = max_x |ECDF_ref(x) − ECDF_cur(x)|, evaluated exactly at every
+    observed value (ECDFs are step functions, so the max over step
+    points is the max over ℝ). The nonparametric companion to
+    `drift_value_chi2`: no binning choice, sensitive to location AND
+    shape changes.
+
+    Distributed shape: ONE groupBy(value) for per-point counts, then the
+    two cumulative counts ride `operators.scan.bucketed_running_sum`
+    (per-bucket windows + broadcast carry — no one-task global window
+    even though the ECDF needs a global order), a 1-row broadcast
+    cross-join for the totals, and a final max-aggregate. All integers
+    until the last division: D's numerator is max |cum_ref·N_cur −
+    cum_cur·N_ref| in bigints (exact in any association; products bounded
+    by N_ref·N_cur — switch the comparison column to DECIMAL(38,0) past
+    ~3·10⁹ rows per side), so the oracle matches bit-for-bit and ks_d is
+    one identical double division at the boundary. Core:
+    `operators.stats.ks_statistic` (property-tested against a Python
+    brute-force ECDF)."""
+    from ..operators.stats import ks_statistic
+
+    pts = _two_sample_points(spark, sf_dir)
+    bucket = F.floor(F.col("v") / F.lit(16.0)).cast("bigint")
+    return ks_statistic(pts, "v", "cur", bucket)
+
+
+@workload(
+    "drift_rank_mannwhitney",
+    oracle=f"""
+    WITH {_TWO_SAMPLE_PTS_SQL},
+    g AS (
+        SELECT v, count(*) AS cnt,
+               count(*) FILTER (cur = 1) AS ncur
+        FROM pts GROUP BY v
+    ),
+    c AS (
+        SELECT cnt, ncur, sum(cnt) OVER (ORDER BY v) AS cum
+        FROM g
+    ),
+    t AS (SELECT sum(cnt) - sum(ncur) AS tr, sum(ncur) AS tc FROM g)
+    SELECT CAST(t.tr AS BIGINT) AS n_ref, CAST(t.tc AS BIGINT) AS n_cur,
+           CAST(sum(c.ncur * (2 * (c.cum - c.cnt) + c.cnt + 1)) AS BIGINT)
+               AS two_ranksum_cur,
+           CAST(sum(c.ncur * (2 * (c.cum - c.cnt) + c.cnt + 1))
+                - t.tc * (t.tc + 1) AS BIGINT) AS two_u_cur
+    FROM c, t GROUP BY t.tr, t.tc
+    """,
+)
+def drift_rank_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) for the same two-sample drift
+    split — the location-shift test that needs GLOBAL ranks with
+    average-rank tie handling, the classic one-task-sort trap. Doubling
+    keeps ties integer-exact: a value with cnt tied observations starting
+    after cumulative count b has average rank b + (cnt+1)/2, so
+    2·avg_rank = 2b + cnt + 1 — integers end to end, no half-rank
+    floats, and 2·ranksum / 2·U are what's emitted (two_u_cur =
+    2·ranksum_cur − n_cur·(n_cur+1)).
+
+    Distributed shape: groupBy(value) → ONE `bucketed_running_sum` pass
+    for the inclusive cumulative count (per-bucket windows + broadcast
+    carry, no global window) → one map-side-combinable sum. The oracle
+    replays the identical integer recurrence through a SQL window. Core:
+    `operators.stats.mannwhitney_2u` (property-tested against a Python
+    brute-force average-rank computation)."""
+    from ..operators.stats import mannwhitney_2u
+
+    pts = _two_sample_points(spark, sf_dir)
+    bucket = F.floor(F.col("v") / F.lit(16.0)).cast("bigint")
+    return mannwhitney_2u(pts, "v", "cur", bucket)
+
+
 def _sssp_oracle(rounds: int) -> str:
     """Bounded Bellman-Ford unrolled into a CTE chain (the pagerank
     trick): d_{i+1} = min(d_i, min over edges(d_i[src] + w)). Weighted

@@ -58,6 +58,8 @@ HEADLINERS = [
     ("dedup_prefix_jaccard", "prefix-filter Jaccard (r05): every join an equi-join — docs expose only their rarest |x|-ceil(t|x|)+1 shingles, candidates chunk-capped, exact verify candidate-restricted; the all-pairs semantics never appear as a cartesian"),
     ("session_seconds_per_day", "interval-split accounting (r05): midnight-crossing sessions explode map-side into per-day clamped segments AFTER the one sessionize exchange; microsecond integer sums"),
     ("drift_value_chi2", "drift monitor (r05): ONE integer bin-count aggregate; totals from an unpartitioned window over the <=|bins| summary rows; chi-square terms are post-agg scalar projections"),
+    ("drift_ks_value", "two-sample KS (r06): ECDF cumulatives via the bucketed prefix scan (per-bucket windows, broadcast carry); integer D-numerator max-aggregate; the global ECDF order never sees a one-task window"),
+    ("drift_rank_mannwhitney", "Mann-Whitney U (r06): global average ranks with ties in DOUBLED integers from one prefix-scan pass; one map-side-combinable ranksum aggregate — the classic global-sort trap avoided"),
 ]
 
 spark = get_spark(app_name="gen-plans")

@@ -753,6 +753,62 @@ def test_prefix_filter_jaccard_matches_bruteforce(spark, docs, theta):
     assert got == exp
 
 
+_two_sample = st.lists(
+    st.tuples(st.integers(-20, 20), st.booleans()), min_size=2, max_size=60
+).filter(
+    lambda xs: any(c for _, c in xs) and any(not c for _, c in xs)
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(xs=_two_sample)
+def test_ks_and_mannwhitney_match_bruteforce(spark, xs):
+    """ks_statistic / mannwhitney_2u must equal literal Python
+    definitions on arbitrary two-sample data — heavy ties (tiny integer
+    value domain), unbalanced samples, negative values, and buckets that
+    split tie groups (bucket width 7 on values −20..20)."""
+    from fractions import Fraction
+
+    from fn_rq_report_etl_dev_spark.operators.stats import (
+        ks_statistic,
+        mannwhitney_2u,
+    )
+
+    df = spark.createDataFrame(
+        [(float(v), 1 if c else 0) for v, c in xs], "v double, cur int"
+    )
+    bucket = F.floor(F.col("v") / F.lit(7.0)).cast("bigint")
+
+    ref = sorted(v for v, c in xs if not c)
+    cur = sorted(v for v, c in xs if c)
+    nr, nc = len(ref), len(cur)
+
+    got = ks_statistic(df, "v", "cur", bucket).collect()[0]
+    import bisect
+
+    d_num = max(
+        abs(bisect.bisect_right(ref, x) * nc - bisect.bisect_right(cur, x) * nr)
+        for x in set(v for v, _ in xs)
+    )
+    assert (got["n_ref"], got["n_cur"], got["d_num"]) == (nr, nc, d_num)
+    assert Fraction(str(got["ks_d"])) == Fraction(
+        got["d_num"], nr * nc
+    ) or abs(got["ks_d"] - d_num / (nr * nc)) < 1e-12
+
+    got2 = mannwhitney_2u(df, "v", "cur", bucket).collect()[0]
+    # literal average ranks over the pooled sorted sample, doubled
+    pooled = sorted(v for v, _ in xs)
+    two_rank = {}
+    for x in set(pooled):
+        lo = bisect.bisect_left(pooled, x)
+        hi = bisect.bisect_right(pooled, x)
+        two_rank[x] = (lo + 1) + hi  # 2*avg of ranks lo+1..hi
+    two_ranksum = sum(two_rank[x] for x in cur)
+    assert (got2["n_ref"], got2["n_cur"]) == (nr, nc)
+    assert got2["two_ranksum_cur"] == two_ranksum
+    assert got2["two_u_cur"] == two_ranksum - nc * (nc + 1)
+
+
 @settings(max_examples=8, deadline=None)
 @given(docs=st.lists(_doc_words, min_size=1, max_size=10), k=st.integers(1, 4))
 def test_greedy_token_cover_matches_python_greedy(spark, docs, k):
