@@ -56,22 +56,55 @@ def bucketed_running_sum(
     becomes the leading sort key), ``order_by`` must make rows unique
     within a bucket, and ``value`` must be non-NULL (module docstring).
     """
+    return bucketed_running_sums(df, bucket, order_by, {out_col: value})
+
+
+def bucketed_running_sums(
+    df: DataFrame,
+    bucket: Column,
+    order_by: list[Column],
+    values: dict[str, Column],
+) -> DataFrame:
+    """N simultaneous global running sums over ONE bucket decomposition:
+    every output column in ``values`` (out_col → value expression) shares
+    the same per-bucket window sort, the same bucket-totals aggregate,
+    and the same broadcast carry join — running K scans costs ONE
+    exchange set, not K (a two-ECDF Kolmogorov–Smirnov needs both sample
+    cumulatives; calling the single-column scan twice would re-shuffle
+    the relation and re-aggregate the summary per column). Contracts as
+    in :func:`bucketed_running_sum`."""
     b = df.withColumn("__bkt", bucket)
     w_in = (
         Window.partitionBy("__bkt")
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = b.withColumn("__cum_in", F.sum(value).over(w_in))
-    totals = b.groupBy("__bkt").agg(F.sum(value).alias("__tot"))
+    local = b
+    for i, (_, val) in enumerate(values.items()):
+        local = local.withColumn(f"__cum_in_{i}", F.sum(val).over(w_in))
+    totals = b.groupBy("__bkt").agg(
+        *[F.sum(val).alias(f"__tot_{i}") for i, val in enumerate(values.values())]
+    )
     w_pre = (
         Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
     )
     carry = totals.select(
-        "__bkt", F.coalesce(F.sum("__tot").over(w_pre), F.lit(0)).alias("__off")
+        "__bkt",
+        *[
+            F.coalesce(F.sum(f"__tot_{i}").over(w_pre), F.lit(0)).alias(
+                f"__off_{i}"
+            )
+            for i in range(len(values))
+        ],
     )
-    return (
-        local.join(F.broadcast(carry), "__bkt")
-        .withColumn(out_col, (F.col("__cum_in") + F.col("__off")).cast("bigint"))
-        .drop("__bkt", "__cum_in", "__off")
+    out = local.join(F.broadcast(carry), "__bkt")
+    for i, out_col in enumerate(values):
+        out = out.withColumn(
+            out_col,
+            (F.col(f"__cum_in_{i}") + F.col(f"__off_{i}")).cast("bigint"),
+        )
+    return out.drop(
+        "__bkt",
+        *[f"__cum_in_{i}" for i in range(len(values))],
+        *[f"__off_{i}" for i in range(len(values))],
     )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .scan import bucketed_running_sum
+from .scan import bucketed_running_sum, bucketed_running_sums
 
 
 def ks_statistic(
@@ -27,13 +27,16 @@ def ks_statistic(
     evaluated at every observed value (ECDFs are step functions, so step
     points suffice). ``d_num`` = the exact integer numerator D·N_ref·N_cur;
     ``ks_d`` is the one boundary division. ``bucket`` must be
-    nondecreasing in ``v_col`` (the prefix-scan contract)."""
+    nondecreasing in ``v_col`` (the prefix-scan contract). Both sample
+    cumulatives ride ONE ``bucketed_running_sums`` pass — one window
+    sort, one summary aggregate, one carry join for the pair."""
     g = pts.groupBy(F.col(v_col).alias("v")).agg(
         F.count(F.when(F.col(cur_col) == 0, 1)).alias("nr"),
         F.count(F.when(F.col(cur_col) == 1, 1)).alias("ncur"),
     )
-    c = bucketed_running_sum(g, bucket, [F.col("v")], F.col("nr"), "cr")
-    c = bucketed_running_sum(c, bucket, [F.col("v")], F.col("ncur"), "cc")
+    c = bucketed_running_sums(
+        g, bucket, [F.col("v")], {"cr": F.col("nr"), "cc": F.col("ncur")}
+    )
     totals = g.agg(F.sum("nr").alias("tr"), F.sum("ncur").alias("tc"))
     return (
         c.crossJoin(F.broadcast(totals))
