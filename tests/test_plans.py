@@ -506,6 +506,31 @@ def test_gaps_two_level_lead(spark, sf_dir):
     assert plan.count("SinglePartition") == 1
 
 
+def test_ks_statistic_two_level(spark, sf_dir):
+    """Two-sample KS: the ECDF cumulatives ride bucket-partitioned
+    windows; the only SinglePartition exchanges are the |buckets|-row
+    carry summary and the final 1-row statistic — the per-value relation
+    itself never sees a one-task window. Both cumulatives share ONE scan
+    pass (bucketed_running_sums): exactly one data-path window sort."""
+    df = QUERIES["drift_ks_value"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert uses_broadcast_join(df)
+    # carry summary + final single-row aggregate — nothing else global
+    assert plan.count("SinglePartition") <= 2
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_mannwhitney_two_level(spark, sf_dir):
+    """Mann–Whitney: global average ranks from the bucketed prefix scan —
+    same budget as the KS pin (carry summary + final scalar row), rank
+    arithmetic all-integer in the projection, no Python stage."""
+    df = QUERIES["drift_rank_mannwhitney"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert uses_broadcast_join(df)
+    assert plan.count("SinglePartition") <= 2
+    assert "Python" not in plan
+
+
 def test_prefix_jaccard_equi_joins_only(spark, sf_dir):
     """Prefix-filter Jaccard: every join is an equi-join on shingle or id
     keys — no cartesian/broadcast-nested-loop anywhere despite being an
