@@ -195,6 +195,8 @@ _RECHECK: list[str] = [
     "graph_sssp_delta",
     "drift_ks_value",
     "drift_rank_mannwhitney",
+    "approx_overlap_hll",
+    "window_rank_distribution",
 ]
 
 _REPO_ROOT = os.path.dirname(

@@ -1630,6 +1630,105 @@ def drift_rank_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mannwhitney_2u(pts, "v", "cur", bucket)
 
 
+@workload(
+    "approx_overlap_hll",
+    oracle="""
+    WITH ue AS (
+        SELECT DISTINCT user_id, event_type FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    t AS (SELECT event_type, count(*) AS n FROM ue GROUP BY event_type),
+    ov AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_overlap
+        FROM ue a JOIN ue b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT ov.type_a, ov.type_b,
+           CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+           CAST(ta.n + tb.n - ov.n_overlap AS BIGINT) AS n_union,
+           CAST(ov.n_overlap AS BIGINT) AS n_overlap,
+           CAST(1 AS BIGINT) AS overlap_est_ok
+    FROM ov
+    JOIN t ta ON ta.event_type = ov.type_a
+    JOIN t tb ON tb.event_type = ov.type_b
+    """,
+)
+def approx_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation via HLL inclusion–exclusion:
+    |A∩B| ≈ est(A) + est(B) − est(A∪B), where est(A∪B) comes from the
+    BINARY `hll_union` of the two audience sketches — the composition
+    that makes sketches an audience-analytics primitive: per-audience
+    sketches are built ONCE (one groupBy over distinct (user, type)
+    pairs) and any pairwise overlap is then a driver-free kilobyte-sized
+    merge, never a re-scan. The classic caveat is honest here:
+    intersection error scales with the UNION's sketch error (lgK=14 →
+    rsd ≈0.41% per sketch), so the driver-falsifiable bound is
+    |est∩ − exact∩| ≤ 5% of the exact union, not of the (possibly tiny)
+    intersection. Exact n_a/n_b/n_union/n_overlap are value-checked
+    against DuckDB; the union count is the exact identity
+    n_a + n_b − n_overlap (no separate union aggregation). Pairs appear
+    iff the audiences co-occur for ≥1 user, identically on both engines
+    (inner user self-join)."""
+    ue = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select("user_id", "event_type")
+        .distinct()
+        .persist()
+    )
+    per_type = ue.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = ue.select(F.col("user_id").alias("u"), F.col("event_type").alias("type_a"))
+    b = ue.select(F.col("user_id").alias("u2"), F.col("event_type").alias("type_b"))
+    ov = (
+        a.join(b, (F.col("u") == F.col("u2")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    ta = per_type.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("n").alias("n_a"),
+    )
+    tb = per_type.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("n").alias("n_b"),
+    )
+    est_overlap = (
+        F.hll_sketch_estimate("sk_a")
+        + F.hll_sketch_estimate("sk_b")
+        - F.hll_sketch_estimate(F.expr("hll_union(sk_a, sk_b)"))
+    )
+    return (
+        ov.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            (F.col("n_a") + F.col("n_b") - F.col("n_overlap"))
+            .cast("bigint")
+            .alias("n_union"),
+            F.col("n_overlap").cast("bigint").alias("n_overlap"),
+            (
+                F.abs(est_overlap - F.col("n_overlap")).cast("double")
+                <= 0.05
+                * (F.col("n_a") + F.col("n_b") - F.col("n_overlap")).cast(
+                    "double"
+                )
+            )
+            .cast("bigint")
+            .alias("overlap_est_ok"),
+        )
+    )
+
+
 def _sssp_oracle(rounds: int) -> str:
     """Bounded Bellman-Ford unrolled into a CTE chain (the pagerank
     trick): d_{i+1} = min(d_i, min over edges(d_i[src] + w)). Weighted

@@ -1800,6 +1800,60 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "window_rank_distribution",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_orderpriority,
+               CASE WHEN abs(o_totalprice) < 1e12
+                    THEN CAST(floor(o_totalprice * 100) AS BIGINT) END AS cents
+        FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           CAST(nth_value(o_orderkey, 3) OVER w2 AS BIGINT) AS third_key
+    FROM o
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY cents ASC NULLS FIRST, o_orderkey ASC NULLS FIRST),
+           w2 AS (PARTITION BY o_orderpriority
+                  ORDER BY cents ASC NULLS FIRST, o_orderkey ASC NULLS FIRST
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-analytic window functions — percent_rank, cume_dist,
+    nth_value — per order priority over the integer-cents price order.
+    The ordering is total and NULL-pinned explicitly (`ASC NULLS FIRST`
+    on both keys in BOTH engines: Spark defaults NULLS FIRST on ASC
+    where DuckDB defaults NULLS LAST — the classic silent divergence).
+    percent_rank = (rank−1)/(n−1) and cume_dist = peers≤/n are single
+    divisions of identical integers, bit-equal cross-engine; nth_value
+    uses the explicit unbounded ROWS frame (its default frame ends at
+    CURRENT ROW, which would NULL the first two rows of every group)."""
+    orders = load(spark, sf_dir, "orders")
+    cents = F.when(
+        F.abs(F.col("o_totalprice")) < 1e12,
+        F.floor(F.col("o_totalprice") * 100).cast("bigint"),
+    )
+    o = orders.select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+    order_keys = [
+        F.col("cents").asc_nulls_first(),
+        F.col("o_orderkey").asc_nulls_first(),
+    ]
+    w = Window.partitionBy("o_orderpriority").orderBy(*order_keys)
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value(F.col("o_orderkey"), 3).over(w2).cast("bigint").alias(
+            "third_key"
+        ),
+    )
+
+
 # The recursive min-label closure: IDENTICAL SQL text runs on both engines
 # (the one dialect-neutral recursion in the suite). Edges form a chain —
 # each doc points at the NEXT larger id in its exact-duplicate group — so
