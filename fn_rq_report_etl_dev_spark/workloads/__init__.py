@@ -197,6 +197,8 @@ _RECHECK: list[str] = [
     "drift_rank_mannwhitney",
     "approx_overlap_hll",
     "window_rank_distribution",
+    "timeseries_gapfill_locf",
+    "timeseries_twap_user",
 ]
 
 _REPO_ROOT = os.path.dirname(

@@ -1631,6 +1631,194 @@ def drift_rank_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "timeseries_twap_user",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL AND NOT isnan(value) AND abs(value) < 1e12
+    ),
+    seg AS (
+        SELECT user_id, cents,
+               epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dur_us
+        FROM obs
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST,
+                              cents ASC NULLS LAST)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(cents * dur_us) AS BIGINT) AS twap_num,
+           CAST(sum(dur_us) AS BIGINT) AS dur_us,
+           CASE WHEN sum(dur_us) > 0 THEN
+               CAST(sum(cents * dur_us) AS DOUBLE) / CAST(sum(dur_us) AS DOUBLE)
+           END AS twap_cents
+    FROM seg WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def timeseries_twap_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP / TimescaleDB `time_weight`, LOCF
+    interpolation) of the event value per user: between consecutive
+    observations the value holds piecewise-constant, so the average
+    weights each reading by the integer MICROSECONDS until the next one —
+    the correct aggregate for irregularly-sampled series, where a plain
+    AVG over-weights bursts. The final (open-ended) observation carries
+    no duration and drops out, identically on both engines.
+
+    All-integer accumulation: cents·µs products are bounded by
+    max_cents × month_span (~1.3e17 per user, far inside bigint) no
+    matter how many events a user has, and the numerator/denominator
+    sums are order-insensitive — the only float is the single boundary
+    division. One per-user lead window (fully parallel) + one
+    map-side-combinable aggregate; ties in the total order carry zero
+    duration, so tie-order can never change the integral."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & ~F.isnan(F.col("value"))
+            & (F.abs(F.col("value")) < 1e12)
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(),
+        F.col("event_id").asc_nulls_last(),
+        F.col("cents").asc_nulls_last(),
+    )
+    seg = ev.select(
+        "user_id",
+        "cents",
+        (F.unix_micros(F.lead("ts", 1).over(w)) - F.unix_micros(F.col("ts"))).alias(
+            "dur_us"
+        ),
+    ).filter(F.col("dur_us").isNotNull())
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum(F.col("cents") * F.col("dur_us")).cast("bigint").alias("twap_num"),
+        F.sum("dur_us").cast("bigint").alias("dur_us"),
+        F.when(
+            F.sum("dur_us") > 0,
+            F.sum(F.col("cents") * F.col("dur_us")).cast("double")
+            / F.sum("dur_us").cast("double"),
+        ).alias("twap_cents"),
+    )
+
+
+@workload(
+    "timeseries_gapfill_locf",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL AND NOT isnan(value) AND abs(value) < 1e12
+    ),
+    daily AS (
+        SELECT user_id, day, cents FROM (
+            SELECT user_id, day, cents,
+                   row_number() OVER (
+                       PARTITION BY user_id, day
+                       ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST,
+                                cents DESC NULLS LAST) AS rn
+            FROM obs) WHERE rn = 1
+    ),
+    users AS (SELECT DISTINCT user_id FROM obs),
+    days AS (SELECT CAST(generate_series AS DATE) AS day
+             FROM generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                  INTERVAL 1 DAY)),
+    grid AS (SELECT u.user_id, d.day FROM users u CROSS JOIN days d)
+    SELECT g.user_id, g.day,
+           CAST(last_value(dl.cents IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cents_locf,
+           CAST(CASE WHEN dl.cents IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS is_observed
+    FROM grid g
+    LEFT JOIN daily dl ON dl.user_id = g.user_id AND dl.day = g.day
+    """,
+)
+def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling + LOCF (last observation carried forward) — the
+    hypertable `time_bucket_gapfill`/`locf` operator every monitoring and
+    feature-engineering pipeline needs: one row per (user, calendar day)
+    for the full month, each day carrying the user's most recent daily
+    closing value; days before a user's first observation stay NULL
+    (nothing to carry). Daily close is deterministic: top-1 by (ts,
+    event_id, cents) DESC with NULLS LAST pinned on BOTH engines (Spark
+    and DuckDB disagree on default NULL order under DESC).
+
+    Scale shape: the dense grid is users × broadcast(30 literal days) —
+    the explode is map-side and the grid is |users|·days rows BY DESIGN
+    (that's the output contract); the LOCF window partitions by user
+    (fully parallel, no global order), and the daily-close top-1 compiles
+    to the WindowGroupLimit map-side trim like every other top-1-per-key
+    in the engine."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & ~F.isnan(F.col("value"))
+            & (F.abs(F.col("value")) < 1e12)
+        )
+        .select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    w_day = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc_nulls_last(),
+        F.col("event_id").desc_nulls_last(),
+        F.col("cents").desc_nulls_last(),
+    )
+    daily = (
+        ev.withColumn("__rn", F.row_number().over(w_day))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "day", "cents")
+    )
+    users = ev.select("user_id").distinct()
+    days = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(to_date('2024-01-01'), to_date('2024-01-30'), "
+                "interval 1 day)"
+            )
+        ).alias("day")
+    )
+    grid = users.crossJoin(F.broadcast(days))
+    w_locf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.last("cents", ignorenulls=True).over(w_locf).cast("bigint").alias(
+            "cents_locf"
+        ),
+        F.col("cents").isNotNull().cast("bigint").alias("is_observed"),
+    )
+
+
+@workload(
     "approx_overlap_hll",
     oracle="""
     WITH ue AS (
