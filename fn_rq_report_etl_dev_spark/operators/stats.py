@@ -58,6 +58,43 @@ def ks_statistic(
     )
 
 
+def chi2_2x2_significant_95(
+    n_a: Column, x_a: Column, n_b: Column, x_b: Column
+) -> Column:
+    """Exact 95% significance bit for a 2×2 Pearson chi-square
+    (two-proportion test): χ² ≥ 3.84146 restated without ever computing
+    a float —
+
+        χ² = N·(x_a·n_b − x_b·n_a)² / (n_a·n_b·X·(N−X))
+        ⟺ 100000·N·D² ≥ 384146·n_a·n_b·X·(N−X)
+
+    with every product in DECIMAL(19/38,0) (exact to 38 digits; DuckDB
+    replays the same comparison in auto-promoted HUGEINT). Degenerate
+    margins (empty variant, zero or total conversion) are defined as NOT
+    significant. Property-tested against a Fraction-exact Python replica
+    including counts on both sides of the critical value."""
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    d = dec(x_a) * dec(n_b) - dec(x_b) * dec(n_a)
+    x_tot = dec(x_a) + dec(x_b)
+    n_tot = dec(n_a) + dec(n_b)
+    lhs = F.lit(100000).cast("decimal(19,0)") * n_tot * d * d
+    rhs = (
+        F.lit(384146).cast("decimal(19,0)")
+        * dec(n_a)
+        * dec(n_b)
+        * x_tot
+        * (n_tot - x_tot)
+    )
+    return (
+        F.when(
+            (n_a > 0) & (n_b > 0) & (x_tot > 0) & (n_tot - x_tot > 0) & (lhs >= rhs),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+
+
 def mannwhitney_2u(
     pts: DataFrame, v_col: str, cur_col: str, bucket: Column
 ) -> DataFrame:

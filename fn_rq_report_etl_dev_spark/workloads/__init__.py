@@ -85,6 +85,10 @@ EAGER_SCHEMAS: dict[str, str] = {
     "graph_sssp_weighted": "partkey bigint, dist bigint",
     # delta-frontier Bellman-Ford checks frontier emptiness per round
     "graph_sssp_delta": "partkey bigint, dist bigint",
+    # global_row_number collects per-partition counts (driver scalars)
+    "skew_key_gini": (
+        "n_keys bigint, total_rows bigint, gini_num bigint, gini double"
+    ),
     # greedy coverage collects one argmax row per round (driver scalars)
     "curation_greedy_coverage": "pick_rank bigint, doc_id bigint, new_tokens bigint",
     # collects the two-dimension min/max normalization bounds (driver scalars)
@@ -199,6 +203,8 @@ _RECHECK: list[str] = [
     "window_rank_distribution",
     "timeseries_gapfill_locf",
     "timeseries_twap_user",
+    "skew_key_gini",
+    "abtest_conversion_exact",
 ]
 
 _REPO_ROOT = os.path.dirname(

@@ -1631,6 +1631,181 @@ def drift_rank_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "abtest_conversion_exact",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 32, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN 'A' ELSE 'B' END AS variant,
+               CAST(max(CASE WHEN event_type = 'purchase'
+                              AND value IS NOT NULL AND NOT isnan(value)
+                              AND value >= 300 AND value < 1e6
+                             THEN 1 ELSE 0 END)
+                    AS BIGINT) AS converted
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id
+    ),
+    v AS (
+        SELECT count(*) FILTER (variant = 'A') AS n_a,
+               sum(converted) FILTER (variant = 'A') AS x_a,
+               count(*) FILTER (variant = 'B') AS n_b,
+               sum(converted) FILTER (variant = 'B') AS x_b
+        FROM u
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+           CAST(CASE WHEN n_a > 0 AND n_b > 0
+                      AND (x_a + x_b) > 0
+                      AND (n_a + n_b - x_a - x_b) > 0
+                     THEN CASE WHEN
+                          100000 * (n_a + n_b)
+                              * (x_a * n_b - x_b * n_a)
+                              * (x_a * n_b - x_b * n_a)
+                          >= 384146 * n_a * n_b * (x_a + x_b)
+                              * (n_a + n_b - x_a - x_b)
+                          THEN 1 ELSE 0 END
+                     ELSE 0 END AS BIGINT) AS significant_95
+    FROM v
+    """,
+)
+def abtest_conversion_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B test with an EXACT significance decision: users hash-split
+    into variants (portable md5 last-nibble — replayable in any engine,
+    unlike Spark's private hash()), conversion = a HIGH-VALUE purchase
+    (≥ $300 — "any purchase" is degenerate on this corpus: every user
+    converts and the N−X margin zeroes out), and the 2×2 Pearson
+    chi-square compared against the 95% critical value entirely in exact
+    arithmetic (`operators.stats.chi2_2x2_significant_95`):
+
+        χ² = N·(x_a·n_b − x_b·n_a)² / (n_a·n_b·X·(N−X)) ≥ 3.84146
+        ⟺ 100000·N·D² ≥ 384146·n_a·n_b·X·(N−X)
+
+    — no float ever computed, so the accept/reject bit is bit-identical
+    cross-engine (the classic failure is a χ² that floats to
+    3.8414599999 on one engine and 3.84146 on the other). Spark
+    accumulates the cross-products in DECIMAL(38,0) (D² ≈ 1e16, lhs
+    ≈ 1e21 at sf0.1 — inside 38 digits up to ~10¹² users); DuckDB's
+    integer ops auto-promote to HUGEINT. Degenerate margins (an empty
+    variant, zero or all conversions) are defined as not-significant on
+    both engines; a random split on homogeneous data correctly reports
+    0 — the significant=1 branch is property-tested in isolation with
+    counts on both sides of the critical value. One groupBy(user) + one
+    global aggregate."""
+    from ..operators.stats import chi2_2x2_significant_95
+
+    u = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & F.col("value").isNotNull()
+                    & ~F.isnan(F.col("value"))
+                    & (F.col("value") >= 300)
+                    & (F.col("value") < 1e6),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn(
+            "variant",
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 32, 1).isin(
+                    *"01234567"
+                ),
+                "A",
+            ).otherwise("B"),
+        )
+    )
+    v = u.agg(
+        F.count(F.when(F.col("variant") == "A", 1)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == "A", F.col("converted"))).alias("x_a"),
+        F.count(F.when(F.col("variant") == "B", 1)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == "B", F.col("converted"))).alias("x_b"),
+    ).select(
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("n_a", "x_a", "n_b", "x_b")]
+    )
+    return v.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("x_a").cast("bigint").alias("x_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("x_b").cast("bigint").alias("x_b"),
+        chi2_2x2_significant_95(
+            F.col("n_a"), F.col("x_a"), F.col("n_b"), F.col("x_b")
+        ).alias("significant_95"),
+    )
+
+
+@workload(
+    "skew_key_gini",
+    oracle="""
+    WITH c AS (
+        SELECT l_partkey AS k, count(*) AS cnt
+        FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY l_partkey
+    ),
+    r AS (
+        SELECT cnt, row_number() OVER (ORDER BY cnt, k) AS i FROM c
+    ),
+    t AS (SELECT count(*) AS n, sum(cnt) AS tot FROM c)
+    SELECT CAST(t.n AS BIGINT) AS n_keys,
+           CAST(t.tot AS BIGINT) AS total_rows,
+           CAST(sum((2 * r.i - t.n - 1) * r.cnt) AS BIGINT) AS gini_num,
+           CAST(sum((2 * r.i - t.n - 1) * r.cnt) AS DOUBLE)
+               / (CAST(t.n AS DOUBLE) * CAST(t.tot AS DOUBLE)) AS gini
+    FROM r, t GROUP BY t.n, t.tot
+    """,
+)
+def skew_key_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profiler: the exact Gini coefficient of the per-partkey
+    row-count distribution — G = Σ(2i−n−1)·x_i / (n·Σx) over counts
+    sorted ascending — the one-number answer to "will this join key
+    skew a reducer?" that a shuffle planner wants BEFORE launching the
+    join (G≈0 uniform, G→1 one hot key owns everything).
+
+    The rank i over the global (count, key) order comes from
+    `ranking.global_row_number` (range partition + per-partition
+    row_number + ≤#partitions offset scalars — its third consumer; the
+    oracle states the same rank as a one-task window, sound at check
+    scale). The numerator is an exact bigint (tie-insensitive: equal
+    counts contribute count-weighted consecutive ranks whose sum is
+    order-free), totals ride a 1-row broadcast, and the only float is
+    the final division of identical integers. Past ~10⁹ keys the
+    (2i−n−1)·x products outgrow bigint — switch the accumulator to
+    DECIMAL(38,0), the shape is unchanged."""
+    from ..operators.ranking import global_row_number
+
+    li = load(spark, sf_dir, "lineitem")
+    c = (
+        li.filter(F.col("l_partkey").isNotNull())
+        .groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    r = global_row_number(c, [F.col("cnt"), F.col("k")], "i")
+    totals = c.agg(F.count(F.lit(1)).alias("n"), F.sum("cnt").alias("tot"))
+    return (
+        r.crossJoin(F.broadcast(totals))
+        .groupBy("n", "tot")
+        .agg(
+            F.sum(
+                (2 * F.col("i") - F.col("n") - 1) * F.col("cnt")
+            ).alias("gini_num")
+        )
+        .select(
+            F.col("n").cast("bigint").alias("n_keys"),
+            F.col("tot").cast("bigint").alias("total_rows"),
+            F.col("gini_num").cast("bigint").alias("gini_num"),
+            (
+                F.col("gini_num").cast("double")
+                / (F.col("n").cast("double") * F.col("tot").cast("double"))
+            ).alias("gini"),
+        )
+    )
+
+
+@workload(
     "timeseries_twap_user",
     oracle="""
     WITH obs AS (

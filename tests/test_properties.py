@@ -809,6 +809,57 @@ def test_ks_and_mannwhitney_match_bruteforce(spark, xs):
     assert got2["two_u_cur"] == two_ranksum - nc * (nc + 1)
 
 
+@settings(max_examples=6, deadline=None)
+@given(
+    counts=st.lists(
+        st.tuples(
+            st.integers(0, 2000), st.integers(0, 2000),
+            st.integers(0, 2000), st.integers(0, 2000),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_chi2_2x2_exact_decision_matches_fractions(spark, counts):
+    """chi2_2x2_significant_95 must equal a Fraction-exact Python replica
+    of χ² ≥ 3.84146 for arbitrary 2×2 margins, including degenerate ones
+    (empty variants, zero/total conversion) and counts straddling the
+    critical value. x is clamped ≤ n on each side to keep the table
+    well-formed."""
+    from fractions import Fraction
+
+    from fn_rq_report_etl_dev_spark.operators.stats import (
+        chi2_2x2_significant_95,
+    )
+
+    rows = [
+        (na, min(xa, na), nb, min(xb, nb)) for na, xa, nb, xb in counts
+    ]
+    df = spark.createDataFrame(
+        rows, "n_a bigint, x_a bigint, n_b bigint, x_b bigint"
+    )
+    got = [
+        r["sig"]
+        for r in df.select(
+            chi2_2x2_significant_95(
+                F.col("n_a"), F.col("x_a"), F.col("n_b"), F.col("x_b")
+            ).alias("sig")
+        ).collect()
+    ]
+
+    def exact(na, xa, nb, xb):
+        n, x = na + nb, xa + xb
+        if na == 0 or nb == 0 or x == 0 or n - x == 0:
+            return 0
+        chi2 = Fraction(n * (xa * nb - xb * na) ** 2, na * nb * x * (n - x))
+        return 1 if chi2 >= Fraction(384146, 100000) else 0
+
+    assert got == [exact(*r) for r in rows]
+    # the generator must exercise BOTH branches across the suite often
+    # enough that hypothesis shrinks meaningfully — no assertion here,
+    # significance of random margins is legitimately rare.
+
+
 @settings(max_examples=8, deadline=None)
 @given(docs=st.lists(_doc_words, min_size=1, max_size=10), k=st.integers(1, 4))
 def test_greedy_token_cover_matches_python_greedy(spark, docs, k):
