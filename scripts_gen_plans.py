@@ -60,6 +60,8 @@ HEADLINERS = [
     ("drift_value_chi2", "drift monitor (r05): ONE integer bin-count aggregate; totals from an unpartitioned window over the <=|bins| summary rows; chi-square terms are post-agg scalar projections"),
     ("drift_ks_value", "two-sample KS (r06): ECDF cumulatives via the bucketed prefix scan (per-bucket windows, broadcast carry); integer D-numerator max-aggregate; the global ECDF order never sees a one-task window"),
     ("drift_rank_mannwhitney", "Mann-Whitney U (r06): global average ranks with ties in DOUBLED integers from one prefix-scan pass; one map-side-combinable ranksum aggregate — the classic global-sort trap avoided"),
+    ("skew_key_gini", "exact Gini skew diagnostic (r06): global rank via zipWithIndex-shape global_row_number (range exchange + offset scalars, NO SinglePartition over data); integer numerator aggregate + 1-row broadcast totals"),
+    ("timeseries_gapfill_locf", "gap-fill + LOCF (r06): dense grid = users x broadcast 30-literal-day explode (map-side); per-user IGNORE-NULLS window fully parallel; daily close is a WindowGroupLimit top-1"),
 ]
 
 spark = get_spark(app_name="gen-plans")
