@@ -205,6 +205,7 @@ _RECHECK: list[str] = [
     "timeseries_twap_user",
     "skew_key_gini",
     "abtest_conversion_exact",
+    "cdc_apply_changelog",
 ]
 
 _REPO_ROOT = os.path.dirname(

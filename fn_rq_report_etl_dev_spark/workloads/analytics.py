@@ -1631,6 +1631,84 @@ def drift_rank_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "cdc_apply_changelog",
+    oracle="""
+    WITH log AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'purchase' THEN 'D'
+                    WHEN event_type = 'click' THEN 'U' ELSE 'I' END AS op,
+               CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                         AND abs(value) < 1e12
+                    THEN CAST(floor(value * 100) AS BIGINT) END AS cents,
+               ts, event_id
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    ranked AS (
+        SELECT user_id, op, cents,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST,
+                            op DESC NULLS LAST, cents DESC NULLS LAST) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_ops
+        FROM log
+    )
+    SELECT user_id, op AS last_op, cents AS last_cents,
+           CAST(n_ops AS BIGINT) AS n_ops
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply with DELETE tombstones — the lakehouse
+    "materialize a Debezium/CDF log" operator: events become an ordered
+    per-key op stream (purchase→D, click→U, else I) and the live table
+    state is each key's LAST op, with keys whose final op is a delete
+    absent from the result. The upsert half is the engine's standard
+    top-1-per-key (WindowGroupLimit map-side trim — same plan family as
+    `o15_window_dedup`); the tombstone is one post-window filter, which
+    is the whole point: at 100 TB "apply the log" costs exactly one
+    dedup-shaped shuffle, never a per-op loop. The total order is pinned
+    (ts, event_id, op, cents) DESC NULLS LAST identically on both
+    engines, so concurrent same-timestamp ops resolve deterministically."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "purchase", "D")
+            .when(F.col("event_type") == "click", "U")
+            .otherwise("I")
+            .alias("op"),
+            F.when(
+                F.col("value").isNotNull()
+                & ~F.isnan(F.col("value"))
+                & (F.abs(F.col("value")) < 1e12),
+                F.floor(F.col("value") * 100).cast("bigint"),
+            ).alias("cents"),
+            "ts",
+            "event_id",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc_nulls_last(),
+        F.col("event_id").desc_nulls_last(),
+        F.col("op").desc_nulls_last(),
+        F.col("cents").desc_nulls_last(),
+    )
+    wc = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_ops", F.count(F.lit(1)).over(wc))
+        .filter((F.col("__rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("op").alias("last_op"),
+            F.col("cents").alias("last_cents"),
+            F.col("n_ops").cast("bigint").alias("n_ops"),
+        )
+    )
+
+
+@workload(
     "abtest_conversion_exact",
     oracle="""
     WITH u AS (
