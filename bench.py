@@ -158,6 +158,27 @@ def main() -> None:
         force(QUERIES[name](spark, sf_dir))
         return time.perf_counter() - start
 
+    # ---- Calibration probe (r06) ----------------------------------------
+    # A fixed, data-independent JVM workload timed right before the canary:
+    # median-of-3 of a 1B-row range sum+count (pure codegen arithmetic,
+    # no I/O, no shuffle skew — measures THIS MACHINE right now). The
+    # three r06 seeds showed a UNIFORM ~14% ambient drift between runs
+    # hours apart (SCALING.md canary section); dividing canary timings by
+    # the calibration ratio cancels machine-state drift that is not the
+    # engine's doing. Emitted as `calibration_sec`.
+    cal_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        force(
+            spark.range(1_000_000_000).selectExpr(
+                "sum(id) AS s", "count(1) AS c", "sum(id % 7) AS m"
+            )
+        )
+        cal_runs.append(time.perf_counter() - t0)
+        isolate()
+    cal_runs.sort()
+    calibration_sec = round(cal_runs[1], 3)
+
     # ---- Canary subset (VERDICT r05 ask #3) ----------------------------
     # A PINNED list of stable queries, timed FIRST every round at the same
     # suite position (right after warm-up + index builds), median-of-3
@@ -284,6 +305,7 @@ def main() -> None:
                 "ann_ivf_index_build": ivf_build_sec,
                 "ann_ivf_codebook_build": codebook_build_sec,
                 "pipeline_daily_batch": timings["pipeline_daily_batch"],
+                "calibration_sec": calibration_sec,
                 "canary_total": canary_total,
                 "value": total,
             }
