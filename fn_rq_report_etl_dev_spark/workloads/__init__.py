@@ -65,6 +65,9 @@ EAGER_SCHEMAS: dict[str, str] = {
         "n_events bigint"
     ),
     "dedup_cluster_components": "doc_id bigint, component bigint",
+    "streaming_cdc_apply": (
+        "user_id bigint, last_op string, last_cents bigint, n_ops bigint"
+    ),
     "ann_ivf_topk": "query_id bigint, neighbor_id bigint, rank bigint, cos_r double",
     "ann_ivf_recall": "n_probe bigint, bf_pairs bigint, recall_ok bigint",
     "schema_evolution_union": (
@@ -206,6 +209,7 @@ _RECHECK: list[str] = [
     "skew_key_gini",
     "abtest_conversion_exact",
     "cdc_apply_changelog",
+    "streaming_cdc_apply",
 ]
 
 _REPO_ROOT = os.path.dirname(

@@ -615,3 +615,174 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("c_name", T.StringType(), True),
     ])
     return spark.read.schema(out_schema).parquet(out)
+
+
+_CDC_TARGET = "stream_cdc_state"
+
+# Identical to the batch cdc_apply_changelog oracle (workloads/analytics.py)
+# — the incremental state maintenance must converge to the batch replay.
+_CDC_ORACLE = """
+    WITH log AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'purchase' THEN 'D'
+                    WHEN event_type = 'click' THEN 'U' ELSE 'I' END AS op,
+               CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                         AND abs(value) < 1e12
+                    THEN CAST(floor(value * 100) AS BIGINT) END AS cents,
+               ts, event_id
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    ranked AS (
+        SELECT user_id, op, cents,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST,
+                            op DESC NULLS LAST, cents DESC NULLS LAST) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_ops
+        FROM log
+    )
+    SELECT user_id, op AS last_op, cents AS last_cents,
+           CAST(n_ops AS BIGINT) AS n_ops
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """
+
+
+def _cdc_log(batch_df: DataFrame) -> DataFrame:
+    """events → ordered CDC op rows (same mapping/guards as the batch
+    cdc_apply_changelog workload)."""
+    return batch_df.filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "user_id",
+        F.when(F.col("event_type") == "purchase", "D")
+        .when(F.col("event_type") == "click", "U")
+        .otherwise("I")
+        .alias("op"),
+        F.when(
+            F.col("value").isNotNull()
+            & ~F.isnan(F.col("value"))
+            & (F.abs(F.col("value")) < 1e12),
+            F.floor(F.col("value") * 100).cast("bigint"),
+        ).alias("cents"),
+        "ts",
+        "event_id",
+    )
+
+
+def _cdc_micro_batch(spark: SparkSession, wh: Warehouse, batch_df: DataFrame) -> None:
+    """One micro-batch of incremental CDC state maintenance: collapse the
+    batch to its per-key last op + op count, then combine with the stored
+    state — batch wins on recency (the landing order is per-key time-
+    monotone), op counts ADD, and tombstoned keys stay IN the state (a
+    later re-insert must still report the full n_ops history); the
+    consumer filters tombstones at read time."""
+    from pyspark.sql import Window
+
+    log = _cdc_log(batch_df)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc_nulls_last(),
+        F.col("event_id").desc_nulls_last(),
+        F.col("op").desc_nulls_last(),
+        F.col("cents").desc_nulls_last(),
+    )
+    wc = Window.partitionBy("user_id")
+    last = (
+        log.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_ops", F.count(F.lit(1)).over(wc))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("op").alias("last_op"),
+            F.col("cents").alias("last_cents"),
+            F.col("n_ops").cast("bigint").alias("n_ops"),
+        )
+    )
+    if wh.exists(_CDC_TARGET):
+        state = wh.read(spark, _CDC_TARGET)
+    else:
+        state = spark.createDataFrame([], last.schema)
+    s = state.select(
+        F.col("user_id").alias("__sk"),
+        F.col("last_op").alias("__s_op"),
+        F.col("last_cents").alias("__s_cents"),
+        F.col("n_ops").alias("__s_n"),
+    )
+    b = last.select(
+        F.col("user_id").alias("__bk"),
+        F.col("last_op").alias("__b_op"),
+        F.col("last_cents").alias("__b_cents"),
+        F.col("n_ops").alias("__b_n"),
+    )
+    combined = s.join(b, s["__sk"].eqNullSafe(b["__bk"]), "full_outer").select(
+        F.coalesce(F.col("__bk"), F.col("__sk")).alias("user_id"),
+        F.coalesce(F.col("__b_op"), F.col("__s_op")).alias("last_op"),
+        F.when(F.col("__bk").isNotNull(), F.col("__b_cents"))
+        .otherwise(F.col("__s_cents"))
+        .alias("last_cents"),
+        (
+            F.coalesce(F.col("__s_n"), F.lit(0))
+            + F.coalesce(F.col("__b_n"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_ops"),
+    )
+    wh.overwrite_atomic(combined, _CDC_TARGET)
+
+
+@workload("streaming_cdc_apply", oracle=_CDC_ORACLE, checkpointed_drain=True)
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDC state maintenance ≡ batch changelog replay: events
+    land as two files (split at the flagship CUTOFF), each drains through
+    a checkpointed foreachBatch that folds the batch's per-key last op +
+    op count into the stored state (tombstones retained, counts added) —
+    and the final tombstone-filtered state must hash-match the one-shot
+    batch `cdc_apply_changelog` oracle. Green certifies three things at
+    once: the checkpointed source's exactly-once file tracking (a
+    re-processed file would double n_ops), the batch-newer-wins merge
+    algebra under time-monotone landing, and the tombstone-retention rule
+    (a key deleted in batch 1 and re-inserted in batch 2 must carry its
+    full op history)."""
+    events = load(spark, sf_dir, "events").select(*EVENT_COLS)
+    root = tempfile.mkdtemp(prefix="rq_stream_cdc_")
+    landing = os.path.join(root, "landing")
+    checkpoint = os.path.join(root, "checkpoint")
+    wh = Warehouse(os.path.join(root, "wh"))
+
+    def drain() -> None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        try:
+            q = (
+                spark.readStream.schema(events.schema)
+                .parquet(landing)
+                .writeStream.foreachBatch(
+                    lambda df, eid: _cdc_micro_batch(spark, wh, df)
+                )
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            if q.exception() is not None:
+                raise q.exception()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    events.filter(F.col("ts") < F.lit(CUTOFF)).write.mode("append").parquet(landing)
+    drain()
+    events.filter(F.col("ts") >= F.lit(CUTOFF)).write.mode("append").parquet(landing)
+    drain()
+
+    from pyspark.sql import types as T
+
+    if not wh.exists(_CDC_TARGET):
+        return spark.createDataFrame(
+            [],
+            T.StructType([
+                T.StructField("user_id", T.LongType(), True),
+                T.StructField("last_op", T.StringType(), True),
+                T.StructField("last_cents", T.LongType(), True),
+                T.StructField("n_ops", T.LongType(), True),
+            ]),
+        )
+    return wh.read(spark, _CDC_TARGET).filter(F.col("last_op") != "D")
