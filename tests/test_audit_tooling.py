@@ -70,6 +70,7 @@ def test_checkpointed_drain_attribute_pins_the_streaming_class():
         "streaming_interval_join",
         "streaming_stateful_sessions",
         "streaming_static_enrich",
+        "streaming_cdc_apply",  # r06: incremental CDC ≡ batch replay
     }
     assert CHECKPOINTED_DRAINS <= set(QUERIES)
     # Every workload defined in a module that drains checkpoints carries
