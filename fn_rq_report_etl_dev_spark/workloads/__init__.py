@@ -20,6 +20,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -159,57 +160,31 @@ from . import analytics  # noqa: E402,F401
 # 2. everything with no green row in ANY CORRECTNESS_r*.json committed to
 #    the repo root (never reported, or reported red — both need a verdict);
 # 3. settled — green (or rows-only `no_oracle`) in some past report and
-#    byte-identical since; their verdicts stand, and the pytest
-#    oracle-parity mirror still re-checks them every run.
+#    byte-identical since — ordered LRU: OLDEST latest-verdict round
+#    first (VERDICT r06 ask #1), so the 50-slot window cycles the whole
+#    registry every ceil(N/50) rounds and no verdict goes stale longer
+#    than that. Name tiebreak keeps the order deterministic.
 #
-# The green set is derived from the report FILES at import time, so each
-# new round's CORRECTNESS_r{N}.json automatically updates the rotation —
-# no per-round list maintenance.
+# The green-round map is derived from the report FILES at import time, so
+# each new round's CORRECTNESS_r{N}.json automatically updates the
+# rotation — no per-round list maintenance.
 
 # Changed after their last driver verdict — must be re-verified.
-# (The round-4 entries all got green r04 verdicts and settle out of this
-# list automatically via _driver_green_queries.)
+# (The round-6 entries all got green r06 verdicts and settle out of this
+# list automatically via _driver_green_rounds.)
 _RECHECK: list[str] = [
-    # -- 1. VERDICT r05 ask #1: the three entries added after the r05
-    #       driver run — the judge sim-verified them green, but the
-    #       driver's own CORRECTNESS_r06 record must close the loop.
-    "basket_brand_pairs",
-    "profile_column_stats",
-    "scd2_point_in_time_join",
-    #
-    # -- 2. VERDICT r05 ask #2: the two former rows-only sketch timings,
-    #       reworked this round into the driver-falsifiable bounded-error
-    #       form (exact side oracle-checked, estimate + bound boolean
-    #       alongside) — new semantics need a driver verdict.
-    "approx_distinct_parts",
-    "approx_quantiles_price",
-    #
-    # -- 3. Behavior changed by the round-6 ADVICE fixes: exact-rational
-    #       threshold arithmetic in the prefix-filter/LSH-verify joins
-    #       (plus the PPJoin positional filter), the skyline NULL
-    #       total_spend exclusion, and the partial-aggregate combiner's
-    #       dead-branch collapse. A code change invalidates the old green
-    #       verdict even when local driver-sim re-matched.
-    "dedup_prefix_jaccard",
-    "dedup_ngram_jaccard",
-    "split_leakage_check",
-    "skyline_customer_value",
-    "incremental_agg_merge",
-    #
-    # -- 4. Round-6 additions (never driver-reported): the delta-frontier
-    #       SSSP variant (oracle-shared with graph_sssp_weighted) and the
-    #       two-sample drift statistics on the distributed prefix scan.
-    "graph_sssp_delta",
-    "drift_ks_value",
-    "drift_rank_mannwhitney",
-    "approx_overlap_hll",
-    "window_rank_distribution",
-    "timeseries_gapfill_locf",
+    # -- 1. Behavior changed by the round-7 ADVICE fixes: TWAP value
+    #       guard tightened to the bound its overflow analysis assumes;
+    #       A/B oracle NULL-coalesce aligned with the Spark side on
+    #       empty variants; HLL++ est_within bound widened from ~2sigma
+    #       to 4sigma so a new corpus can't legitimately fail it.
     "timeseries_twap_user",
-    "skew_key_gini",
     "abtest_conversion_exact",
-    "cdc_apply_changelog",
-    "streaming_cdc_apply",
+    "approx_distinct_parts",
+    #
+    # -- 2. Dead-code removal in sssp_relax_delta (any code change
+    #       invalidates the old verdict, even behavior-preserving).
+    "graph_sssp_delta",
 ]
 
 _REPO_ROOT = os.path.dirname(
@@ -217,11 +192,16 @@ _REPO_ROOT = os.path.dirname(
 )
 
 
-def _driver_green_queries() -> list[str]:
-    """Queries with a green (hash_match, or rows-only no_oracle) row in
-    any committed driver correctness report, in first-seen order."""
-    green: list[str] = []
+def _driver_green_rounds() -> dict[str, int]:
+    """name -> LATEST round whose committed driver report has a green
+    (hash_match, or rows-only no_oracle) row for it. The rotation's LRU
+    key: smaller round = staler verdict = earlier slot."""
+    rounds: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path, encoding="utf-8") as fh:
                 report = json.load(fh)
@@ -229,25 +209,36 @@ def _driver_green_queries() -> list[str]:
             continue
         for name, row in report.items():
             ok = row.get("hash_match") is True or row.get("err") == "no_oracle"
-            if ok and name not in green:
-                green.append(name)
-    return green
+            if ok:
+                rounds[name] = max(rounds.get(name, 0), rnd)
+    return rounds
+
+
+def _driver_green_queries() -> list[str]:
+    """Back-compat view of _driver_green_rounds (tests use it as a set)."""
+    return list(_driver_green_rounds())
 
 
 def _ordered_names(
-    names: list[str], green: list[str], recheck: list[str]
+    names: list[str], green_rounds: dict[str, int], recheck: list[str]
 ) -> list[str]:
     """Pure ordering rule (unit-testable against simulated reports):
-    recheck first, then never-green ("fresh"), then settled-green."""
+    recheck first, then never-green ("fresh"), then settled-green LRU —
+    oldest latest-verdict round first, name tiebreak."""
     name_set = set(names)
     rech = [n for n in recheck if n in name_set]
-    fresh = [n for n in names if n not in set(green) and n not in set(recheck)]
-    settled = [n for n in green if n in name_set and n not in set(recheck)]
+    fresh = [
+        n for n in names if n not in green_rounds and n not in set(recheck)
+    ]
+    settled = sorted(
+        (n for n in green_rounds if n in name_set and n not in set(recheck)),
+        key=lambda n: (green_rounds[n], n),
+    )
     return rech + fresh + settled
 
 
 def _rotate_registry() -> None:
-    ordered = _ordered_names(list(QUERIES), _driver_green_queries(), _RECHECK)
+    ordered = _ordered_names(list(QUERIES), _driver_green_rounds(), _RECHECK)
     reordered = {n: QUERIES[n] for n in ordered}
     QUERIES.clear()
     QUERIES.update(reordered)

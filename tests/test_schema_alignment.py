@@ -61,31 +61,81 @@ def test_output_dtypes_align(name, spark, sf_dir, duck):
 
 def test_registry_rotation_prioritizes_unverified():
     """Dict order = recheck, then never-green-in-any-driver-report, then
-    settled-green — so a 50-entry driver cap always lands on the queries
-    that still need a verdict. The expected green set is derived the SAME
-    way the rotation derives it (_driver_green_queries globs every
-    CORRECTNESS_r*.json), so this test stays correct as new rounds land
-    their reports."""
+    settled-green LRU (oldest latest-verdict round first) — so a 50-entry
+    driver cap always lands on the queries that most need a verdict. The
+    expected green map is derived the SAME way the rotation derives it
+    (_driver_green_rounds globs every CORRECTNESS_r*.json), so this test
+    stays correct as new rounds land their reports."""
     from fn_rq_report_etl_dev_spark.workloads import (
         _RECHECK,
         QUERIES,
-        _driver_green_queries,
+        _driver_green_rounds,
     )
 
     names = list(QUERIES)
     assert len(names) == len(set(names))
-    green = set(_driver_green_queries())
+    green_rounds = _driver_green_rounds()
     # recheck first, in order
     assert names[: len(_RECHECK)] == [n for n in _RECHECK if n in QUERIES]
     # every settled-green query sorts after every fresh query
-    settled_pos = [
-        names.index(n) for n in green if n in QUERIES and n not in _RECHECK
+    settled = [
+        n for n in names if n in green_rounds and n not in _RECHECK
     ]
     fresh_pos = [
-        names.index(n) for n in names if n not in green and n not in _RECHECK
+        names.index(n)
+        for n in names
+        if n not in green_rounds and n not in _RECHECK
     ]
-    if settled_pos and fresh_pos:
-        assert min(settled_pos) > max(fresh_pos)
+    if settled and fresh_pos:
+        assert names.index(settled[0]) > max(fresh_pos)
+    # LRU within settled: latest-verdict rounds are non-decreasing — a
+    # query verified last in r01 MUST front one verified in r06
+    # (VERDICT r06 ask #1).
+    settled_rounds = [green_rounds[n] for n in settled]
+    assert settled_rounds == sorted(settled_rounds), (
+        "settled queries not in oldest-verdict-first (LRU) order"
+    )
+
+
+def test_rotation_cycles_whole_registry_within_four_rounds():
+    """Staleness guarantee (VERDICT r06 ask #1): simulate the driver
+    forward from the LIVE green-round state — each simulated round
+    reports the first 50 registry entries green (the observed driver
+    cap) and the rotation reorders on the updated map. With LRU settled
+    ordering, EVERY registered query must receive a fresh verdict within
+    ceil(N/50) = 4 simulated rounds, and in steady state no query's
+    verdict is ever staler than 4 rounds."""
+    import math
+
+    from fn_rq_report_etl_dev_spark.workloads import (
+        _RECHECK,
+        QUERIES,
+        _driver_green_rounds,
+        _ordered_names,
+    )
+
+    names = list(QUERIES)
+    green_rounds = dict(_driver_green_rounds())
+    cycle = math.ceil(len(names) / 50)
+    assert cycle <= 4, f"registry outgrew the 4-round cycle: {len(names)}"
+    current = max(green_rounds.values(), default=0)
+    recheck = list(_RECHECK)  # consumed by the first simulated round
+    last_seen = dict(green_rounds)
+    for step in range(1, 13):
+        rnd = current + step
+        window = _ordered_names(names, last_seen, recheck)[:50]
+        recheck = []
+        for n in window:
+            last_seen[n] = rnd
+        if step >= cycle:
+            # transient drained: every query has a verdict and none is
+            # staler than `cycle` rounds.
+            stale = [
+                n for n in names if rnd - last_seen.get(n, -(10**6)) >= cycle + 1
+            ]
+            assert not stale, (
+                f"round {rnd}: verdicts staler than {cycle} rounds: {stale}"
+            )
 
 
 def test_every_entry_driver_reported_or_in_recheck():
@@ -135,22 +185,24 @@ def test_every_entry_driver_reported_or_in_recheck():
 
 
 def _green_from_reports(paths):
-    """Green set derived from an explicit, frozen list of report files —
-    rotation simulations must NEVER call the live _driver_green_queries()
-    (which globs every CORRECTNESS_r*.json on disk), or the simulation's
-    premise silently changes the moment the next round's report lands
-    (VERDICT r03 'What's wrong' #1)."""
+    """Green-round map derived from an explicit, frozen list of report
+    files — rotation simulations must NEVER call the live
+    _driver_green_rounds() (which globs every CORRECTNESS_r*.json on
+    disk), or the simulation's premise silently changes the moment the
+    next round's report lands (VERDICT r03 'What's wrong' #1)."""
     import json
+    import re
 
-    green: list[str] = []
+    rounds: dict[str, int] = {}
     for path in paths:
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", path).group(1))
         with open(path, encoding="utf-8") as fh:
             report = json.load(fh)
         for name, row in report.items():
             ok = row.get("hash_match") is True or row.get("err") == "no_oracle"
-            if ok and name not in green:
-                green.append(name)
-    return green
+            if ok:
+                rounds[name] = max(rounds.get(name, 0), rnd)
+    return rounds
 
 
 def test_rotation_fronts_unverified_tpch_under_frozen_r02_reports():
