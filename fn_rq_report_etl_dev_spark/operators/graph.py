@@ -412,7 +412,6 @@ def sssp_relax_delta(
     )
     frontier = dist
     prev_dist_rdd = _checkpoint_rdd(dist)
-    prev_frontier_rdd = None
     for _ in range(rounds):
         cand = (
             frontier.join(e, frontier["node"] == e["e_src"])
@@ -434,12 +433,14 @@ def sssp_relax_delta(
         ).localCheckpoint(eager=True)
         new_frontier = nxt.filter(F.col("__imp")).select("node", "dist")
         new_dist = nxt.select("node", "dist")
+        # The frontier is a filter VIEW over the same checkpointed `nxt`
+        # plan, so draining the single prev_dist_rdd handle releases the
+        # round's only materialization — there is no separate frontier
+        # RDD to unpersist (ADVICE r06: the old prev_frontier_rdd slot
+        # was dead code, never assigned a real RDD).
         if prev_dist_rdd is not None:
             prev_dist_rdd.unpersist(False)
-        if prev_frontier_rdd is not None:
-            prev_frontier_rdd.unpersist(False)
         prev_dist_rdd = _checkpoint_rdd(nxt)
-        prev_frontier_rdd = None
         dist, frontier = new_dist, new_frontier
         if frontier.isEmpty():
             break

@@ -1725,10 +1725,13 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY user_id
     ),
     v AS (
+        -- COALESCE mirrors the Spark side: an empty variant (e.g. an
+        -- empty or all-NULL events table) must emit x=0, not NULL, so
+        -- the hashed outputs agree on degenerate inputs (ADVICE r06).
         SELECT count(*) FILTER (variant = 'A') AS n_a,
-               sum(converted) FILTER (variant = 'A') AS x_a,
+               COALESCE(sum(converted) FILTER (variant = 'A'), 0) AS x_a,
                count(*) FILTER (variant = 'B') AS n_b,
-               sum(converted) FILTER (variant = 'B') AS x_b
+               COALESCE(sum(converted) FILTER (variant = 'B'), 0) AS x_b
         FROM u
     )
     SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
@@ -1891,7 +1894,7 @@ def skew_key_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(floor(value * 100) AS BIGINT) AS cents
         FROM events
         WHERE user_id IS NOT NULL AND ts IS NOT NULL
-          AND value IS NOT NULL AND NOT isnan(value) AND abs(value) < 1e12
+          AND value IS NOT NULL AND NOT isnan(value) AND abs(value) < 1e4
     ),
     seg AS (
         SELECT user_id, cents,
@@ -1900,16 +1903,22 @@ def skew_key_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id
                      ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST,
                               cents ASC NULLS LAST)
+    ),
+    g AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(sum(CAST(cents AS DECIMAL(18,0))
+                        * CAST(dur_us AS DECIMAL(18,0))) AS BIGINT)
+                   AS twap_num,
+               CAST(sum(dur_us) AS BIGINT) AS dur_us
+        FROM seg WHERE dur_us IS NOT NULL
+        GROUP BY user_id
     )
-    SELECT user_id,
-           CAST(count(*) AS BIGINT) AS n_segments,
-           CAST(sum(cents * dur_us) AS BIGINT) AS twap_num,
-           CAST(sum(dur_us) AS BIGINT) AS dur_us,
-           CASE WHEN sum(dur_us) > 0 THEN
-               CAST(sum(cents * dur_us) AS DOUBLE) / CAST(sum(dur_us) AS DOUBLE)
+    SELECT user_id, n_segments, twap_num, dur_us,
+           CASE WHEN dur_us > 0 THEN
+               CAST(twap_num AS DOUBLE) / CAST(dur_us AS DOUBLE)
            END AS twap_cents
-    FROM seg WHERE dur_us IS NOT NULL
-    GROUP BY user_id
+    FROM g
     """,
 )
 def timeseries_twap_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1921,13 +1930,21 @@ def timeseries_twap_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     AVG over-weights bursts. The final (open-ended) observation carries
     no duration and drops out, identically on both engines.
 
-    All-integer accumulation: cents·µs products are bounded by
-    max_cents × month_span (~1.3e17 per user, far inside bigint) no
-    matter how many events a user has, and the numerator/denominator
-    sums are order-insensitive — the only float is the single boundary
-    division. One per-user lead window (fully parallel) + one
-    map-side-combinable aggregate; ties in the total order carry zero
-    duration, so tie-order can never change the integral."""
+    All-integer accumulation, with the guard enforcing the overflow
+    bound it relies on (ADVICE r06): abs(value) < 1e4 caps cents below
+    1e6, so per-user sum(cents·dur_us) ≤ 1e6 × user_span_µs — inside
+    bigint for corpora spanning up to ~106 days (the committed events
+    table spans 30 days with value < 491, i.e. ≤ ~1.3e17, >60×
+    headroom). Belt-and-braces, the numerator ACCUMULATES in
+    DECIMAL(38,0) on both engines (Spark decimal sum / DuckDB HUGEINT-
+    backed decimal), so even past that bound the sum itself never
+    silently wraps — only the final BIGINT cast would surface it, and
+    identically-valued sums cast identically. Numerator/denominator
+    sums are order-insensitive; the only float is the single boundary
+    division of two already-identical integers. One per-user lead
+    window (fully parallel) + one map-side-combinable aggregate; ties
+    in the total order carry zero duration, so tie-order can never
+    change the integral."""
     ev = (
         load(spark, sf_dir, "events")
         .filter(
@@ -1935,7 +1952,7 @@ def timeseries_twap_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("ts").isNotNull()
             & F.col("value").isNotNull()
             & ~F.isnan(F.col("value"))
-            & (F.abs(F.col("value")) < 1e12)
+            & (F.abs(F.col("value")) < 1e4)
         )
         .select(
             "user_id",
@@ -1956,14 +1973,24 @@ def timeseries_twap_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dur_us"
         ),
     ).filter(F.col("dur_us").isNotNull())
-    return seg.groupBy("user_id").agg(
+    g = seg.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_segments"),
-        F.sum(F.col("cents") * F.col("dur_us")).cast("bigint").alias("twap_num"),
+        F.sum(
+            F.col("cents").cast("decimal(18,0)")
+            * F.col("dur_us").cast("decimal(18,0)")
+        )
+        .cast("bigint")
+        .alias("twap_num"),
         F.sum("dur_us").cast("bigint").alias("dur_us"),
+    )
+    return g.select(
+        "user_id",
+        "n_segments",
+        "twap_num",
+        "dur_us",
         F.when(
-            F.sum("dur_us") > 0,
-            F.sum(F.col("cents") * F.col("dur_us")).cast("double")
-            / F.sum("dur_us").cast("double"),
+            F.col("dur_us") > 0,
+            F.col("twap_num").cast("double") / F.col("dur_us").cast("double"),
         ).alias("twap_cents"),
     )
 
@@ -2105,7 +2132,7 @@ def approx_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs) and any pairwise overlap is then a driver-free kilobyte-sized
     merge, never a re-scan. The classic caveat is honest here:
     intersection error scales with the UNION's sketch error (lgK=14 →
-    rsd ≈0.41% per sketch), so the driver-falsifiable bound is
+    rsd = 1.04/√2¹⁴ ≈0.81% per sketch), so the driver-falsifiable bound is
     |est∩ − exact∩| ≤ 5% of the exact union, not of the (possibly tiny)
     intersection. Exact n_a/n_b/n_union/n_overlap are value-checked
     against DuckDB; the union count is the exact identity
@@ -2306,7 +2333,7 @@ def approx_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: the window expansion carries 7×|days| kilobyte sketches
     instead of 7×|user-days| rows, and the same daily sketches serve ANY
     window length for free. The estimate is asserted within 5% of the
-    exact count (lgConfigK=14 → rsd ≈0.41%, deterministic for fixed
+    exact count (lgConfigK=14 → rsd = 1.04/√2¹⁴ ≈0.81%, deterministic for fixed
     data; measured max ≈1% at sf0.01); the exact counts themselves are
     value-checked against DuckDB, so the flag row is driver-falsifiable."""
     ud = (
