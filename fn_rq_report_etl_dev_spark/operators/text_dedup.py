@@ -651,3 +651,78 @@ def simhash64_near_pairs(
         .filter(F.col("hamming") <= F.lit(max_hamming))
         .select("id_a", "id_b", "hamming")
     )
+
+
+def substring_duplicate_runs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup (the suffix-array-style operator from
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2021): find every maximal token span whose length-``k`` word
+    shingles ALL occur at ≥ ``min_count`` sites across the corpus —
+    i.e. the passages a suffix array would report as duplicated, at
+    shingle granularity. Complements the document-level family above:
+    doc-level dedup keeps one copy of a duplicated DOCUMENT; this finds
+    duplicated PASSAGES inside otherwise-distinct documents (boilerplate,
+    licenses, quoted text) so a curation pass can clip them.
+
+    Distributed shape (no suffix array, no all-pairs): tokenize JVM-side
+    (split + slice + array_join inside one ``transform`` — zero Python),
+    emit one (doc, pos, shingle) row per position,
+
+    1. groupBy(shingle) count  — map-side-combinable, one shuffle on the
+       shingle key;
+    2. left-semi join sites against the duplicated-shingle set — plain
+       equi-join on the same key (AQE-splittable if one shingle is hot);
+    3. per-doc run merge — the classic islands trick: adjacent positions
+       share ``pos − row_number()``; one window + one groupBy, both on
+       the doc key.
+
+    Every stage is keyed aggregation/join — at 100 TB the shingle
+    shuffle carries ~|corpus tokens| rows of ~(8+4+5·word) bytes, the
+    same order as the MinHash stage, and no stage ever materializes a
+    pair list. Output: one row per maximal duplicated run
+    (doc_id, run_start, run_len_tokens, n_shingles) with 1-based token
+    positions and run_len = last_pos − first_pos + k.
+    """
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("toks"),
+        )
+        .filter(F.size("toks") >= k)
+    )
+    sites = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {k} + 1), i -> struct("
+                f"i AS pos, array_join(slice(toks, i, {k}), ' ') AS shingle))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.shingle").alias("shingle"))
+    dup = (
+        sites.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_sites"))
+        .filter(F.col("n_sites") >= min_count)
+        .select("shingle")
+    )
+    hits = sites.join(dup, "shingle", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = hits.select(
+        "doc_id", "pos", (F.col("pos") - F.row_number().over(w)).alias("grp")
+    )
+    return (
+        runs.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("run_start"),
+            (F.max("pos") - F.min("pos") + k).cast("bigint").alias("run_len_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        )
+        .drop("grp")
+    )

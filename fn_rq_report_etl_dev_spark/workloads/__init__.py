@@ -185,6 +185,9 @@ _RECHECK: list[str] = [
     # -- 2. Dead-code removal in sssp_relax_delta (any code change
     #       invalidates the old verdict, even behavior-preserving).
     "graph_sssp_delta",
+    #
+    # -- 3. Round-7 additions (never driver-reported).
+    "dedup_substring_runs",
 ]
 
 _REPO_ROOT = os.path.dirname(

@@ -118,6 +118,49 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "dedup_substring_runs",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    p AS (
+        SELECT doc_id, pos, array_to_string(toks[pos:pos+4], ' ') AS shingle
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS pos
+              FROM s WHERE len(toks) >= 5)
+    ),
+    dup AS (SELECT shingle FROM p GROUP BY shingle HAVING count(*) >= 2),
+    hits AS (SELECT p.doc_id, p.pos FROM p JOIN dup USING (shingle)),
+    runs AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+        FROM hits
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS run_start,
+           CAST(max(pos) - min(pos) + 5 AS BIGINT) AS run_len_tokens,
+           CAST(count(*) AS BIGINT) AS n_shingles
+    FROM runs GROUP BY doc_id, grp
+    """,
+)
+def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (VERDICT r06 ask #2): maximal token spans
+    whose 5-word shingles each occur ≥2 times corpus-wide — the
+    suffix-array-style duplicated-PASSAGE detector (Lee et al. 2021)
+    that complements document-level dedup. The oracle is the literal
+    position-join definition: shingle sites → duplicated-shingle set →
+    islands run-merge over (doc, pos). Shingle/count/run arithmetic is
+    all-integer; the shingle key is the raw token string, identical in
+    both engines (no engine-private hashing)."""
+    from ..operators.text_dedup import substring_duplicate_runs
+
+    return substring_duplicate_runs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", k=5, min_count=2
+    )
+
+
+@workload(
     "dedup_minhash_lsh",
     oracle=f"WITH {_SHINGLES_CTE}, {_LSH_CTE} SELECT id_a, id_b FROM cand",
 )

@@ -545,3 +545,44 @@ def test_pnm_resize_box_means_and_rgb(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="divisible"):
         pnm_resize(3)(encode_pgm(px, 4, 4))
+
+
+def test_substring_runs_planted_passage(spark):
+    """Two otherwise-distinct docs share a 7-token passage: with k=5
+    shingles each doc must report exactly one maximal run of length 7
+    (= 3 duplicated shingles merged by the islands trick), at the right
+    1-based start position. A third doc with no 5-gram in common
+    reports nothing, and a doc shorter than k is skipped outright."""
+    from fn_rq_report_etl_dev_spark.operators.text_dedup import (
+        substring_duplicate_runs,
+    )
+
+    passage = "one two three four five six seven"  # 7 tokens
+    rows = [
+        (0, f"alpha beta {passage} gamma delta"),  # run starts at pos 3
+        (1, f"{passage} omega psi chi phi"),       # run starts at pos 1
+        (2, "nothing shared here at all beyond stray words"),
+        (3, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = substring_duplicate_runs(df, "doc_id", "text", k=5).collect()
+    got = {(r.doc_id, r.run_start, r.run_len_tokens, r.n_shingles) for r in out}
+    assert got == {(0, 3, 7, 3), (1, 1, 7, 3)}
+
+
+def test_substring_runs_same_doc_repeat(spark):
+    """A passage repeated INSIDE one document counts as duplicated too
+    (suffix-array semantics: >=2 occurrences anywhere), and two maximal
+    runs are reported for the two disjoint occurrences."""
+    from fn_rq_report_etl_dev_spark.operators.text_dedup import (
+        substring_duplicate_runs,
+    )
+
+    p = "a b c d e"  # exactly k tokens
+    df = spark.createDataFrame(
+        [(0, f"{p} filler words here then again {p} tail")],
+        "doc_id long, text string",
+    )
+    out = substring_duplicate_runs(df, "doc_id", "text", k=5).collect()
+    got = {(r.doc_id, r.run_start, r.run_len_tokens, r.n_shingles) for r in out}
+    assert got == {(0, 1, 5, 1), (0, 11, 5, 1)}
