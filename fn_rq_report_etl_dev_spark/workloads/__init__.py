@@ -188,6 +188,7 @@ _RECHECK: list[str] = [
     #
     # -- 3. Round-7 additions (never driver-reported).
     "dedup_substring_runs",
+    "agg_event_type_salted",
 ]
 
 _REPO_ROOT = os.path.dirname(

@@ -539,3 +539,28 @@ def test_prefix_jaccard_equi_joins_only(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_salted_aggregate_two_phase_plan(spark, sf_dir):
+    """agg_event_type_salted (VERDICT r06 ask #4) must actually run the
+    salted two-phase shape, not collapse to a plain groupBy: the plan
+    carries the __salt column into the FIRST (wide) aggregate's grouping
+    and a second exchange re-aggregates by key alone — vs exactly one
+    exchange and no salt for the plain form of the same aggregate."""
+    df = QUERIES["agg_event_type_salted"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "__salt" in plan
+    # two shuffles: (key, salt) partials, then key finals
+    assert exchange_count(df) == 2
+    # the plain form: one exchange, no salt anywhere
+    from pyspark.sql import functions as F
+
+    from fn_rq_report_etl_dev_spark.workloads import load
+
+    plain = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    assert exchange_count(plain) == 1
+    assert "__salt" not in formatted_plan(plain)
