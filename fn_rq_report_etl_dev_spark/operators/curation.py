@@ -23,10 +23,13 @@ comparisons) so results are engine-exact for the DuckDB oracles.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as TXT
+from ..functions.text import ascii_lower
 from .text_dedup import _exploded_shingles
 
 
@@ -121,6 +124,64 @@ def _rule(cond: Column, name: str) -> Column:
     return F.when(cond, F.lit(name))
 
 
+def blocklist_metrics(
+    text_col: Column, terms: Sequence[str], hit_pct: int = 2
+) -> tuple[Column, Column, Column]:
+    """Pure column expressions for a Gopher/C4-style bad-words gate:
+    ``(n_hits, hit_terms, blocked)`` over a broadcast-literal term list.
+    Multi-word terms match as exact token n-grams (shingle containment);
+    everything is ASCII-fold-canonicalized like the rest of the text
+    family. ``blocked`` is the integer-exact ratio rule
+    ``100·n_hits ≥ hit_pct·n_words`` (and ≥1 hit), so the decision is
+    bit-identical cross-engine — no float division.
+
+    All built-ins (split/slice/array_join/filter/size) in one
+    whole-stage-codegen projection: at 100 TB this runs at scan speed;
+    the term list lives in the plan as literals — the degenerate
+    broadcast. NULL text yields n_hits = 0, hit_terms = '', blocked =
+    false (the quality gate's ``no_text`` rule owns that case)."""
+    t = text_col
+    words = F.split(F.trim(ascii_lower(t)), r"\s+")
+    canon = sorted(" ".join(term.lower().split()) for term in terms)
+    ngram_cache: dict[int, Column] = {1: words}
+
+    def _ngrams(n: int) -> Column:
+        if n not in ngram_cache:
+            grams = F.transform(
+                F.sequence(F.lit(1), F.size(words) - n + 1),
+                lambda i: F.array_join(F.slice(words, i, n), " "),
+            )
+            # sequence(1, k) with k < 1 counts DOWN — guard short docs.
+            ngram_cache[n] = F.when(F.size(words) >= n, grams).otherwise(
+                F.array().cast("array<string>")
+            )
+        return ngram_cache[n]
+
+    occs = {
+        term: F.coalesce(
+            F.size(F.filter(_ngrams(len(term.split())), lambda x: x == term)),
+            F.lit(0),
+        )
+        for term in canon
+    }
+    zero = F.lit(0).cast("bigint")
+    n_hits = zero
+    for term in canon:
+        n_hits = n_hits + occs[term]
+    hit_terms = F.array_join(
+        F.filter(
+            F.array(*[F.when(occs[term] > 0, F.lit(term)) for term in canon]),
+            lambda x: x.isNotNull(),
+        ),
+        ",",
+    )
+    n_words0 = F.coalesce(
+        F.when(t.isNotNull(), F.size(words)), F.lit(0)
+    ).cast("bigint")
+    blocked = (n_hits > 0) & (n_hits * 100 >= F.lit(hit_pct) * n_words0)
+    return n_hits.cast("bigint"), hit_terms, blocked
+
+
 def quality_gate(
     df: DataFrame,
     id_col: str,
@@ -131,6 +192,8 @@ def quality_gate(
     max_mean_word_len: float = 12.0,
     min_alpha_ratio: float = 0.55,
     min_stop_hits: int = 2,
+    extra_rules: Sequence[tuple[Column, str]] = (),
+    extra_cols: Sequence[Column] = (),
 ) -> DataFrame:
     """Composite keep/drop decision per document with the failed-rule list
     (Gopher-style): word-count bounds, mean word length bounds, alphabetic
@@ -142,7 +205,12 @@ def quality_gate(
     3VL-vacuous on NULL, so without this rule an absent document would
     pass the gate untouched — a training pipeline must never ship it
     (null-audit finding; the metric rules stay NULL and fire nothing, so
-    ``reasons`` is exactly ``no_text``)."""
+    ``reasons`` is exactly ``no_text``).
+
+    ``extra_rules`` appends (condition, name) pairs to the failure list
+    (composition point for the blocklist gate et al. — one projection,
+    no re-scan or join) and ``extra_cols`` surfaces their metric columns
+    in the output; defaults leave the original shape untouched."""
     t = F.col(text_col)
     n_words = TXT.whitespace_token_count(t).cast("bigint")
     nonspace_chars = F.length(F.regexp_replace(t, r"\s", ""))
@@ -160,6 +228,7 @@ def quality_gate(
         ),
         _rule(alpha_ratio < min_alpha_ratio, "alpha"),
         _rule(stop_hits < min_stop_hits, "stopwords"),
+        *[_rule(cond, name) for cond, name in extra_rules],
     )
     return df.select(
         F.col(id_col),
@@ -167,6 +236,7 @@ def quality_gate(
         mean_word_len.alias("mean_word_len"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
         stop_hits.alias("stop_hits"),
+        *extra_cols,
         reasons.alias("reasons"),
         (reasons == "").alias("keep"),
     )

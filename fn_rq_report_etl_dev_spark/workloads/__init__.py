@@ -189,6 +189,12 @@ _RECHECK: list[str] = [
     # -- 3. Round-7 additions (never driver-reported).
     "dedup_substring_runs",
     "agg_event_type_salted",
+    "docs_blocklist_gate",
+    #
+    # -- 4. quality_gate grew the extra_rules/extra_cols composition
+    #       point (defaults preserve the original shape, sf0.001 parity
+    #       green) — any code change invalidates the old verdict.
+    "docs_quality_gate",
 ]
 
 _REPO_ROOT = os.path.dirname(

@@ -141,6 +141,112 @@ def docs_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_gate(docs, "doc_id", "text")
 
 
+# Blocklist for the toxicity/bad-words gate: two unigrams + two exact
+# bigram phrases (shingle containment), alphabetically sorted. Stand-ins
+# with real hits in the synthetic fixture vocabulary; a production list
+# (e.g. LDNOOBW) drops in unchanged — the expressions are generated per
+# term at plan-build time.
+_BLOCKLIST = ("big table", "dup", "slow", "slow query")
+
+
+@workload(
+    "docs_blocklist_gate",
+    oracle=r"""
+    WITH m AS (
+        SELECT doc_id,
+               text IS NULL AS missing,
+               string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+') AS ws,
+               length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+               length(text) AS n_chars,
+               CAST(len(list_filter(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+                   '[a-z0-9_]+'), t -> t IN ('the','and','of','to','in','is','for','with','on','that'))) AS BIGINT)
+                   AS stop_hits
+        FROM documents
+    ),
+    b AS (
+        SELECT *,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bg
+        FROM m
+    ),
+    o AS (
+        SELECT *,
+               COALESCE(len(list_filter(bg, x -> x = 'big table')), 0) AS occ_bt,
+               COALESCE(len(list_filter(ws, x -> x = 'dup')), 0) AS occ_dup,
+               COALESCE(len(list_filter(ws, x -> x = 'slow')), 0) AS occ_slow,
+               COALESCE(len(list_filter(bg, x -> x = 'slow query')), 0) AS occ_sq
+        FROM b
+    ),
+    h AS (
+        SELECT *,
+               CAST(occ_bt + occ_dup + occ_slow + occ_sq AS BIGINT) AS n_hits,
+               concat_ws(',',
+                   CASE WHEN occ_bt > 0 THEN 'big table' END,
+                   CASE WHEN occ_dup > 0 THEN 'dup' END,
+                   CASE WHEN occ_slow > 0 THEN 'slow' END,
+                   CASE WHEN occ_sq > 0 THEN 'slow query' END) AS hit_terms,
+               (occ_bt + occ_dup + occ_slow + occ_sq) > 0
+                   AND (occ_bt + occ_dup + occ_slow + occ_sq) * 100
+                       >= 2 * COALESCE(n_words, 0) AS blocked
+        FROM o
+    ),
+    r AS (
+        SELECT doc_id, missing, n_words, stop_hits, n_hits, hit_terms, blocked,
+               round(nonspace * 1.0 / n_words, 6) AS mean_word_len,
+               alpha_chars * 1.0 / n_chars AS alpha_raw
+        FROM h
+    ),
+    g AS (
+        SELECT doc_id, n_words, mean_word_len, alpha_raw, stop_hits,
+               n_hits, hit_terms, blocked,
+               concat_ws(',',
+                   CASE WHEN missing THEN 'no_text' END,
+                   CASE WHEN n_words < 5 OR n_words > 5000
+                        THEN 'n_words' END,
+                   CASE WHEN mean_word_len < 2.0 OR mean_word_len > 12.0
+                        THEN 'word_len' END,
+                   CASE WHEN alpha_raw < 0.55 THEN 'alpha' END,
+                   CASE WHEN stop_hits < 2 THEN 'stopwords' END,
+                   CASE WHEN blocked THEN 'blocklist' END) AS reasons
+        FROM r
+    )
+    SELECT doc_id, n_words, mean_word_len,
+           round(alpha_raw, 6) AS alpha_ratio, stop_hits,
+           n_hits, hit_terms, blocked,
+           reasons, reasons = '' AS keep
+    FROM g
+    """,
+)
+def docs_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Toxicity/blocklist gate (VERDICT r06 ask #5) COMPOSED into the
+    Gopher quality gate: ``blocklist_metrics`` contributes a sixth
+    failure rule (``blocklist``: ≥1 hit and hits ≥ 2% of words —
+    integer-exact ratio) plus its metric columns, via quality_gate's
+    extra_rules/extra_cols composition point — still ONE whole-stage-
+    codegen projection over documents, zero shuffles, no re-scan or
+    join. Multi-word blocklist terms match as exact token bigrams
+    (shingle containment, same shape as text_contamination_ngram's
+    broadcast eval side); the term list is plan-literal."""
+    from ..operators.curation import blocklist_metrics
+
+    docs = load(spark, sf_dir, "documents")
+    n_hits, hit_terms, blocked = blocklist_metrics(
+        F.col("text"), _BLOCKLIST, hit_pct=2
+    )
+    return quality_gate(
+        docs,
+        "doc_id",
+        "text",
+        extra_rules=[(blocked, "blocklist")],
+        extra_cols=[
+            n_hits.alias("n_hits"),
+            hit_terms.alias("hit_terms"),
+            blocked.alias("blocked"),
+        ],
+    )
+
+
 @workload(
     "text_normalize_clean",
     oracle=r"""

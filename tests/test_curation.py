@@ -453,3 +453,63 @@ def test_boilerplate_segments_flags_planted_template(spark):
     assert out[4]["n_boiler"] == 0
     assert out[5]["n_segments"] == 0 and out[5]["clean_n_words"] == 2
     assert out[1]["clean_n_words"] == 20 - 10
+
+
+def test_blocklist_gate_phrase_and_ratio(spark):
+    """blocklist_metrics: exact bigram phrase containment, the 2%% ratio
+    rule, NULL-text neutrality, and composition into quality_gate as a
+    sixth rule. Doc 0: one 'slow query' phrase in a long doc -> hits
+    recorded but under 2%% -> not blocked, keep governed by the other
+    rules. Doc 1: dense hits -> blocked, 'blocklist' in reasons, not
+    kept. Doc 2: 'slow' and 'query' present but never adjacent -> the
+    phrase does NOT match (unigram 'slow' still does). Doc 3: NULL text
+    -> zero hits, not blocked, fails only no_text."""
+    from fn_rq_report_etl_dev_spark.operators.curation import (
+        blocklist_metrics,
+        quality_gate,
+    )
+
+    filler = "the data is in the table and the order is for the row " * 9
+    rows = [
+        (0, filler + "one slow query appeared in the log of the stream"),
+        (1, "dup dup slow query the end of it is on that table for now"),
+        (2, "a slow scan then a query ran with the data on the table today"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n_hits, hit_terms, blocked = blocklist_metrics(
+        F.col("text"), ("big table", "dup", "slow", "slow query"), hit_pct=2
+    )
+    out = {
+        r.doc_id: r
+        for r in quality_gate(
+            df,
+            "doc_id",
+            "text",
+            extra_rules=[(blocked, "blocklist")],
+            extra_cols=[
+                n_hits.alias("n_hits"),
+                hit_terms.alias("hit_terms"),
+                blocked.alias("blocked"),
+            ],
+        ).collect()
+    }
+    # doc 0: 'slow query' phrase + its 'slow' unigram = 2 hits over 127
+    # words = 1.6% < 2% -> not blocked
+    assert out[0].n_hits == 2
+    assert out[0].hit_terms == "slow,slow query"
+    assert out[0].blocked is False
+    assert "blocklist" not in out[0].reasons
+    # doc 1: dup x2 + slow + 'slow query' = 4 hits over 14 words -> blocked
+    assert out[1].n_hits == 4
+    assert out[1].hit_terms == "dup,slow,slow query"
+    assert out[1].blocked is True
+    assert "blocklist" in out[1].reasons and out[1].keep is False
+    # doc 2: non-adjacent 'slow' ... 'query' -> phrase absent
+    assert out[2].n_hits == 1
+    assert out[2].hit_terms == "slow"
+    # doc 3: NULL text is the no_text rule's job, not the blocklist's
+    assert out[3].n_hits == 0
+    assert out[3].hit_terms == ""
+    assert out[3].blocked is False
+    assert out[3].reasons == "no_text"
