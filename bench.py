@@ -246,7 +246,15 @@ def main() -> None:
     # cross-round comparisons).
     from fn_rq_report_etl_dev_spark.workloads import CHECKPOINTED_DRAINS
 
-    SIDE_TIMED = set(CHECKPOINTED_DRAINS)
+    # Iterative fixed-point builders (VERDICT r06 ask #7): PageRank, the
+    # two SSSP variants, k-hop BFS, label-propagation components, greedy
+    # coverage — rounds × fixed per-job overhead on sf0.1-sized graphs
+    # (~36 s of the r06 224 s total), which drowns one-shot plan signal.
+    # Timed in their own `iterative_timings` section, excluded from
+    # `value` like the drains; their at-scale numbers live in SCALING.md.
+    from fn_rq_report_etl_dev_spark.workloads import ITERATIVE_FIXED_POINTS
+
+    SIDE_TIMED = set(CHECKPOINTED_DRAINS) | set(ITERATIVE_FIXED_POINTS)
 
     # Noise-robust per-query timing (VERDICT r03 #3: single-shot timings
     # can't separate sandbox drift from plan regressions — r02→r03 showed a
@@ -278,8 +286,17 @@ def main() -> None:
     timings["ann_ivf_index_build"] = ivf_build_sec
     timings["ann_ivf_codebook_build"] = codebook_build_sec
 
-    side = {n: round(timed_run(n), 3) for n in sorted(SIDE_TIMED) if n in QUERIES}
+    side = {
+        n: round(timed_run(n), 3)
+        for n in sorted(CHECKPOINTED_DRAINS)
+        if n in QUERIES
+    }
     isolate()
+    iterative = {}
+    for n in sorted(ITERATIVE_FIXED_POINTS):
+        if n in QUERIES:
+            iterative[n] = round(timed_run(n), 3)
+            isolate()
 
     total = round(sum(timings.values()), 3)
     # Key order matters: the driver records the TAIL of this line (r02/r03
@@ -293,12 +310,18 @@ def main() -> None:
                 "queries": timings,
                 "canary": canary,
                 "side_timings": side,
+                # r07 (VERDICT r06 ask #7): iterative fixed-point loops
+                # timed in their own section — comparisons to r06-and-
+                # earlier totals must add these back (they were inside
+                # `value` through r06).
+                "iterative_timings": iterative,
                 # r04+: `value` excludes checkpointed-streaming drains
                 # (state-store commit overhead, not engine time); r05
                 # widened the exclusion to the whole class via the
-                # registry's checkpointed_drain attribute. Comparisons to
-                # earlier totals must add side_timings back.
-                "excluded_from_value": sorted(side),
+                # registry's checkpointed_drain attribute; r07 added the
+                # iterative fixed-point class. Comparisons to earlier
+                # totals must add side_timings (+ iterative_timings) back.
+                "excluded_from_value": sorted(side) + sorted(iterative),
                 "sf": sf,
                 "unit": "sec",
                 "metric": "workload_suite_runtime",

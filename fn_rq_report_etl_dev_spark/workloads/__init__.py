@@ -41,6 +41,16 @@ ORACLES: dict[str, str] = {}
 # suite.
 CHECKPOINTED_DRAINS: set[str] = set()
 
+# Workloads whose BUILDER runs a data-dependent ROUND LOOP of Spark jobs
+# (fixed-point relaxation, level-synchronous BFS, convergence-drained
+# label propagation, greedy argmax picks): their sf0.1 wall time is
+# rounds × fixed per-job overhead on a tiny graph/corpus — drowning
+# one-shot plan signal in the suite total (VERDICT r06 ask #7). bench.py
+# times the CLASS in its own `iterative_timings` section, excluded from
+# `value` exactly like the checkpointed drains; correctness stays
+# oracle-checked and SCALING.md carries their at-scale measurements.
+ITERATIVE_FIXED_POINTS: set[str] = set()
+
 # Declared output schemas (DDL) for the workloads whose BUILDER already runs
 # Spark jobs (checkpointed streaming drains, iterative label propagation,
 # IVF k-means) — schema lints use these instead of executing the workload
@@ -104,11 +114,15 @@ EAGER_SCHEMAS: dict[str, str] = {
 
 
 def workload(
-    name: str, oracle: str | None = None, checkpointed_drain: bool = False
+    name: str,
+    oracle: str | None = None,
+    checkpointed_drain: bool = False,
+    iterative: bool = False,
 ):
     """Register a workload builder (and optionally its DuckDB oracle).
     ``checkpointed_drain=True`` marks builders that run a checkpointed
-    streaming drain — bench.py times those outside the suite total."""
+    streaming drain; ``iterative=True`` marks multi-job round-loop
+    builders — bench.py times both classes outside the suite total."""
 
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
@@ -116,6 +130,8 @@ def workload(
             ORACLES[name] = oracle
         if checkpointed_drain:
             CHECKPOINTED_DRAINS.add(name)
+        if iterative:
+            ITERATIVE_FIXED_POINTS.add(name)
         return fn
 
     return deco

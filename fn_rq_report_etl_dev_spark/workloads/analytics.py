@@ -895,7 +895,7 @@ def _pagerank_oracle(iterations: int = 5, scale: int = 10**12) -> str:
     )
 
 
-@workload("graph_pagerank_parts", oracle=_pagerank_oracle())
+@workload("graph_pagerank_parts", oracle=_pagerank_oracle(), iterative=True)
 def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the part co-purchase graph (edge = two parts appear
     in the same order), 5 damped iterations — "which products sit at the
@@ -1201,6 +1201,7 @@ _KHOP_EDGE_CTES = """items AS (
 
 @workload(
     "graph_khop_reach",
+    iterative=True,
     oracle=f"""
     WITH RECURSIVE {_KHOP_EDGE_CTES},
     seeds AS (
@@ -2274,7 +2275,7 @@ def _sssp_oracle(rounds: int) -> str:
     )
 
 
-@workload("graph_sssp_weighted", oracle=_sssp_oracle(4))
+@workload("graph_sssp_weighted", oracle=_sssp_oracle(4), iterative=True)
 def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WEIGHTED shortest paths (4 Bellman-Ford relaxation rounds) from
     the size-1 parts over the co-purchase graph, edge weight
@@ -2335,7 +2336,7 @@ def _copurchase_weighted_graph(spark: SparkSession, sf_dir: str):
     return edges, seeds
 
 
-@workload("graph_sssp_delta", oracle=_sssp_oracle(4))
+@workload("graph_sssp_delta", oracle=_sssp_oracle(4), iterative=True)
 def graph_sssp_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DELTA-FRONTIER Bellman-Ford (`operators.graph.sssp_relax_delta`)
     on the same weighted co-purchase graph, same 4 rounds, same unrolled-

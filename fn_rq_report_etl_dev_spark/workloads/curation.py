@@ -634,7 +634,7 @@ def _greedy_cover_sql(k: int) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
 
 
-@workload("curation_greedy_coverage", oracle=_greedy_cover_sql(5))
+@workload("curation_greedy_coverage", oracle=_greedy_cover_sql(5), iterative=True)
 def curation_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coverage-driven corpus selection: the 5 documents a greedy
     (1−1/e)-approximate maximum-coverage pass picks to cover the most

@@ -1240,6 +1240,7 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @workload(
     "dedup_cluster_components",
+    iterative=True,
     oracle=f"""
     WITH RECURSIVE {_SHINGLES_CTE.lstrip()}, {_LSH_CTE.lstrip()},
     und(a, b) AS (

@@ -77,3 +77,30 @@ def test_checkpointed_drain_attribute_pins_the_streaming_class():
     # the flag (the class criterion, not a hand list).
     src = inspect.getsource(streaming_equiv)
     assert src.count("@workload(") == src.count("checkpointed_drain=True")
+
+
+def test_iterative_attribute_pins_the_fixed_point_class():
+    """bench.py's second side-timing class (VERDICT r06 ask #7): the
+    iterative fixed-point builders, whose sf0.1 wall time is rounds x
+    per-job overhead rather than one-shot plan cost. Pin the membership
+    so a new round-loop workload that forgets the flag (or a one-shot
+    query that wrongly claims it to dodge the suite total) shows up as
+    a diff here."""
+    from fn_rq_report_etl_dev_spark.workloads import (
+        CHECKPOINTED_DRAINS,
+        ITERATIVE_FIXED_POINTS,
+        QUERIES,
+    )
+
+    assert ITERATIVE_FIXED_POINTS == {
+        "graph_pagerank_parts",
+        "graph_sssp_weighted",
+        "graph_sssp_delta",
+        "graph_khop_reach",
+        "dedup_cluster_components",
+        "curation_greedy_coverage",
+    }
+    assert ITERATIVE_FIXED_POINTS <= set(QUERIES)
+    # The two side-timed classes are disjoint — each name lands in
+    # exactly one bench section.
+    assert not (ITERATIVE_FIXED_POINTS & CHECKPOINTED_DRAINS)
