@@ -726,3 +726,83 @@ def substring_duplicate_runs(
         )
         .drop("grp")
     )
+
+
+def substring_clip(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Apply step for :func:`substring_duplicate_runs` — the ExactSubstr
+    CUT from Lee et al. 2021: remove every token covered by a duplicated
+    length-``k`` shingle occurrence and re-assemble the surviving text.
+    (The paper drops all duplicated spans; dedup then relies on at least
+    one canonical copy surviving elsewhere or in a kept split — this
+    operator implements the same all-sites cut, which is also the right
+    semantics for boilerplate/license stripping.)
+
+    Same three keyed stages as the detector, plus: covered positions =
+    explode(sequence(pos, pos+k−1)) per hit (bounded ×k blowup of hit
+    rows only, never of the corpus), one anti-join of token sites
+    against covered positions on (doc, pos), and one per-doc groupBy
+    that re-joins surviving tokens in position order (sort_array over
+    (pos, token) structs — deterministic, no window needed). Documents
+    whose text is entirely duplicated survive with ``text_clean = ''``;
+    sub-``k`` documents are never clipped. NULL-text rows are dropped
+    (they carry nothing to clip — the quality gate owns them).
+
+    Output: (doc_id, n_tokens, n_removed, text_clean).
+    """
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("toks"),
+        )
+    )
+    eligible = toks.filter(F.size("toks") >= k)
+    sites = eligible.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {k} + 1), i -> struct("
+                f"i AS pos, array_join(slice(toks, i, {k}), ' ') AS shingle))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.shingle").alias("shingle"))
+    dup = (
+        sites.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_sites"))
+        .filter(F.col("n_sites") >= min_count)
+        .select("shingle")
+    )
+    hits = sites.join(dup, "shingle", "left_semi")
+    covered = hits.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("pos"),
+    ).distinct()
+    tokens = toks.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = tokens.join(covered, ["doc_id", "pos"], "left_anti")
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.tok,
+            ),
+            " ",
+        ).alias("__text"),
+    )
+    totals = toks.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+    return totals.join(kept_agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.coalesce(F.col("__text"), F.lit("")).alias("text_clean"),
+    )

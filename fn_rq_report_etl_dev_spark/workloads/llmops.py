@@ -161,6 +161,59 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "dedup_substring_clip",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    p AS (
+        SELECT doc_id, pos, array_to_string(toks[pos:pos+4], ' ') AS shingle
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS pos
+              FROM s WHERE len(toks) >= 5)
+    ),
+    dup AS (SELECT shingle FROM p GROUP BY shingle HAVING count(*) >= 2),
+    hits AS (SELECT p.doc_id, p.pos FROM p JOIN dup USING (shingle)),
+    cov AS (
+        SELECT DISTINCT doc_id, cp FROM (
+            SELECT doc_id, unnest(range(pos, pos + 5)) AS cp FROM hits)
+    ),
+    tok AS (
+        SELECT doc_id, pos, toks[pos] AS tok
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos
+              FROM s)
+    ),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.tok FROM tok t
+        WHERE NOT EXISTS (SELECT 1 FROM cov c
+                          WHERE c.doc_id = t.doc_id AND c.cp = t.pos)
+    ),
+    ka AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY pos) AS text_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(len(s.toks) AS BIGINT) AS n_tokens,
+           CAST(len(s.toks) - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(ka.text_kept, '') AS text_clean
+    FROM s LEFT JOIN ka ON s.doc_id = ka.doc_id
+    """,
+)
+def dedup_substring_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr APPLY step: strip every token covered by a
+    duplicated 5-gram occurrence and re-assemble the surviving text —
+    detection (dedup_substring_runs) and cut as separate, composable
+    passes, like the paper's pipeline. The oracle replays the literal
+    covered-position anti-join + ordered string_agg definition."""
+    from ..operators.text_dedup import substring_clip
+
+    return substring_clip(
+        load(spark, sf_dir, "documents"), "doc_id", "text", k=5, min_count=2
+    )
+
+
+@workload(
     "dedup_minhash_lsh",
     oracle=f"WITH {_SHINGLES_CTE}, {_LSH_CTE} SELECT id_a, id_b FROM cand",
 )

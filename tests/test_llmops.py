@@ -586,3 +586,32 @@ def test_substring_runs_same_doc_repeat(spark):
     out = substring_duplicate_runs(df, "doc_id", "text", k=5).collect()
     got = {(r.doc_id, r.run_start, r.run_len_tokens, r.n_shingles) for r in out}
     assert got == {(0, 1, 5, 1), (0, 11, 5, 1)}
+
+
+def test_substring_clip_removes_planted_passage(spark):
+    """ExactSubstr cut semantics: both occurrences of a shared 7-token
+    passage are stripped (all-sites cut), surrounding unique tokens
+    survive in order, a fully-duplicated doc clips to '', and sub-k or
+    untouched docs pass through intact."""
+    from fn_rq_report_etl_dev_spark.operators.text_dedup import (
+        substring_clip,
+    )
+
+    passage = "one two three four five six seven"
+    rows = [
+        (0, f"alpha beta {passage} gamma delta"),
+        (1, f"{passage} omega psi chi phi"),
+        (2, passage),      # entire doc duplicated -> ''
+        (3, "too short"),  # sub-k, untouched
+        (4, "totally unique words that appear nowhere else in this corpus"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in substring_clip(df, "doc_id", "text", k=5).collect()}
+    assert (out[0].n_tokens, out[0].n_removed) == (11, 7)
+    assert out[0].text_clean == "alpha beta gamma delta"
+    assert (out[1].n_tokens, out[1].n_removed) == (11, 7)
+    assert out[1].text_clean == "omega psi chi phi"
+    assert (out[2].n_tokens, out[2].n_removed) == (7, 7)
+    assert out[2].text_clean == ""
+    assert (out[3].n_removed, out[3].text_clean) == (0, "too short")
+    assert out[4].n_removed == 0
