@@ -15,13 +15,16 @@ Experiments (select with argv; `all` / no argument runs every one):
           seeded codebook, at sf0.01 and sf0.1.
   pairs — frequent-pair mining at 1M baskets: map-side HOF pair
           generation vs the row-level self-join (equality asserted).
+  substr — exact-substring dedup (runs + clip) at 100k/400k docs
+          with planted boilerplate: linear-scaling check +
+          closed-form ground-truth assertions.
   pps   — weighted PPS sampling (sample_weighted_reservoir's shape) on a
           90%-one-source corpus: Partial WindowGroupLimit pre-trim on vs
           off — shuffle records and hot-reducer behavior (equality
           asserted).
 
 Run: python scripts_scaling_experiment.py
-     [merge|skew|bloom|ann|ivf_assign|ivf_recall|pairs|pps|all]"""
+     [merge|skew|bloom|ann|ivf_assign|ivf_recall|pairs|pps|substr|all]"""
 import sys, os, time, tempfile, json
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F
@@ -931,6 +934,95 @@ def pairs_experiment():
         _pairs_once(1_000_000, n_items)
 
 
+def substr_experiment():
+    """Exact-substring dedup (r07's dedup_substring_runs/clip) at corpus
+    scale: synthetic corpora of 50-token docs where 10% are "carriers"
+    embedding one shared 20-token boilerplate passage at a hash-chosen
+    offset and every other token is globally unique (zero accidental
+    shingle repeats) — so ground truth is closed-form: exactly one
+    maximal run per carrier, length 20, and the clip must remove exactly
+    those 20 tokens. Timed at 100k and 400k docs (5M / 20M tokens,
+    ~4.6M / 18.4M shingle sites): the three keyed stages (shingle count,
+    semi-join, islands window) should scale ~linearly in corpus tokens —
+    the 100 TB question for this family is shuffle volume per token, not
+    algorithmic blowup, because no stage is ever quadratic. Correctness
+    asserted AFTER the timed section at the smaller scale (run set ==
+    carrier set, all lengths 20; clip removes exactly the passage)."""
+    from fn_rq_report_etl_dev_spark.operators.text_dedup import (
+        substring_clip,
+        substring_duplicate_runs,
+    )
+
+    PASSAGE, DOC, MOD = 20, 50, 10
+
+    def corpus(n_docs):
+        base = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % MOD == 0).alias("carrier"),
+            F.pmod(F.hash("id"), F.lit(DOC - PASSAGE + 1)).alias("off"),
+        )
+        toks = F.transform(
+            F.sequence(F.lit(1), F.lit(DOC)),
+            lambda i: F.when(
+                F.col("carrier")
+                & (i > F.col("off"))
+                & (i <= F.col("off") + PASSAGE),
+                F.concat(F.lit("p"), (i - F.col("off")).cast("string")),
+            ).otherwise(
+                F.concat(
+                    F.lit("w"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("_"),
+                    i.cast("string"),
+                )
+            ),
+        )
+        return base.select(
+            "doc_id", "carrier", "off", F.array_join(toks, " ").alias("text")
+        )
+
+    timings = {}
+    for n_docs in (100_000, 400_000):
+        docs = corpus(n_docs).persist()
+        docs.count()  # materialize the generator before timing
+        t0 = time.perf_counter()
+        _force(substring_duplicate_runs(docs, "doc_id", "text", k=5))
+        runs_s = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        _force(substring_clip(docs, "doc_id", "text", k=5))
+        clip_s = round(time.perf_counter() - t0, 2)
+        timings[n_docs] = (runs_s, clip_s)
+        print(json.dumps({
+            "experiment": "substr", "n_docs": n_docs,
+            "n_tokens": n_docs * DOC, "n_carriers": n_docs // MOD,
+            "runs_sec": runs_s, "clip_sec": clip_s,
+        }))
+        if n_docs == 100_000:
+            runs = substring_duplicate_runs(docs, "doc_id", "text", k=5).persist()
+            n_runs = runs.count()
+            bad_len = runs.filter(F.col("run_len_tokens") != PASSAGE).count()
+            non_carrier = runs.join(
+                docs.filter(~F.col("carrier")).select("doc_id"), "doc_id",
+                "left_semi").count()
+            assert n_runs == n_docs // MOD, (n_runs, n_docs // MOD)
+            assert bad_len == 0 and non_carrier == 0, (bad_len, non_carrier)
+            clip = substring_clip(docs, "doc_id", "text", k=5)
+            bad_clip = clip.join(
+                docs.select("doc_id", "carrier"), "doc_id"
+            ).filter(
+                (F.col("carrier") & (F.col("n_removed") != PASSAGE))
+                | (~F.col("carrier") & (F.col("n_removed") != 0))
+            ).count()
+            assert bad_clip == 0, bad_clip
+            runs.unpersist()
+            print(json.dumps({"experiment": "substr", "label": "equal",
+                              "n_docs": n_docs, "ok": True}))
+        docs.unpersist()
+    r1, r4 = timings[100_000][0], timings[400_000][0]
+    print(json.dumps({"experiment": "substr", "label": "scaling_4x",
+                      "runs_ratio": round(r4 / r1, 2)}))
+
+
 def _pairs_once(n_baskets, n_items):
     # ~5 items/basket, hash-spread so basket sizes vary (1..~12 distinct)
     items = (
@@ -1018,6 +1110,10 @@ if EXPERIMENT == "ann":
     sys.exit(0)
 
 # merge experiment (default + 'merge'): guarded so 'ann' doesn't run it
+if EXPERIMENT == "substr":
+    substr_experiment()
+    sys.exit(0)
+
 if EXPERIMENT not in ("merge", "all"):
     sys.exit(0)
 
@@ -1064,6 +1160,7 @@ for target_rows in (500_000, 2_000_000, 8_000_000):
     print(json.dumps(results[-1]))
 
 if EXPERIMENT == "all":
+    substr_experiment()
     pps_sample_experiment()
     pairs_experiment()
     skew_experiment()
