@@ -734,6 +734,7 @@ def substring_clip(
     text_col: str,
     k: int = 5,
     min_count: int = 2,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Apply step for :func:`substring_duplicate_runs` — the ExactSubstr
     CUT from Lee et al. 2021: remove every token covered by a duplicated
@@ -742,6 +743,17 @@ def substring_clip(
     one canonical copy surviving elsewhere or in a kept split — this
     operator implements the same all-sites cut, which is also the right
     semantics for boilerplate/license stripping.)
+
+    ``keep_first=True`` switches to the dedup cut: each duplicated
+    shingle's lexicographically-first site (min (doc, pos)) is exempt
+    from coverage, so exactly one copy of a duplicated passage survives
+    (the lowest doc id / earliest position) and only the REPEATS are
+    clipped. The canonical site is a map-side-combinable min-struct
+    aggregate riding the same shingle-count shuffle — no extra pass.
+    Standard span-semantics caveat: a canonical occurrence's tokens can
+    still fall to a DIFFERENT overlapping duplicated shingle whose own
+    canonical lies elsewhere; exactly-one-copy holds per shingle, not
+    per merged run.
 
     Same three keyed stages as the detector, plus: covered positions =
     explode(sequence(pos, pos+k−1)) per hit (bounded ×k blowup of hit
@@ -774,11 +786,22 @@ def substring_clip(
     ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.shingle").alias("shingle"))
     dup = (
         sites.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("n_sites"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sites"),
+            F.min(F.struct("doc_id", "pos")).alias("first_site"),
+        )
         .filter(F.col("n_sites") >= min_count)
-        .select("shingle")
+        .select("shingle", "first_site")
     )
-    hits = sites.join(dup, "shingle", "left_semi")
+    if keep_first:
+        hits = sites.join(dup, "shingle").filter(
+            ~(
+                (F.col("doc_id") == F.col("first_site.doc_id"))
+                & (F.col("pos") == F.col("first_site.pos"))
+            )
+        )
+    else:
+        hits = sites.join(dup.select("shingle"), "shingle", "left_semi")
     covered = hits.select(
         "doc_id",
         F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("pos"),

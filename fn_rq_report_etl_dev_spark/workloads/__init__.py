@@ -205,6 +205,7 @@ _RECHECK: list[str] = [
     # -- 3. Round-7 additions (never driver-reported).
     "dedup_substring_runs",
     "dedup_substring_clip",
+    "dedup_substring_keepfirst",
     "agg_event_type_salted",
     "docs_blocklist_gate",
     #

@@ -214,6 +214,72 @@ def dedup_substring_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "dedup_substring_keepfirst",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    p AS (
+        SELECT doc_id, pos, array_to_string(toks[pos:pos+4], ' ') AS shingle
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS pos
+              FROM s WHERE len(toks) >= 5)
+    ),
+    dup AS (SELECT shingle FROM p GROUP BY shingle HAVING count(*) >= 2),
+    ranked AS (
+        SELECT p.doc_id, p.pos,
+               row_number() OVER (PARTITION BY p.shingle
+                                  ORDER BY p.doc_id, p.pos) AS rn
+        FROM p JOIN dup USING (shingle)
+    ),
+    hits AS (SELECT doc_id, pos FROM ranked WHERE rn > 1),
+    cov AS (
+        SELECT DISTINCT doc_id, cp FROM (
+            SELECT doc_id, unnest(range(pos, pos + 5)) AS cp FROM hits)
+    ),
+    tok AS (
+        SELECT doc_id, pos, toks[pos] AS tok
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos
+              FROM s)
+    ),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.tok FROM tok t
+        WHERE NOT EXISTS (SELECT 1 FROM cov c
+                          WHERE c.doc_id = t.doc_id AND c.cp = t.pos)
+    ),
+    ka AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY pos) AS text_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(len(s.toks) AS BIGINT) AS n_tokens,
+           CAST(len(s.toks) - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(ka.text_kept, '') AS text_clean
+    FROM s LEFT JOIN ka ON s.doc_id = ka.doc_id
+    """,
+)
+def dedup_substring_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr DEDUP cut (keep_first=True): each duplicated
+    5-gram's lexicographically-first site survives, only repeats are
+    clipped — so one canonical copy of a duplicated passage remains in
+    the corpus. The canonical site is a min-struct aggregate riding the
+    shingle-count shuffle; the oracle states the same site as the rn=1
+    row of a per-shingle (doc, pos) window — ties impossible, (doc, pos)
+    is unique."""
+    from ..operators.text_dedup import substring_clip
+
+    return substring_clip(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k=5,
+        min_count=2,
+        keep_first=True,
+    )
+
+
+@workload(
     "dedup_minhash_lsh",
     oracle=f"WITH {_SHINGLES_CTE}, {_LSH_CTE} SELECT id_a, id_b FROM cand",
 )

@@ -615,3 +615,36 @@ def test_substring_clip_removes_planted_passage(spark):
     assert out[2].text_clean == ""
     assert (out[3].n_removed, out[3].text_clean) == (0, "too short")
     assert out[4].n_removed == 0
+
+
+def test_substring_keepfirst_retains_canonical_copy(spark):
+    """keep_first cut: the lexicographically-first occurrence of the
+    shared passage survives intact (doc 0 here), every repeat is
+    clipped — including a same-doc second occurrence, whose first copy
+    survives within the same document."""
+    from fn_rq_report_etl_dev_spark.operators.text_dedup import (
+        substring_clip,
+    )
+
+    passage = "one two three four five six seven"
+    rows = [
+        (0, f"alpha beta {passage} gamma delta"),
+        (1, f"{passage} omega psi chi phi"),
+        (2, "a b c d e filler words here then again a b c d e"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in substring_clip(
+            df, "doc_id", "text", k=5, keep_first=True
+        ).collect()
+    }
+    # doc 0 holds every canonical site -> nothing removed
+    assert out[0].n_removed == 0
+    assert out[0].text_clean == f"alpha beta {passage} gamma delta"
+    # doc 1 is the repeat -> passage clipped, unique tail survives
+    assert out[1].n_removed == 7
+    assert out[1].text_clean == "omega psi chi phi"
+    # doc 2: first in-doc copy survives, second clipped
+    assert out[2].n_removed == 5
+    assert out[2].text_clean == "a b c d e filler words here then again"
