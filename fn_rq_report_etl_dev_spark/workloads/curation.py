@@ -220,22 +220,25 @@ _BLOCKLIST = ("big table", "dup", "slow", "slow query")
 )
 def docs_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Toxicity/blocklist gate (VERDICT r06 ask #5) COMPOSED into the
-    Gopher quality gate: ``blocklist_metrics`` contributes a sixth
-    failure rule (``blocklist``: ≥1 hit and hits ≥ 2% of words —
-    integer-exact ratio) plus its metric columns, via quality_gate's
-    extra_rules/extra_cols composition point — still ONE whole-stage-
-    codegen projection over documents, zero shuffles, no re-scan or
-    join. Multi-word blocklist terms match as exact token bigrams
-    (shingle containment, same shape as text_contamination_ngram's
-    broadcast eval side); the term list is plan-literal."""
-    from ..operators.curation import blocklist_metrics
+    Gopher quality gate: ``with_blocklist_metrics`` stages ``__bl_*``
+    metric columns (evaluated once each — see its docstring for why
+    staging is load-bearing) and contributes a sixth failure rule
+    (``blocklist``: ≥1 hit and hits ≥ 2% of words — integer-exact
+    ratio) via quality_gate's extra_rules/extra_cols composition point.
+    Still one whole-stage-codegen STAGE over documents: zero shuffles,
+    no re-scan or join; the staged intermediates never leave the
+    projection pipeline. Multi-word blocklist terms match as exact
+    token bigrams (shingle containment, same shape as
+    text_contamination_ngram's broadcast eval side); the term list is
+    plan-literal."""
+    from ..operators.curation import with_blocklist_metrics
 
     docs = load(spark, sf_dir, "documents")
-    n_hits, hit_terms, blocked = blocklist_metrics(
-        F.col("text"), _BLOCKLIST, hit_pct=2
+    aug, n_hits, hit_terms, blocked = with_blocklist_metrics(
+        docs, "text", _BLOCKLIST, hit_pct=2
     )
     return quality_gate(
-        docs,
+        aug,
         "doc_id",
         "text",
         extra_rules=[(blocked, "blocklist")],

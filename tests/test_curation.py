@@ -465,8 +465,8 @@ def test_blocklist_gate_phrase_and_ratio(spark):
     phrase does NOT match (unigram 'slow' still does). Doc 3: NULL text
     -> zero hits, not blocked, fails only no_text."""
     from fn_rq_report_etl_dev_spark.operators.curation import (
-        blocklist_metrics,
         quality_gate,
+        with_blocklist_metrics,
     )
 
     filler = "the data is in the table and the order is for the row " * 9
@@ -477,13 +477,13 @@ def test_blocklist_gate_phrase_and_ratio(spark):
         (3, None),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    n_hits, hit_terms, blocked = blocklist_metrics(
-        F.col("text"), ("big table", "dup", "slow", "slow query"), hit_pct=2
+    aug, n_hits, hit_terms, blocked = with_blocklist_metrics(
+        df, "text", ("big table", "dup", "slow", "slow query"), hit_pct=2
     )
     out = {
         r.doc_id: r
         for r in quality_gate(
-            df,
+            aug,
             "doc_id",
             "text",
             extra_rules=[(blocked, "blocklist")],
