@@ -810,23 +810,37 @@ def substring_clip(
         .select("shingle", "first_site")
     )
     if keep_first:
+        # eqNullSafe: with a NULL-id canonical site, doc == NULL is
+        # 3VL-NULL and a plain filter would silently drop every OTHER
+        # site of that shingle (repeats would dodge the cut).
         hits = sites.join(dup, "shingle").filter(
             ~(
-                (F.col("doc_id") == F.col("first_site.doc_id"))
+                F.col("doc_id").eqNullSafe(F.col("first_site.doc_id"))
                 & (F.col("pos") == F.col("first_site.pos"))
             )
         )
     else:
         hits = sites.join(dup.select("shingle"), "shingle", "left_semi")
+    # Null-SAFE joins on doc_id throughout: a NULL-id document (dirty
+    # data) must still be clipped and must keep its surviving text — a
+    # plain equi-join would never match its covered positions (so it
+    # would dodge the cut) AND would drop its kept text in the final
+    # left join (emitting ''). eqNullSafe here, IS NOT DISTINCT FROM in
+    # the oracles.
     covered = hits.select(
-        "doc_id",
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("pos"),
+        F.col("doc_id").alias("__cdoc"),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("__cpos"),
     ).distinct()
     tokens = toks.select(
         "doc_id", F.posexplode("toks").alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    kept = tokens.join(covered, ["doc_id", "pos"], "left_anti")
-    kept_agg = kept.groupBy("doc_id").agg(
+    kept = tokens.join(
+        covered,
+        F.col("doc_id").eqNullSafe(F.col("__cdoc"))
+        & (F.col("pos") == F.col("__cpos")),
+        "left_anti",
+    )
+    kept_agg = kept.groupBy(F.col("doc_id").alias("__kdoc")).agg(
         F.count(F.lit(1)).alias("__n_kept"),
         F.array_join(
             F.transform(
@@ -837,7 +851,9 @@ def substring_clip(
         ).alias("__text"),
     )
     totals = toks.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
-    return totals.join(kept_agg, "doc_id", "left").select(
+    return totals.join(
+        kept_agg, F.col("doc_id").eqNullSafe(F.col("__kdoc")), "left"
+    ).select(
         "doc_id",
         "n_tokens",
         (F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0)))

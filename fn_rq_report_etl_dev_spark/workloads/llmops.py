@@ -184,20 +184,23 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM s)
     ),
     kept AS (
+        -- IS NOT DISTINCT FROM: NULL-id docs (dirty data) must still
+        -- be clipped, matching the Spark side's eqNullSafe anti-join.
         SELECT t.doc_id, t.pos, t.tok FROM tok t
         WHERE NOT EXISTS (SELECT 1 FROM cov c
-                          WHERE c.doc_id = t.doc_id AND c.cp = t.pos)
+                          WHERE c.doc_id IS NOT DISTINCT FROM t.doc_id
+                            AND c.cp = t.pos)
     ),
     ka AS (
         SELECT doc_id, count(*) AS n_kept,
-               string_agg(tok, ' ' ORDER BY pos) AS text_kept
+               string_agg(tok, ' ' ORDER BY pos, tok) AS text_kept
         FROM kept GROUP BY doc_id
     )
     SELECT s.doc_id,
            CAST(len(s.toks) AS BIGINT) AS n_tokens,
            CAST(len(s.toks) - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed,
            COALESCE(ka.text_kept, '') AS text_clean
-    FROM s LEFT JOIN ka ON s.doc_id = ka.doc_id
+    FROM s LEFT JOIN ka ON s.doc_id IS NOT DISTINCT FROM ka.doc_id
     """,
 )
 def dedup_substring_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,8 +231,13 @@ def dedup_substring_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup AS (SELECT shingle FROM p GROUP BY shingle HAVING count(*) >= 2),
     ranked AS (
         SELECT p.doc_id, p.pos,
+               -- NULLS FIRST matches Spark's min-struct ordering (a
+               -- NULL doc_id sorts smallest there; DuckDB defaults to
+               -- NULLS LAST on ASC) — dirty-data fidelity, not a corpus
+               -- case.
                row_number() OVER (PARTITION BY p.shingle
-                                  ORDER BY p.doc_id, p.pos) AS rn
+                                  ORDER BY p.doc_id ASC NULLS FIRST,
+                                           p.pos ASC NULLS FIRST) AS rn
         FROM p JOIN dup USING (shingle)
     ),
     hits AS (SELECT doc_id, pos FROM ranked WHERE rn > 1),
@@ -243,20 +251,23 @@ def dedup_substring_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM s)
     ),
     kept AS (
+        -- IS NOT DISTINCT FROM: NULL-id docs (dirty data) must still
+        -- be clipped, matching the Spark side's eqNullSafe anti-join.
         SELECT t.doc_id, t.pos, t.tok FROM tok t
         WHERE NOT EXISTS (SELECT 1 FROM cov c
-                          WHERE c.doc_id = t.doc_id AND c.cp = t.pos)
+                          WHERE c.doc_id IS NOT DISTINCT FROM t.doc_id
+                            AND c.cp = t.pos)
     ),
     ka AS (
         SELECT doc_id, count(*) AS n_kept,
-               string_agg(tok, ' ' ORDER BY pos) AS text_kept
+               string_agg(tok, ' ' ORDER BY pos, tok) AS text_kept
         FROM kept GROUP BY doc_id
     )
     SELECT s.doc_id,
            CAST(len(s.toks) AS BIGINT) AS n_tokens,
            CAST(len(s.toks) - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed,
            COALESCE(ka.text_kept, '') AS text_clean
-    FROM s LEFT JOIN ka ON s.doc_id = ka.doc_id
+    FROM s LEFT JOIN ka ON s.doc_id IS NOT DISTINCT FROM ka.doc_id
     """,
 )
 def dedup_substring_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -62,10 +62,10 @@ HEADLINERS = [
     ("drift_rank_mannwhitney", "Mann-Whitney U (r06): global average ranks with ties in DOUBLED integers from one prefix-scan pass; one map-side-combinable ranksum aggregate — the classic global-sort trap avoided"),
     ("skew_key_gini", "exact Gini skew diagnostic (r06): global rank via zipWithIndex-shape global_row_number (range exchange + offset scalars, NO SinglePartition over data); integer numerator aggregate + 1-row broadcast totals"),
     ("timeseries_gapfill_locf", "gap-fill + LOCF (r06): dense grid = users x broadcast 30-literal-day explode (map-side); per-user IGNORE-NULLS window fully parallel; daily close is a WindowGroupLimit top-1"),
-    ("dedup_substring_runs", "exact-substring dedup (r07): shingle sites -> map-side-combinable shingle count -> left-semi dup filter -> per-doc islands window; three keyed stages, no pair list, no suffix array"),
+    ("dedup_substring_runs", "exact-substring dedup (r07): flat zip_with shingle build (no per-position slice copies) -> map-side-combinable shingle count -> left-semi dup filter -> per-doc islands window; three keyed stages, no pair list, no suffix array"),
     ("dedup_substring_clip", "ExactSubstr cut (r07): covered positions explode ONLY the hit rows (x k); one anti-join against token sites; per-doc sort_array reassembly - no window over the corpus"),
     ("agg_event_type_salted", "salted two-phase aggregate (r07): __salt in the wide aggregate's grouping spreads 5 hot keys over 80 partials; second tiny exchange re-aggregates by key - the skew insurance is 2 exchanges vs 1"),
-    ("docs_blocklist_gate", "blocklist + quality gate composed (r07): six rules, term list as plan literals, ONE whole-stage-codegen projection, ZERO exchanges - runs at scan speed"),
+    ("docs_blocklist_gate", "blocklist + quality gate composed (r07): six rules, term list as plan literals, staged __bl_* projections (each metric evaluated once - the pure-column form was 25x slower), ZERO exchanges - runs at scan speed"),
 ]
 
 spark = get_spark(app_name="gen-plans")

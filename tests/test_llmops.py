@@ -648,3 +648,52 @@ def test_substring_keepfirst_retains_canonical_copy(spark):
     # doc 2: first in-doc copy survives, second clipped
     assert out[2].n_removed == 5
     assert out[2].text_clean == "a b c d e filler words here then again"
+
+
+def test_substring_ops_dirty_ids_match_oracle_semantics(spark):
+    """Dirty-data fidelity for the substring family (the seams the
+    adversarial sweeps probe): NULL doc_ids group as one pseudo-doc in
+    both engines, a duplicated doc_id with DIFFERENT text merges
+    position-wise with the (pos, tok) tie-break pinned, and keep_first's
+    canonical site treats NULL doc_id as SMALLEST (Spark min-struct
+    ordering — the oracle pins NULLS FIRST to match)."""
+    from pyspark.sql import functions as F
+
+    from fn_rq_report_etl_dev_spark.operators.text_dedup import (
+        substring_clip,
+        substring_duplicate_runs,
+    )
+
+    passage = "one two three four five"
+    rows = [
+        (None, f"{passage} unique nulldoc tail words here"),
+        (7, f"{passage} second doc tail pieces again"),
+        (9, "x1 x2 x3 x4 x5 x6"),
+        (9, "y1 y2 y3 y4 y5 y6"),  # same id, different text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    runs = substring_duplicate_runs(df, "doc_id", "text", k=5).collect()
+    by_doc = {}
+    for r in runs:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # passage duplicated between NULL-doc and doc 7 -> one run each
+    assert len(by_doc.get(None, [])) == 1 and len(by_doc.get(7, [])) == 1
+    assert by_doc[None][0].run_len_tokens == 5
+    # doc 9's two texts share no 5-gram -> no runs
+    assert 9 not in by_doc
+    # keep_first: NULL doc_id is the canonical site (sorts smallest),
+    # so doc 7 loses the passage and the NULL pseudo-doc keeps it.
+    kf = {
+        (r.doc_id, r.text_clean)
+        for r in substring_clip(
+            df, "doc_id", "text", k=5, keep_first=True
+        ).collect()
+        if r.doc_id is None or r.doc_id == 7
+    }
+    assert (None, f"{passage} unique nulldoc tail words here") in kf
+    assert (7, "second doc tail pieces again") in kf
+    # duplicate doc_id: both rows surface (one per input row), with the
+    # merged per-doc kept set applied to each row's token count.
+    clip = substring_clip(df, "doc_id", "text", k=5).collect()
+    doc9 = [r for r in clip if r.doc_id == 9]
+    assert len(doc9) == 2 and all(r.n_tokens == 6 for r in doc9)
