@@ -932,3 +932,99 @@ def test_sssp_relax_matches_python_bellman_ford(spark, pairs, seeds, rounds):
                 nxt[b] = dist[a] + w
         dist = nxt
     assert got == sorted(dist.items())
+
+
+def _py_substring_runs(corpus, k=3, min_count=2):
+    """Pure-Python reference for substring_duplicate_runs: shingle
+    multiset -> duplicated set -> per-doc maximal runs."""
+    from collections import Counter
+
+    sites = {}  # doc -> [(pos, shingle)]
+    counts = Counter()
+    for doc_id, text in corpus:
+        toks = text.split(" ")
+        if len(toks) < k:
+            continue
+        for i in range(len(toks) - k + 1):
+            sh = " ".join(toks[i : i + k])
+            sites.setdefault(doc_id, []).append((i + 1, sh))
+            counts[sh] += 1
+    dup = {sh for sh, c in counts.items() if c >= min_count}
+    runs = set()
+    for doc_id, ss in sites.items():
+        hit = sorted(p for p, sh in ss if sh in dup)
+        i = 0
+        while i < len(hit):
+            j = i
+            while j + 1 < len(hit) and hit[j + 1] == hit[j] + 1:
+                j += 1
+            runs.add((doc_id, hit[i], hit[j] - hit[i] + k, j - i + 1))
+            i = j + 1
+    return runs
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("a b c d".split()), min_size=1, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_substring_runs_match_python_reference(spark, docs):
+    """substring_duplicate_runs == the brute-force Python definition on
+    arbitrary corpora over a 4-word alphabet (tiny vocabulary forces
+    heavy shingle collisions, overlapping runs, same-doc repeats). Also
+    pins word_ngrams: k=3 here exercises the 2-pass zip_with builder."""
+    from fn_rq_report_etl_dev_spark.operators.text_dedup import (
+        substring_duplicate_runs,
+    )
+
+    corpus = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.run_start, r.run_len_tokens, r.n_shingles)
+        for r in substring_duplicate_runs(df, "doc_id", "text", k=3).collect()
+    }
+    assert got == _py_substring_runs(corpus, k=3)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("a b c d".split()), min_size=1, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_substring_clip_conservation_and_reassembly(spark, docs):
+    """substring_clip invariants on arbitrary collision-heavy corpora:
+    n_removed == n_tokens - len(text_clean tokens) (conservation),
+    text_clean is exactly the source tokens minus the covered positions
+    in order, and covered positions are precisely the union of
+    [p, p+k-1] over duplicated-shingle sites (checked via the Python
+    reference)."""
+    from fn_rq_report_etl_dev_spark.operators.text_dedup import (
+        substring_clip,
+    )
+
+    k = 3
+    corpus = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    runs = _py_substring_runs(corpus, k=k)
+    covered = {}
+    for doc_id, start, length, _ in runs:
+        covered.setdefault(doc_id, set()).update(
+            range(start, start + length)
+        )
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = {r.doc_id: r for r in substring_clip(df, "doc_id", "text", k=k).collect()}
+    for doc_id, text in corpus:
+        toks = text.split(" ")
+        want_kept = [
+            t for j, t in enumerate(toks, start=1)
+            if j not in covered.get(doc_id, set())
+        ]
+        r = out[doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.text_clean == " ".join(want_kept)
+        assert r.n_removed == len(toks) - len(want_kept)
