@@ -247,9 +247,11 @@ def main() -> None:
     from fn_rq_report_etl_dev_spark.workloads import CHECKPOINTED_DRAINS
 
     # Iterative fixed-point builders (VERDICT r06 ask #7): PageRank, the
-    # two SSSP variants, k-hop BFS, label-propagation components, greedy
-    # coverage — rounds × fixed per-job overhead on sf0.1-sized graphs
-    # (~36 s of the r06 224 s total), which drowns one-shot plan signal.
+    # two SSSP variants, k-hop BFS, label-propagation components (plus
+    # the two survivors queries that embed the same loop in their
+    # builders), greedy coverage — rounds × fixed per-job overhead on
+    # sf0.1-sized graphs (~36 s of the r06 224 s total), which drowns
+    # one-shot plan signal.
     # Timed in their own `iterative_timings` section, excluded from
     # `value` like the drains; their at-scale numbers live in SCALING.md.
     from fn_rq_report_etl_dev_spark.workloads import ITERATIVE_FIXED_POINTS

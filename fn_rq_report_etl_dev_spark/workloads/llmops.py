@@ -1619,6 +1619,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @workload(
     "dedup_apply_survivors",
+    iterative=True,
     oracle=f"""
     WITH RECURSIVE {_SHINGLES_CTE.lstrip()}, {_LSH_CTE.lstrip()},
     und(a, b) AS (
@@ -1654,6 +1655,7 @@ def dedup_apply_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @workload(
     "dedup_survivors_quality",
+    iterative=True,
     oracle=f"""
     WITH RECURSIVE {_SHINGLES_CTE.lstrip()}, {_LSH_CTE.lstrip()},
     und(a, b) AS (

@@ -98,6 +98,11 @@ def test_iterative_attribute_pins_the_fixed_point_class():
         "graph_sssp_delta",
         "graph_khop_reach",
         "dedup_cluster_components",
+        # the two survivors queries EMBED the same label-propagation
+        # loop in their builders (connected_components runs during
+        # build) — same class by the same criterion
+        "dedup_apply_survivors",
+        "dedup_survivors_quality",
         "curation_greedy_coverage",
     }
     assert ITERATIVE_FIXED_POINTS <= set(QUERIES)
