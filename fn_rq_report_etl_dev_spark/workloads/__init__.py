@@ -208,6 +208,7 @@ _RECHECK: list[str] = [
     "dedup_substring_keepfirst",
     "agg_event_type_salted",
     "docs_blocklist_gate",
+    "text_collocations_pmi",
     #
     # -- 4. quality_gate grew the extra_rules/extra_cols composition
     #       point (defaults preserve the original shape, sf0.001 parity

@@ -1175,6 +1175,101 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "text_collocations_pmi",
+    oracle=r"""
+    WITH w AS (
+        SELECT string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+') AS ws
+        FROM documents WHERE text IS NOT NULL
+    ),
+    tok AS (SELECT unnest(ws) AS word FROM w),
+    uni AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+    bg AS (
+        SELECT ws[i] AS wa, ws[i+1] AS wb, ws[i] || ' ' || ws[i+1] AS bigram
+        FROM (SELECT ws, unnest(range(1, len(ws))) AS i
+              FROM w WHERE len(ws) >= 2)
+    ),
+    bc AS (
+        SELECT bigram, wa, wb, count(*) AS c_ab
+        FROM bg GROUP BY bigram, wa, wb
+    ),
+    tot AS (SELECT (SELECT count(*) FROM tok) AS nu,
+                   (SELECT count(*) FROM bg) AS nb)
+    SELECT bc.bigram,
+           CAST(bc.c_ab AS BIGINT) AS c_ab,
+           CAST(ua.c AS BIGINT) AS c_a,
+           CAST(ub.c AS BIGINT) AS c_b,
+           (CAST(bc.c_ab AS DOUBLE) * CAST(tot.nu AS DOUBLE)
+                * CAST(tot.nu AS DOUBLE))
+               / (CAST(tot.nb AS DOUBLE) * CAST(ua.c AS DOUBLE)
+                  * CAST(ub.c AS DOUBLE)) AS lift
+    FROM bc
+    JOIN uni ua ON ua.word = bc.wa
+    JOIN uni ub ON ub.word = bc.wb
+    CROSS JOIN tot
+    WHERE bc.c_ab >= 5
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (pointwise-mutual-information lift): for every
+    bigram with support ≥5, lift = P(ab) / (P(a)·P(b)) with P(ab) over
+    the bigram multiset and P(a/b) over the unigram multiset — the
+    phrase-detection primitive tokenizer and n-gram-LM pipelines run
+    (word2vec's phrase pass, NLTK collocations). Third consumer of the
+    flat ``word_ngrams`` builder.
+
+    Scale shape: two map-side-combinable counts (shuffle = |vocab| and
+    |distinct bigrams|, not |tokens|), the unigram table re-joined onto
+    the bigram table TWICE — both sides broadcast (a vocabulary is
+    KB–MB while the corpus is TBs), totals ride a 1-row broadcast. The
+    lift is computed in DOUBLE with a pinned left-associated operand
+    order — both engines perform the identical IEEE-754 op sequence on
+    identical integers, so the hash matches without DECIMAL machinery;
+    the all-integer alternative (c_ab·N² vs c_a·c_b·N_bi
+    cross-comparison) overflows bigint past N ≈ 3·10⁹ tokens, noted
+    here because at 100 TB the DOUBLE form is also the right one."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    from ..operators.text_dedup import word_ngrams
+
+    ws = docs.select(TXT.words(F.col("text")).alias("ws"))
+    tok = ws.select(F.explode("ws").alias("word"))
+    uni = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    bg = ws.select(F.explode(word_ngrams(F.col("ws"), 2)).alias("bigram"))
+    bc = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+        .withColumn("wa", F.element_at(F.split(F.col("bigram"), " "), 1))
+        .withColumn("wb", F.element_at(F.split(F.col("bigram"), " "), 2))
+    )
+    tot = tok.agg(F.count(F.lit(1)).alias("nu")).crossJoin(
+        bg.agg(F.count(F.lit(1)).alias("nb"))
+    )
+    ua = uni.select(F.col("word").alias("wa"), F.col("c").alias("__ca"))
+    ub = uni.select(F.col("word").alias("wb"), F.col("c").alias("__cb"))
+    out = (
+        bc.join(F.broadcast(ua), "wa")
+        .join(F.broadcast(ub), "wb")
+        .crossJoin(F.broadcast(tot))
+    )
+    lift = (
+        F.col("c_ab").cast("double")
+        * F.col("nu").cast("double")
+        * F.col("nu").cast("double")
+    ) / (
+        F.col("nb").cast("double")
+        * F.col("__ca").cast("double")
+        * F.col("__cb").cast("double")
+    )
+    return out.select(
+        "bigram",
+        F.col("c_ab").cast("bigint").alias("c_ab"),
+        F.col("__ca").cast("bigint").alias("c_a"),
+        F.col("__cb").cast("bigint").alias("c_b"),
+        lift.alias("lift"),
+    )
+
+
+@workload(
     "dedup_edit_distance",
     oracle=f"""
     WITH {_SHINGLES_CTE}, {_LSH_CTE}

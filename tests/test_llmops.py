@@ -697,3 +697,36 @@ def test_substring_ops_dirty_ids_match_oracle_semantics(spark):
     clip = substring_clip(df, "doc_id", "text", k=5).collect()
     doc9 = [r for r in clip if r.doc_id == 9]
     assert len(doc9) == 2 and all(r.n_tokens == 6 for r in doc9)
+
+
+def test_collocations_pmi_planted_phrase(spark):
+    """A planted adjacent phrase gets the expected exact counts and an
+    IEEE-identical lift; bigrams under the support floor are absent."""
+    from pyspark.sql import functions as F
+
+    from fn_rq_report_etl_dev_spark.functions import text as TXT
+    from fn_rq_report_etl_dev_spark.operators.text_dedup import word_ngrams
+
+    text = "new york " * 6 + "alpha beta gamma delta"
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    ws = df.select(TXT.words(F.col("text")).alias("ws"))
+    nu = ws.select(F.explode("ws")).count()
+    nb = ws.select(F.explode(word_ngrams(F.col("ws"), 2))).count()
+    from fn_rq_report_etl_dev_spark.workloads.llmops import (
+        text_collocations_pmi,
+    )
+    import tempfile
+
+    # route through a parquet dir so the workload's load() sees it
+    d = tempfile.mkdtemp(prefix="pmi-")
+    df.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("t")
+    ).withColumn("n_chars", F.length("text")).write.parquet(f"{d}/documents.parquet")
+    out = {r.bigram: r for r in text_collocations_pmi(spark, d).collect()}
+    r = out["new york"]
+    assert (r.c_ab, r.c_a, r.c_b) == (6, 6, 6)
+    assert r.lift == ((6.0 * nu) * nu) / (((1.0 * nb) * 6.0) * 6.0)
+    # "york new" occurs 5 times -> exactly at the >=5 support floor
+    assert out["york new"].c_ab == 5
+    # single-occurrence bigrams sit under the floor
+    assert "beta gamma" not in out and "york alpha" not in out
