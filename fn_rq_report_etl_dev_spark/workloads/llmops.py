@@ -1218,9 +1218,15 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat ``word_ngrams`` builder.
 
     Scale shape: two map-side-combinable counts (shuffle = |vocab| and
-    |distinct bigrams|, not |tokens|), the unigram table re-joined onto
-    the bigram table TWICE — both sides broadcast (a vocabulary is
-    KB–MB while the corpus is TBs), totals ride a 1-row broadcast. The
+    |distinct bigrams|, not |tokens|) and NOTHING else touches the
+    corpus — the token/bigram totals are derived by summing the count
+    tables themselves (vocab-sized aggregates), not by extra corpus
+    passes. The unigram table is re-joined onto the bigram table TWICE
+    with a broadcast hint — right while the vocabulary fits the
+    broadcast budget (KB–MB for a closed vocabulary); for an unpruned
+    open-vocabulary web corpus drop the hint and both joins degrade
+    gracefully to shuffle joins on the word key. Totals ride a 1-row
+    broadcast. The
     lift is computed in DOUBLE with a pinned left-associated operand
     order — both engines perform the identical IEEE-754 op sequence on
     identical integers, so the hash matches without DECIMAL machinery;
@@ -1234,15 +1240,17 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = ws.select(F.explode("ws").alias("word"))
     uni = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     bg = ws.select(F.explode(word_ngrams(F.col("ws"), 2)).alias("bigram"))
+    bc_all = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_ab"))
     bc = (
-        bg.groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("c_ab"))
-        .filter(F.col("c_ab") >= 5)
+        bc_all.filter(F.col("c_ab") >= 5)
         .withColumn("wa", F.element_at(F.split(F.col("bigram"), " "), 1))
         .withColumn("wb", F.element_at(F.split(F.col("bigram"), " "), 2))
     )
-    tot = tok.agg(F.count(F.lit(1)).alias("nu")).crossJoin(
-        bg.agg(F.count(F.lit(1)).alias("nb"))
+    # Totals from the COUNT tables (vocab-sized sums), not extra corpus
+    # passes: N_uni = sum c over the vocabulary, N_bi = sum c_ab over
+    # ALL bigrams pre-floor.
+    tot = uni.agg(F.sum("c").alias("nu")).crossJoin(
+        bc_all.agg(F.sum("c_ab").alias("nb"))
     )
     ua = uni.select(F.col("word").alias("wa"), F.col("c").alias("__ca"))
     ub = uni.select(F.col("word").alias("wb"), F.col("c").alias("__cb"))
