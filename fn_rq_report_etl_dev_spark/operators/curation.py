@@ -148,7 +148,10 @@ def with_blocklist_metrics(
     survive CollapseProject, so each n-gram array and per-term count is
     evaluated exactly once per row."""
     t = F.col(text_col)
-    canon = sorted(" ".join(term.lower().split()) for term in terms)
+    # Set-dedupe during canonicalization: terms that canonicalize to the
+    # same string ('Slow' and 'slow') would otherwise collide in the
+    # per-term column map and double-count every occurrence (ADVICE r07).
+    canon = sorted({" ".join(term.lower().split()) for term in terms})
     words = F.split(F.trim(ascii_lower(t)), r"\s+")
     # stage 1: one n-gram array column per distinct term length (the
     # 1-gram column doubles as the tokenization for the ratio rule).

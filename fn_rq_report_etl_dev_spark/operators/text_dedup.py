@@ -786,7 +786,14 @@ def substring_clip(
     sub-``k`` documents are never clipped. NULL-text rows are dropped
     (they carry nothing to clip — the quality gate owns them).
 
-    Output: (doc_id, n_tokens, n_removed, text_clean).
+    Output: (doc_id, n_tokens, n_removed, text_clean) — ONE row per
+    distinct ``doc_id``. Dirty data with a repeated id merges into a
+    single pseudo-doc row (exactly like NULL ids merge into one
+    pseudo-doc everywhere in this family): ``n_tokens`` sums the rows'
+    sizes, surviving tokens interleave position-wise with the (pos,
+    tok) tie-break, and ``n_removed = n_tokens − n_kept`` stays
+    non-negative (ADVICE r07: per-input-row totals against the merged
+    kept set produced negative ``n_removed``).
     """
     toks = (
         df.filter(F.col(text_col).isNotNull())
@@ -850,7 +857,13 @@ def substring_clip(
             " ",
         ).alias("__text"),
     )
-    totals = toks.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+    # Per-DOC totals (groupBy folds NULL and repeated ids into their
+    # pseudo-doc, matching kept_agg's grouping) — the final join is 1:1.
+    totals = (
+        toks.select("doc_id", F.size("toks").cast("bigint").alias("__sz"))
+        .groupBy("doc_id")
+        .agg(F.sum("__sz").alias("n_tokens"))
+    )
     return totals.join(
         kept_agg, F.col("doc_id").eqNullSafe(F.col("__kdoc")), "left"
     ).select(

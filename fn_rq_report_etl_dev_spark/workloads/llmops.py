@@ -195,12 +195,15 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, count(*) AS n_kept,
                string_agg(tok, ' ' ORDER BY pos, tok) AS text_kept
         FROM kept GROUP BY doc_id
-    )
-    SELECT s.doc_id,
-           CAST(len(s.toks) AS BIGINT) AS n_tokens,
-           CAST(len(s.toks) - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed,
+    ),
+    -- per-DOC totals (NULL/repeated ids merge into their pseudo-doc,
+    -- same grouping as ka) so n_removed is non-negative (ADVICE r07)
+    tot AS (SELECT doc_id, SUM(len(toks)) AS n_toks FROM s GROUP BY doc_id)
+    SELECT tot.doc_id,
+           CAST(tot.n_toks AS BIGINT) AS n_tokens,
+           CAST(tot.n_toks - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed,
            COALESCE(ka.text_kept, '') AS text_clean
-    FROM s LEFT JOIN ka ON s.doc_id IS NOT DISTINCT FROM ka.doc_id
+    FROM tot LEFT JOIN ka ON tot.doc_id IS NOT DISTINCT FROM ka.doc_id
     """,
 )
 def dedup_substring_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,12 +265,15 @@ def dedup_substring_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, count(*) AS n_kept,
                string_agg(tok, ' ' ORDER BY pos, tok) AS text_kept
         FROM kept GROUP BY doc_id
-    )
-    SELECT s.doc_id,
-           CAST(len(s.toks) AS BIGINT) AS n_tokens,
-           CAST(len(s.toks) - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed,
+    ),
+    -- per-DOC totals (NULL/repeated ids merge into their pseudo-doc,
+    -- same grouping as ka) so n_removed is non-negative (ADVICE r07)
+    tot AS (SELECT doc_id, SUM(len(toks)) AS n_toks FROM s GROUP BY doc_id)
+    SELECT tot.doc_id,
+           CAST(tot.n_toks AS BIGINT) AS n_tokens,
+           CAST(tot.n_toks - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed,
            COALESCE(ka.text_kept, '') AS text_clean
-    FROM s LEFT JOIN ka ON s.doc_id IS NOT DISTINCT FROM ka.doc_id
+    FROM tot LEFT JOIN ka ON tot.doc_id IS NOT DISTINCT FROM ka.doc_id
     """,
 )
 def dedup_substring_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1209,7 +1215,9 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE bc.c_ab >= 5
     """,
 )
-def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_collocations_pmi(
+    spark: SparkSession, sf_dir: str, broadcast_vocab: bool = True
+) -> DataFrame:
     """Collocation mining (pointwise-mutual-information lift): for every
     bigram with support ≥5, lift = P(ab) / (P(a)·P(b)) with P(ab) over
     the bigram multiset and P(a/b) over the unigram multiset — the
@@ -1224,9 +1232,10 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes. The unigram table is re-joined onto the bigram table TWICE
     with a broadcast hint — right while the vocabulary fits the
     broadcast budget (KB–MB for a closed vocabulary); for an unpruned
-    open-vocabulary web corpus drop the hint and both joins degrade
-    gracefully to shuffle joins on the word key. Totals ride a 1-row
-    broadcast. The
+    open-vocabulary web corpus pass ``broadcast_vocab=False`` (ADVICE
+    r07: the degradation path must be selectable, not just documented)
+    and both joins degrade gracefully to shuffle joins on the word key.
+    Totals ride a 1-row broadcast either way. The
     lift is computed in DOUBLE with a pinned left-associated operand
     order — both engines perform the identical IEEE-754 op sequence on
     identical integers, so the hash matches without DECIMAL machinery;
@@ -1254,9 +1263,10 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ua = uni.select(F.col("word").alias("wa"), F.col("c").alias("__ca"))
     ub = uni.select(F.col("word").alias("wb"), F.col("c").alias("__cb"))
+    hint = F.broadcast if broadcast_vocab else (lambda d: d)
     out = (
-        bc.join(F.broadcast(ua), "wa")
-        .join(F.broadcast(ub), "wb")
+        bc.join(hint(ua), "wa")
+        .join(hint(ub), "wb")
         .crossJoin(F.broadcast(tot))
     )
     lift = (

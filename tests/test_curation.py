@@ -513,3 +513,27 @@ def test_blocklist_gate_phrase_and_ratio(spark):
     assert out[3].hit_terms == ""
     assert out[3].blocked is False
     assert out[3].reasons == "no_text"
+
+
+def test_blocklist_terms_colliding_after_canonicalization(spark):
+    """Terms that canonicalize to the same string ('Slow', 'slow',
+    ' slow  ') count each occurrence ONCE (ADVICE r07: the canon list
+    kept duplicates, the per-term column map collided, and n_hits added
+    the same staged count twice while hit_terms repeated the term)."""
+    from fn_rq_report_etl_dev_spark.operators.curation import (
+        with_blocklist_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a slow day with one slow query")], "doc_id long, text string"
+    )
+    aug, n_hits, hit_terms, blocked = with_blocklist_metrics(
+        df, "text", ("Slow", "slow", "  slow ", "Slow  Query"), hit_pct=2
+    )
+    row = aug.select(
+        n_hits.alias("n"), hit_terms.alias("t"), blocked.alias("b")
+    ).collect()[0]
+    # 'slow' x2 + 'slow query' x1 = 3 hits; each term listed once
+    assert row.n == 3
+    assert row.t == "slow,slow query"
+    assert row.b is True

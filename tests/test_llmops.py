@@ -692,11 +692,18 @@ def test_substring_ops_dirty_ids_match_oracle_semantics(spark):
     }
     assert (None, f"{passage} unique nulldoc tail words here") in kf
     assert (7, "second doc tail pieces again") in kf
-    # duplicate doc_id: both rows surface (one per input row), with the
-    # merged per-doc kept set applied to each row's token count.
+    # duplicate doc_id: the two rows merge into ONE pseudo-doc row
+    # (ADVICE r07 — per-doc totals keep n_removed non-negative):
+    # n_tokens sums both rows, nothing is duplicated so nothing is
+    # removed, and the surviving tokens interleave by the pinned
+    # (pos, tok) tie-break.
     clip = substring_clip(df, "doc_id", "text", k=5).collect()
     doc9 = [r for r in clip if r.doc_id == 9]
-    assert len(doc9) == 2 and all(r.n_tokens == 6 for r in doc9)
+    assert len(doc9) == 1
+    assert doc9[0].n_tokens == 12 and doc9[0].n_removed == 0
+    assert doc9[0].text_clean == (
+        "x1 y1 x2 y2 x3 y3 x4 y4 x5 y5 x6 y6"
+    )
 
 
 def test_collocations_pmi_planted_phrase(spark):
@@ -730,3 +737,28 @@ def test_collocations_pmi_planted_phrase(spark):
     assert out["york new"].c_ab == 5
     # single-occurrence bigrams sit under the floor
     assert "beta gamma" not in out and "york alpha" not in out
+
+
+def test_collocations_pmi_shuffle_join_path(spark, sf_dir):
+    """broadcast_vocab=False (the open-vocabulary degradation path,
+    ADVICE r07) removes the broadcast hints from the unigram joins —
+    the plan shuffles on the word key — and produces identical rows."""
+    from fn_rq_report_etl_dev_spark.workloads.llmops import (
+        text_collocations_pmi,
+    )
+
+    hinted = text_collocations_pmi(spark, sf_dir)
+    shuffled = text_collocations_pmi(spark, sf_dir, broadcast_vocab=False)
+    # Hint-level check (physical join choice would be AQE's to make on a
+    # tiny fixture): hinted plan carries 3 broadcast hints (ua, ub,
+    # totals), the degraded plan only the 1-row totals hint.
+    n_hints_on = hinted._jdf.queryExecution().analyzed().toString().count(
+        "ResolvedHint"
+    )
+    n_hints_off = shuffled._jdf.queryExecution().analyzed().toString().count(
+        "ResolvedHint"
+    )
+    assert n_hints_on == 3 and n_hints_off == 1
+    assert sorted(map(tuple, hinted.collect())) == sorted(
+        map(tuple, shuffled.collect())
+    )
