@@ -171,8 +171,12 @@ from . import analytics  # noqa: E402,F401
 # registered, exactly the first 50 reported). Order the dict so the
 # 50-slot window lands on the queries that still NEED a driver verdict:
 #
-# 1. _RECHECK — reported before but changed since (manual list; a code
-#    change invalidates the old verdict even if it was green);
+# 1. active _RECHECK — reported before but changed since (a code change
+#    invalidates the old verdict even if it was green); entries carry
+#    the round their change landed and AUTO-SETTLE once a committed
+#    driver report of that round (or later) shows them green, so a
+#    forgotten prune can never burn window slots re-verifying
+#    already-settled queries (VERDICT r07 nit #1);
 # 2. everything with no green row in ANY CORRECTNESS_r*.json committed to
 #    the repo root (never reported, or reported red — both need a verdict);
 # 3. settled — green (or rows-only `no_oracle`) in some past report and
@@ -185,36 +189,33 @@ from . import analytics  # noqa: E402,F401
 # each new round's CORRECTNESS_r{N}.json automatically updates the
 # rotation — no per-round list maintenance.
 
-# Changed after their last driver verdict — must be re-verified.
-# (The round-6 entries all got green r06 verdicts and settle out of this
-# list automatically via _driver_green_rounds.)
-_RECHECK: list[str] = [
-    # -- 1. Behavior changed by the round-7 ADVICE fixes: TWAP value
-    #       guard tightened to the bound its overflow analysis assumes;
-    #       A/B oracle NULL-coalesce aligned with the Spark side on
-    #       empty variants; HLL++ est_within bound widened from ~2sigma
-    #       to 4sigma so a new corpus can't legitimately fail it.
-    "timeseries_twap_user",
-    "abtest_conversion_exact",
-    "approx_distinct_parts",
-    #
-    # -- 2. Dead-code removal in sssp_relax_delta (any code change
-    #       invalidates the old verdict, even behavior-preserving).
-    "graph_sssp_delta",
-    #
-    # -- 3. Round-7 additions (never driver-reported).
-    "dedup_substring_runs",
-    "dedup_substring_clip",
-    "dedup_substring_keepfirst",
-    "agg_event_type_salted",
-    "docs_blocklist_gate",
-    "text_collocations_pmi",
-    #
-    # -- 4. quality_gate grew the extra_rules/extra_cols composition
-    #       point (defaults preserve the original shape, sf0.001 parity
-    #       green) — any code change invalidates the old verdict.
-    "docs_quality_gate",
-]
+# name -> round the change landed. A green verdict from that round or
+# later settles the entry automatically (it falls back into the LRU
+# pool); a green verdict from an EARLIER round doesn't count — it
+# predates the change. The round-7 entries (TWAP/abtest/HLL advice
+# fixes, sssp dead-code removal, the six r07 additions, the
+# quality-gate composition point) all carried round 7, got green r07
+# verdicts, and are gone: settled out, exactly as designed.
+_RECHECK: dict[str, int] = {
+    # Round-8 ADVICE fixes: blocklist canon set-dedupe feeds the gate's
+    # n_hits/hit_terms; clip totals aggregate per doc_id in operator AND
+    # both oracles; PMI grew the broadcast_vocab knob (default preserves
+    # the r07 plan — re-verify anyway, the builder body changed).
+    "docs_blocklist_gate": 8,
+    "dedup_substring_clip": 8,
+    "dedup_substring_keepfirst": 8,
+    "text_collocations_pmi": 8,
+}
+
+
+def _active_recheck(
+    recheck: dict[str, int], green_rounds: dict[str, int]
+) -> list[str]:
+    """The entries still awaiting a post-change driver verdict: green
+    from a round >= the change round settles an entry out."""
+    return [
+        n for n, rnd in recheck.items() if green_rounds.get(n, 0) < rnd
+    ]
 
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -267,7 +268,10 @@ def _ordered_names(
 
 
 def _rotate_registry() -> None:
-    ordered = _ordered_names(list(QUERIES), _driver_green_rounds(), _RECHECK)
+    green_rounds = _driver_green_rounds()
+    ordered = _ordered_names(
+        list(QUERIES), green_rounds, _active_recheck(_RECHECK, green_rounds)
+    )
     reordered = {n: QUERIES[n] for n in ordered}
     QUERIES.clear()
     QUERIES.update(reordered)

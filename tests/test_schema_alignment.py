@@ -69,22 +69,24 @@ def test_registry_rotation_prioritizes_unverified():
     from fn_rq_report_etl_dev_spark.workloads import (
         _RECHECK,
         QUERIES,
+        _active_recheck,
         _driver_green_rounds,
     )
 
     names = list(QUERIES)
     assert len(names) == len(set(names))
     green_rounds = _driver_green_rounds()
-    # recheck first, in order
-    assert names[: len(_RECHECK)] == [n for n in _RECHECK if n in QUERIES]
+    active = _active_recheck(_RECHECK, green_rounds)
+    # active recheck first, in order
+    assert names[: len(active)] == [n for n in active if n in QUERIES]
     # every settled-green query sorts after every fresh query
     settled = [
-        n for n in names if n in green_rounds and n not in _RECHECK
+        n for n in names if n in green_rounds and n not in active
     ]
     fresh_pos = [
         names.index(n)
         for n in names
-        if n not in green_rounds and n not in _RECHECK
+        if n not in green_rounds and n not in active
     ]
     if settled and fresh_pos:
         assert names.index(settled[0]) > max(fresh_pos)
@@ -110,6 +112,7 @@ def test_rotation_cycles_whole_registry_within_four_rounds():
     from fn_rq_report_etl_dev_spark.workloads import (
         _RECHECK,
         QUERIES,
+        _active_recheck,
         _driver_green_rounds,
         _ordered_names,
     )
@@ -119,7 +122,8 @@ def test_rotation_cycles_whole_registry_within_four_rounds():
     cycle = math.ceil(len(names) / 50)
     assert cycle <= 4, f"registry outgrew the 4-round cycle: {len(names)}"
     current = max(green_rounds.values(), default=0)
-    recheck = list(_RECHECK)  # consumed by the first simulated round
+    # consumed by the first simulated round
+    recheck = _active_recheck(_RECHECK, green_rounds)
     last_seen = dict(green_rounds)
     for step in range(1, 13):
         rnd = current + step
@@ -136,6 +140,39 @@ def test_rotation_cycles_whole_registry_within_four_rounds():
             assert not stale, (
                 f"round {rnd}: verdicts staler than {cycle} rounds: {stale}"
             )
+
+
+def test_recheck_auto_settles_on_post_change_green():
+    """_RECHECK hygiene is mechanical, not manual (VERDICT r07 nit #1):
+    an entry carries the round its change landed and is ACTIVE only
+    until a driver verdict from that round or later is green. A green
+    verdict from an EARLIER round (it predates the change) must NOT
+    settle it, and a red/absent verdict keeps it active."""
+    from fn_rq_report_etl_dev_spark.workloads import _active_recheck
+
+    recheck = {"a": 8, "b": 8, "c": 8, "d": 7}
+    greens = {
+        "a": 8,   # green at the change round -> settled
+        "b": 7,   # green only BEFORE the change -> still active
+        "d": 9,   # green after the change round -> settled
+        # "c" never green -> active
+    }
+    assert _active_recheck(recheck, greens) == ["b", "c"]
+    # all-settled: the window is spent entirely on the LRU tail
+    assert _active_recheck({"a": 8, "d": 7}, greens) == []
+    # live invariant: every CURRENT entry's change round is the round in
+    # flight (no green report committed yet), so none can be mis-settled
+    from fn_rq_report_etl_dev_spark.workloads import (
+        _RECHECK,
+        _driver_green_rounds,
+    )
+
+    live_green = _driver_green_rounds()
+    latest_report = max(live_green.values(), default=0)
+    for name, rnd in _RECHECK.items():
+        assert rnd > latest_report or live_green.get(name, 0) >= rnd or (
+            name in _active_recheck(_RECHECK, live_green)
+        )
 
 
 def test_every_entry_driver_reported_or_in_recheck():
