@@ -309,6 +309,77 @@ def pnm_resize(factor: int) -> Callable[[bytes], bytes]:
     return resize
 
 
+def average_hash64(payload: bytes) -> str | None:
+    """64-bit average-hash (aHash — the integer-exact member of the
+    perceptual-hash family, cf. the pHash/imagehash libraries): box-
+    reduce the luma raster to an 8×8 grid of block SUMS, then bit k = 1
+    iff block k is brighter than the global average. The comparison is
+    kept in integers (``64·s_k > Σs`` — block sums against the total,
+    never a float mean), so the hash is bit-deterministic and a SQL
+    oracle can replay it closed-form. P5 luma is the raster itself; P6
+    uses the Rec.601 integer weights (``//1000`` floor). Width/height
+    must be multiples of 8. Returns a 64-char '0'/'1' string (row-major,
+    bit 0 leftmost) — the shape ``banded_hamming_pairs`` consumes.
+    NULL payload → None (decode_fn contract)."""
+    import numpy as np
+
+    if payload is None:
+        return None
+    magic, w, h, maxval, raster = _parse_pnm(payload)
+    if w % 8 or h % 8:
+        raise ValueError(f"dimensions {w}x{h} not divisible by 8")
+    if magic == b"P6":
+        rgb = raster.reshape(-1, 3).astype(np.int64)
+        lum = (299 * rgb[:, 0] + 587 * rgb[:, 1] + 114 * rgb[:, 2]) // 1000
+    else:
+        lum = raster.astype(np.int64)
+    a = lum.reshape(h, w)
+    sums = a.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3)).reshape(-1)
+    total = int(sums.sum())
+    return "".join("1" if 64 * int(s) > total else "0" for s in sums)
+
+
+def dct_phash64(payload: bytes) -> str | None:
+    """64-bit DCT perceptual hash (pHash proper): box-reduce the luma to
+    32×32, 2-D DCT-II (orthonormal, plain numpy matrix products — no
+    scipy), take the top-left 8×8 low-frequency block with the DC term
+    zeroed, threshold each coefficient against the MEDIAN of the 64.
+    Float-thresholded (the median comparison is not integer arithmetic),
+    so this variant is pinned by unit tests rather than a SQL oracle —
+    ``dedup_image_phash``'s registry row rides :func:`average_hash64`
+    instead. Same contract: 64-char bit string, NULL → None."""
+    import numpy as np
+
+    if payload is None:
+        return None
+    magic, w, h, maxval, raster = _parse_pnm(payload)
+    if w % 32 or h % 32:
+        raise ValueError(f"dimensions {w}x{h} not divisible by 32")
+    if magic == b"P6":
+        rgb = raster.reshape(-1, 3).astype(np.int64)
+        lum = (299 * rgb[:, 0] + 587 * rgb[:, 1] + 114 * rgb[:, 2]) // 1000
+    else:
+        lum = raster.astype(np.int64)
+    a = lum.reshape(h, w)
+    small = (
+        a.reshape(32, h // 32, 32, w // 32).sum(axis=(1, 3)).astype(np.float64)
+        / ((h // 32) * (w // 32))
+    )
+    n = 32
+    k = np.arange(n)
+    basis = np.sqrt(2.0 / n) * np.cos(
+        np.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / (2.0 * n)
+    )
+    basis[0, :] = np.sqrt(1.0 / n)
+    coef = basis @ small @ basis.T
+    block = coef[:8, :8].copy()
+    block[0, 0] = 0.0
+    med = float(np.median(block))
+    return "".join(
+        "1" if float(c) > med else "0" for c in block.reshape(-1)
+    )
+
+
 def encode_y4m(luma_frames: list[bytes], w: int, h: int) -> bytes:
     """Minimal YUV4MPEG2 (C420) encoder: luma planes in, zeroed chroma —
     the inverse of ``y4m_video_decoder`` for tests and synthetic fixtures."""

@@ -623,6 +623,29 @@ def simhash64_near_pairs(
     Buckets inherit :func:`_bucket_pairs`'s hot-bucket chunk cap, so a
     template-heavy corpus cannot OOM a task. Returns (id_a, id_b, hamming).
     """
+    return banded_hamming_pairs(
+        simhash64(df, id_col, text_col),
+        "simhash64",
+        max_hamming=max_hamming,
+        bands=bands,
+        max_bucket=max_bucket,
+    )
+
+
+def banded_hamming_pairs(
+    sig_df: DataFrame,
+    bits_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """The banded-Hamming pair engine behind :func:`simhash64_near_pairs`,
+    factored out so ANY 64-bit signature can ride it — text SimHash and
+    image perceptual hashes (``dedup_image_phash``) share the same
+    pigeonhole bucket-join. ``sig_df`` carries ``__id`` plus a 64-char
+    '0'/'1' string column ``bits_col``. Returns (id_a, id_b, hamming)
+    with hamming ≤ ``max_hamming`` — full recall, full precision, no
+    O(n²) scan."""
     assert 64 % bands == 0, "bands must divide 64"
     assert max_hamming < bands, "pigeonhole recall needs max_hamming < bands"
     width = 64 // bands
@@ -635,12 +658,12 @@ def simhash64_near_pairs(
     # join side) is what keeps the verify stage flat on template-heavy
     # corpora (measured 3.1 s → ~1 s on the 530k-candidate sf0.1 corpus).
     sig = (
-        simhash64(df, id_col, text_col)
+        sig_df
         .select(
             "__id",
-            "simhash64",
+            bits_col,
             *[
-                F.conv(F.substring("simhash64", b * width + 1, width), 2, 10)
+                F.conv(F.substring(bits_col, b * width + 1, width), 2, 10)
                 .cast("bigint")
                 .alias(f"__s{b}")
                 for b in range(bands)
@@ -651,7 +674,7 @@ def simhash64_near_pairs(
     banded = sig.select(
         "__id",
         F.posexplode(
-            F.array(*[F.substring("simhash64", b * width + 1, width) for b in range(bands)])
+            F.array(*[F.substring(bits_col, b * width + 1, width) for b in range(bands)])
         ).alias("band", "band_val"),
     )
     # A pair may agree on several bands → distinct.

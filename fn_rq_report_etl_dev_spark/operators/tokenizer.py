@@ -1,0 +1,128 @@
+"""Distributed subword-vocabulary learning: byte-pair-encoding merge
+rules over a word-frequency table (VERDICT r07 ask #2 — the tokenizer-
+side primitive an LLM-corpus pipeline runs that had no counterpart
+here; cf. Sennrich et al. 2016, "Neural Machine Translation of Rare
+Words with Subword Units").
+
+Scale shape — why this is 100 TB-safe:
+
+- The ONLY corpus-sized pass is building the word-frequency table
+  (one map-side-combinable groupBy, shuffle = |vocab| rows). This is
+  standard practice: every production BPE learner (subword-nmt,
+  GPT-2's encoder trainer, SentencePiece's BPE mode) iterates over the
+  word-count DICTIONARY, never over the corpus.
+- Each merge round is one aggregate over the vocab table (adjacent-
+  pair counts weighted by word frequency — again map-side combinable)
+  plus one projection rewriting the symbol arrays. Round cost is
+  O(|vocab| · avg word length), independent of corpus size.
+- Driver traffic is ONE argmax row per round (the
+  ``curation_greedy_coverage`` discipline) — bounded scalars, never
+  data. The shrinking vocab relation is localCheckpoint'ed per round
+  with superseded blocks unpersisted, so the plan never deepens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _checkpoint_rdd(frame: DataFrame):
+    plan = frame._jdf.queryExecution().analyzed()
+    return plan.rdd() if plan.getClass().getSimpleName() == "LogicalRDD" else None
+
+
+def merge_adjacent_pair(syms: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right non-overlapping merge of every adjacent
+    (``a``, ``b``) occurrence in a symbol array — the BPE apply step,
+    JVM-side via one aggregate HOF (no Python, no UDF).
+
+    The accumulator scan is equivalent to the textbook positional walk:
+    current symbol ``s`` fuses with the accumulator's last element iff
+    that element equals ``a`` and ``s == b``. A fused symbol can never
+    be mistaken for a pending ``a`` because ``a + b`` is strictly
+    longer than ``a`` (symbols are non-empty), so overlaps resolve
+    leftmost-first exactly like the reference scan — e.g. pair (a, a)
+    on "a a a a" yields [aa, aa], on "a a a" yields [aa, a]. Verified
+    against a pure-Python reference by Hypothesis in
+    tests/test_properties.py."""
+    return F.aggregate(
+        syms,
+        F.array().cast(T.ArrayType(T.StringType())),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_pair_merges(
+    words: DataFrame,
+    word_col: str,
+    freq_col: str,
+    n_merges: int = 8,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merge rules from a (word, frequency)
+    table. Symbols start as single characters; each round counts
+    adjacent symbol pairs weighted by word frequency, picks the argmax
+    (ties pinned weight DESC, then sym_a ASC, sym_b ASC — fully
+    deterministic), and rewrites every word's symbol array with
+    :func:`merge_adjacent_pair`. Stops early when no adjacent pair
+    remains (every word fused to one symbol).
+
+    Returns DataFrame[merge_rank, sym_a, sym_b, merged, pair_weight]
+    with ≤ ``n_merges`` rows — the ordered merge table a downstream
+    tokenizer applies. NULL/empty words are dropped (they carry no
+    symbols)."""
+    vocab = (
+        words.filter(
+            F.col(word_col).isNotNull() & (F.col(word_col) != "")
+        )
+        .select(
+            F.col(freq_col).cast("bigint").alias("freq"),
+            F.split(F.col(word_col), "").alias("syms"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    prev_rdd = _checkpoint_rdd(vocab)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = vocab.filter(F.size("syms") >= 2).select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), F.lit(1), F.size("syms") - 1),
+                    F.slice(F.col("syms"), F.lit(2), F.size("syms") - 1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("w"))
+            .orderBy(F.col("w").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, w = top[0]["a"], top[0]["b"], top[0]["w"]
+        merges.append((rank, a, b, a + b, int(w)))
+        vocab = vocab.withColumn(
+            "syms", merge_adjacent_pair(F.col("syms"), a, b)
+        ).localCheckpoint(eager=True)
+        if prev_rdd is not None:
+            prev_rdd.unpersist(False)
+        prev_rdd = _checkpoint_rdd(vocab)
+    if prev_rdd is not None:
+        prev_rdd.unpersist(False)
+    return words.sparkSession.createDataFrame(
+        merges,
+        "merge_rank bigint, sym_a string, sym_b string, "
+        "merged string, pair_weight bigint",
+    )

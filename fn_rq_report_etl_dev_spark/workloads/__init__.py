@@ -105,6 +105,11 @@ EAGER_SCHEMAS: dict[str, str] = {
     ),
     # greedy coverage collects one argmax row per round (driver scalars)
     "curation_greedy_coverage": "pick_rank bigint, doc_id bigint, new_tokens bigint",
+    # BPE learner collects one argmax pair row per merge round
+    "text_bpe_vocab_learn": (
+        "merge_rank bigint, sym_a string, sym_b string, merged string, "
+        "pair_weight bigint"
+    ),
     # collects the two-dimension min/max normalization bounds (driver scalars)
     "zorder_layout_events": (
         "bucket bigint, n_rows bigint, min_user bigint, max_user bigint, "
@@ -205,6 +210,12 @@ _RECHECK: dict[str, int] = {
     "dedup_substring_clip": 8,
     "dedup_substring_keepfirst": 8,
     "text_collocations_pmi": 8,
+    # Round-8 additions (never driver-reported).
+    "text_bpe_vocab_learn": 8,
+    "dedup_image_phash": 8,
+    # banded_hamming_pairs extraction touches simhash's code path
+    # (byte-identical results expected — re-verify anyway).
+    "dedup_simhash64": 8,
 }
 
 

@@ -739,6 +739,131 @@ def test_collocations_pmi_planted_phrase(spark):
     assert "beta gamma" not in out and "york alpha" not in out
 
 
+def test_image_hash_functions():
+    """average_hash64 and dct_phash64 contracts: identical payloads →
+    identical hashes; a one-step brightness perturbation → small (or
+    zero) Hamming distance; a single-cosine-basis image puts the DCT
+    hash's energy exactly where the analytic DCT says; P6 color path
+    and NULL payloads honor the decode_fn contract."""
+    import numpy as np
+
+    from fn_rq_report_etl_dev_spark.operators.multimodal import (
+        average_hash64,
+        dct_phash64,
+        encode_pgm,
+    )
+
+    rng_v = ((np.arange(64, dtype=np.int64) * 7919 + 13) * 31) % 251
+    img = np.repeat(
+        np.repeat(rng_v.reshape(8, 8).astype(np.uint8), 4, axis=0), 4, axis=1
+    )
+    p1 = encode_pgm(img, 32, 32)
+    a1, d1 = average_hash64(p1), dct_phash64(p1)
+    assert len(a1) == 64 and set(a1) <= {"0", "1"}
+    assert len(d1) == 64 and set(d1) <= {"0", "1"}
+    assert average_hash64(p1) == a1 and dct_phash64(p1) == d1  # deterministic
+    # exact expected aHash bits: 64*sum_k > total over the 4x4 block sums
+    sums = 16 * rng_v
+    want = "".join("1" if 64 * s > sums.sum() else "0" for s in sums)
+    assert a1 == want
+    # tiny perturbation: one block one step brighter -> aHash near-dup
+    img2 = img.copy()
+    img2[0:4, 0:4] = np.minimum(img2[0:4, 0:4].astype(np.int64) + 1, 255).astype(
+        np.uint8
+    )
+    p2 = encode_pgm(img2, 32, 32)
+    ham_a = sum(x != y for x, y in zip(a1, average_hash64(p2)))
+    assert ham_a <= 3
+    # uniform brightness shift: aHash EXACTLY invariant (all block sums
+    # shift equally — integer arithmetic); DCT pHash nearly so (only
+    # the zeroed DC term moves in exact math, but float residue on
+    # near-median coefficients of an unstructured image can flip a few
+    # knife-edge bits — the precise reason the oracle entry rides the
+    # integer-exact aHash, not this variant)
+    img3 = (img.astype(np.int64) + 4).astype(np.uint8)  # values <= 250+4
+    p3 = encode_pgm(img3, 32, 32)
+    assert average_hash64(p3) == a1
+    assert sum(x != y for x, y in zip(d1, dct_phash64(p3))) <= 8
+    # single-cosine image: DCT energy concentrates at (u0, v0)=(2, 3);
+    # the hash bit at 8*u0+v0 must be set (the only large coefficient)
+    x = np.arange(32)
+    basis = np.cos(np.pi * (2 * x + 1) * 2 / 64)[:, None] * np.cos(
+        np.pi * (2 * x + 1) * 3 / 64
+    )[None, :]
+    imgc = np.clip(128 + 100 * basis, 0, 255).astype(np.uint8)
+    dc = dct_phash64(encode_pgm(imgc, 32, 32))
+    assert dc[8 * 2 + 3] == "1"
+    # NULL payload contract
+    assert average_hash64(None) is None and dct_phash64(None) is None
+    # P6 color path: gray RGB equals the P5 luma hash
+    rgb = np.repeat(img.reshape(32, 32, 1), 3, axis=2)
+    p6 = b"P6\n32 32\n255\n" + rgb.astype(np.uint8).tobytes()
+    assert average_hash64(p6) == a1
+
+
+def test_banded_hamming_pairs_shared_engine(spark):
+    """banded_hamming_pairs (the machinery simhash64_near_pairs now
+    delegates to) on hand-built signatures: hamming 0/1/3 pairs found,
+    hamming 4 pair absent (outside threshold), full pigeonhole recall."""
+    from fn_rq_report_etl_dev_spark.operators.text_dedup import (
+        banded_hamming_pairs,
+    )
+
+    def flip(s, *positions):
+        out = list(s)
+        for p in positions:
+            out[p] = "1" if out[p] == "0" else "0"
+        return "".join(out)
+
+    base = "01" * 32
+    flip1 = flip(base, 0)                   # hamming 1 vs base
+    flip3 = flip(base, 5, 25, 45)           # hamming 3 vs base
+    flip4 = flip(base, 0, 1, 2, 3)          # hamming 4 vs base
+    sig = spark.createDataFrame(
+        [(1, base), (2, base), (3, flip1), (4, flip3), (5, flip4)],
+        "__id long, bits string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in banded_hamming_pairs(sig, "bits", max_hamming=3).collect()
+    }
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == 1 and got[(2, 3)] == 1
+    assert got[(1, 4)] == 3 and got[(2, 4)] == 3
+    assert (1, 5) not in got and (2, 5) not in got
+
+
+def test_bpe_planted_merge_sequence(spark):
+    """The textbook BPE example: a corpus where every merge argmax is
+    hand-computable. hug×4, pug×2, hugs×1 ⇒ pair weights (u,g)=7,
+    (h,u)=5, (p,u)=2, (g,s)=1, so the learned sequence is exactly
+    ug → hug → pug → hugs, after which every word is one symbol and the
+    learner stops early (4 rows despite n_merges=6)."""
+    from pyspark.sql import functions as F
+
+    from fn_rq_report_etl_dev_spark.operators.tokenizer import (
+        bpe_pair_merges,
+    )
+
+    wf = spark.createDataFrame(
+        [("hug", 4), ("pug", 2), ("hugs", 1)], "word string, freq long"
+    )
+    rows = bpe_pair_merges(wf, "word", "freq", n_merges=6).collect()
+    got = [(r.merge_rank, r.sym_a, r.sym_b, r.merged, r.pair_weight) for r in rows]
+    assert got == [
+        (1, "u", "g", "ug", 7),
+        (2, "h", "ug", "hug", 5),
+        (3, "p", "ug", "pug", 2),
+        (4, "hug", "s", "hugs", 1),
+    ]
+    # NULL/empty words carry no symbols and must not crash or count
+    wf2 = spark.createDataFrame(
+        [("aa", 3), ("", 9), (None, 9)], "word string, freq long"
+    )
+    rows2 = bpe_pair_merges(wf2, "word", "freq", n_merges=2).collect()
+    assert [(r.sym_a, r.sym_b, r.pair_weight) for r in rows2] == [("a", "a", 3)]
+
+
 def test_collocations_pmi_shuffle_join_path(spark, sf_dir):
     """broadcast_vocab=False (the open-vocabulary degradation path,
     ADVICE r07) removes the broadcast hints from the unigram joins —

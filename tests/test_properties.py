@@ -1028,3 +1028,65 @@ def test_substring_clip_conservation_and_reassembly(spark, docs):
         assert r.n_tokens == len(toks)
         assert r.text_clean == " ".join(want_kept)
         assert r.n_removed == len(toks) - len(want_kept)
+
+
+def _py_bpe(word_freqs, n_merges):
+    """Pure-Python BPE reference: char-seeded symbols, argmax pair by
+    (weight DESC, a ASC, b ASC), greedy left-to-right rewrite."""
+    from collections import Counter
+
+    items = [(list(w), f) for w, f in word_freqs if w]
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc = Counter()
+        for syms, f in items:
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] += f
+        if not pc:
+            break
+        (a, b), w = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, a, b, a + b, w))
+        nxt = []
+        for syms, f in items:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt.append((out, f))
+        items = nxt
+    return merges
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    words=st.lists(
+        st.tuples(
+            st.text(alphabet="ab", min_size=1, max_size=6),
+            st.integers(min_value=1, max_value=5),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_bpe_matches_python_reference(spark, words):
+    """bpe_pair_merges == the brute-force Python BPE on arbitrary
+    word-frequency tables over a 2-char alphabet (forces heavy pair
+    collisions, overlapping runs like 'aaaa', merged-symbol reuse
+    across rounds, and weight ties resolved by the pinned order)."""
+    from fn_rq_report_etl_dev_spark.operators.tokenizer import (
+        bpe_pair_merges,
+    )
+
+    wf = spark.createDataFrame(list(words), "word string, freq long")
+    got = [
+        (r.merge_rank, r.sym_a, r.sym_b, r.merged, r.pair_weight)
+        for r in bpe_pair_merges(wf, "word", "freq", n_merges=4).collect()
+    ]
+    assert got == _py_bpe(words, n_merges=4)
