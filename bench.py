@@ -330,8 +330,21 @@ def main() -> None:
                 "ann_ivf_index_build": ivf_build_sec,
                 "ann_ivf_codebook_build": codebook_build_sec,
                 "pipeline_daily_batch": timings["pipeline_daily_batch"],
+                # r08: the LLM-corpus flagship (gate -> exact dedup ->
+                # substring clip -> pack), surfaced as its own headline
+                # like the daily batch; also present in `queries`.
+                "pipeline_corpus_curation": timings.get(
+                    "pipeline_corpus_curation"
+                ),
                 "calibration_sec": calibration_sec,
                 "canary_total": canary_total,
+                # r08 (VERDICT r07 ask #5): cross-round continuity total —
+                # value + the side-timed classes added back, directly
+                # comparable to r06-and-earlier `value` without per-query
+                # reconstruction.
+                "value_plus_excluded": round(
+                    total + sum(side.values()) + sum(iterative.values()), 3
+                ),
                 "value": total,
             }
         )

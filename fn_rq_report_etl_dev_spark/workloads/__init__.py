@@ -213,6 +213,7 @@ _RECHECK: dict[str, int] = {
     # Round-8 additions (never driver-reported).
     "text_bpe_vocab_learn": 8,
     "dedup_image_phash": 8,
+    "pipeline_corpus_curation": 8,
     # banded_hamming_pairs extraction touches simhash's code path
     # (byte-identical results expected — re-verify anyway).
     "dedup_simhash64": 8,

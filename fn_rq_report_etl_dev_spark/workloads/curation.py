@@ -650,3 +650,186 @@ def curation_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sel = greedy_token_cover(load(spark, sf_dir, "documents"), "doc_id", "text", k=5)
     return sel.select(F.col("rank").alias("pick_rank"), "doc_id", "new_tokens")
+
+
+_CURATION_PIPELINE_SQL = r"""
+    WITH m AS (
+        SELECT doc_id, source, text,
+               text IS NULL AS missing,
+               string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+') AS ws,
+               length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+               length(text) AS n_chars,
+               CAST(len(list_filter(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+                   '[a-z0-9_]+'), t -> t IN ('the','and','of','to','in','is','for','with','on','that'))) AS BIGINT)
+                   AS stop_hits
+        FROM documents
+    ),
+    b AS (
+        SELECT *,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bg
+        FROM m
+    ),
+    o AS (
+        SELECT *,
+               COALESCE(len(list_filter(bg, x -> x = 'big table')), 0)
+               + COALESCE(len(list_filter(ws, x -> x = 'dup')), 0)
+               + COALESCE(len(list_filter(ws, x -> x = 'slow')), 0)
+               + COALESCE(len(list_filter(bg, x -> x = 'slow query')), 0) AS n_hits
+        FROM b
+    ),
+    r AS (
+        SELECT doc_id, source, text, missing, n_words, stop_hits,
+               n_hits > 0 AND n_hits * 100 >= 2 * COALESCE(n_words, 0) AS blocked,
+               round(nonspace * 1.0 / n_words, 6) AS mean_word_len,
+               alpha_chars * 1.0 / n_chars AS alpha_raw
+        FROM o
+    ),
+    g AS (
+        SELECT doc_id, source, text,
+               concat_ws(',',
+                   CASE WHEN missing THEN 'no_text' END,
+                   CASE WHEN n_words < 5 OR n_words > 5000 THEN 'n_words' END,
+                   CASE WHEN mean_word_len < 2.0 OR mean_word_len > 12.0
+                        THEN 'word_len' END,
+                   CASE WHEN alpha_raw < 0.55 THEN 'alpha' END,
+                   CASE WHEN stop_hits < 2 THEN 'stopwords' END,
+                   CASE WHEN blocked THEN 'blocklist' END) AS reasons
+        FROM r
+    ),
+    kept AS (SELECT doc_id, source, text FROM g WHERE reasons = ''),
+    surv AS MATERIALIZED (
+        SELECT doc_id, source, text FROM (
+            SELECT *, row_number() OVER (PARTITION BY text
+                          ORDER BY doc_id ASC NULLS FIRST) AS rn
+            FROM kept
+        ) WHERE rn = 1
+    ),
+    s AS MATERIALIZED (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM surv
+    ),
+    p AS MATERIALIZED (
+        SELECT doc_id, pos, array_to_string(toks[pos:pos+4], ' ') AS shingle
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS pos
+              FROM s WHERE len(toks) >= 5)
+    ),
+    dup AS (SELECT shingle FROM p GROUP BY shingle HAVING count(*) >= 2),
+    ranked AS (
+        SELECT p.doc_id, p.pos,
+               row_number() OVER (PARTITION BY p.shingle
+                                  ORDER BY p.doc_id ASC NULLS FIRST,
+                                           p.pos ASC NULLS FIRST) AS rn
+        FROM p JOIN dup USING (shingle)
+    ),
+    hits AS (SELECT doc_id, pos FROM ranked WHERE rn > 1),
+    cov AS MATERIALIZED (
+        SELECT DISTINCT doc_id, cp FROM (
+            SELECT doc_id, unnest(range(pos, pos + 5)) AS cp FROM hits)
+    ),
+    tok AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos
+            FROM s)
+    ),
+    kept2 AS (
+        SELECT t.doc_id, t.pos FROM tok t
+        WHERE NOT EXISTS (SELECT 1 FROM cov c
+                          WHERE c.doc_id IS NOT DISTINCT FROM t.doc_id
+                            AND c.cp = t.pos)
+    ),
+    ka AS (SELECT doc_id, count(*) AS n_kept FROM kept2 GROUP BY doc_id),
+    tot AS (SELECT doc_id, SUM(len(toks)) AS n_toks FROM s GROUP BY doc_id),
+    c AS (
+        SELECT tot.doc_id,
+               CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_tokens_clean,
+               CAST(tot.n_toks - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed
+        FROM tot LEFT JOIN ka ON tot.doc_id IS NOT DISTINCT FROM ka.doc_id
+    )
+    SELECT surv.source, c.doc_id, c.n_tokens_clean, c.n_removed,
+           CAST(floor(COALESCE(sum(c.n_tokens_clean) OVER (
+               PARTITION BY surv.source
+               ORDER BY c.doc_id ASC NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 2000.0) AS BIGINT) AS pack_id
+    FROM c JOIN surv ON c.doc_id IS NOT DISTINCT FROM surv.doc_id
+    """
+
+
+@workload("pipeline_corpus_curation", oracle=_CURATION_PIPELINE_SQL)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-corpus analog of ``pipeline_daily_batch`` (VERDICT r07
+    ask #7): ONE end-to-end curation DAG composing the already-verified
+    stages in the order a pretraining pipeline runs them —
+
+    1. Gopher quality gate + blocklist rule (``with_blocklist_metrics``
+       staged into ``quality_gate`` — zero exchanges, scan speed);
+    2. exact doc-level dedup survivors (row_number over the content
+       digest, min doc_id canonical — ONE exchange keyed by md5(text);
+       the connected-components survivor variant exists separately as
+       ``dedup_apply_survivors`` but is iterative, and the flagship
+       stays a one-shot benchable DAG);
+    3. exact-substring keep-first clip over the survivors (Lee et al.
+       order: document dedup first, then ExactSubstr — the detector's
+       keyed shuffles, repeats clipped, canonical passages kept);
+    4. greedy sequence packing of the CLEANED token counts (one window
+       cumsum per source shard, budget 2000).
+
+    Every stage is keyed aggregation/join/window — no pair lists, no
+    driver loops; at 100 TB the binding constraint stays the clip's
+    shingle shuffle (~|survivor tokens| rows). The oracle chains the
+    four stages' verified CTE fragments (gate → kept → surv →
+    keep-first clip → pack window); NULL-id fidelity via IS NOT
+    DISTINCT FROM and pinned NULLS FIRST, exactly like the component
+    queries. Output: (source, doc_id, n_tokens_clean, n_removed,
+    pack_id) — one row per surviving document."""
+    from pyspark.sql import Window
+
+    from ..operators.curation import with_blocklist_metrics
+    from ..operators.text_dedup import substring_clip
+    from .llmops import PACK_BUDGET_TOKENS
+
+    docs = load(spark, sf_dir, "documents")
+    aug, _n_hits, _hit_terms, blocked = with_blocklist_metrics(
+        docs, "text", _BLOCKLIST, hit_pct=2
+    )
+    gated = quality_gate(
+        aug,
+        "doc_id",
+        "text",
+        extra_rules=[(blocked, "blocklist")],
+        extra_cols=[F.col("text"), F.col("source")],
+    )
+    kept = gated.filter(F.col("keep")).select("doc_id", "source", "text")
+    w_dedup = Window.partitionBy(F.md5(F.col("text"))).orderBy(
+        F.asc_nulls_first("doc_id")
+    )
+    surv = (
+        kept.withColumn("__rn", F.row_number().over(w_dedup))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    clipped = substring_clip(
+        surv, "doc_id", "text", k=5, min_count=2, keep_first=True
+    )
+    meta = surv.select(F.col("doc_id").alias("__mdoc"), "source")
+    t = clipped.join(
+        meta, F.col("doc_id").eqNullSafe(F.col("__mdoc"))
+    ).select(
+        "source",
+        "doc_id",
+        (F.col("n_tokens") - F.col("n_removed"))
+        .cast("bigint")
+        .alias("n_tokens_clean"),
+        F.col("n_removed").cast("bigint").alias("n_removed"),
+    )
+    w_pack = (
+        Window.partitionBy("source")
+        .orderBy(F.asc_nulls_first("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens_clean").over(w_pack), F.lit(0))
+    return t.withColumn(
+        "pack_id",
+        F.floor(before / F.lit(float(PACK_BUDGET_TOKENS))).cast("bigint"),
+    )

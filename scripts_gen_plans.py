@@ -66,6 +66,8 @@ HEADLINERS = [
     ("dedup_substring_clip", "ExactSubstr cut (r07): covered positions explode ONLY the hit rows (x k); one anti-join against token sites; per-doc sort_array reassembly - no window over the corpus"),
     ("agg_event_type_salted", "salted two-phase aggregate (r07): __salt in the wide aggregate's grouping spreads 5 hot keys over 80 partials; second tiny exchange re-aggregates by key - the skew insurance is 2 exchanges vs 1"),
     ("docs_blocklist_gate", "blocklist + quality gate composed (r07): six rules, term list as plan literals, staged __bl_* projections (each metric evaluated once - the pure-column form was 25x slower), ZERO exchanges - runs at scan speed"),
+    ("pipeline_corpus_curation", "LLM-corpus flagship (r08): gate (0 exchanges, scan-projection) -> exact-dedup survivors (1 digest-keyed window exchange) -> keep-first substring clip (the detector's keyed shuffles) -> pack window (1 source-keyed exchange); one Catalyst DAG, no pair lists, no driver loops"),
+    ("dedup_image_phash", "perceptual-hash image dedup (r08): two Arrow mapInPandas stages (synth+resize+aHash, vectorized numpy) -> the shared banded-Hamming pigeonhole join; shuffle keyed by (band, slice), pair space never materialized"),
 ]
 
 spark = get_spark(app_name="gen-plans")

@@ -537,3 +537,48 @@ def test_blocklist_terms_colliding_after_canonicalization(spark):
     assert row.n == 3
     assert row.t == "slow,slow query"
     assert row.b is True
+
+
+def test_corpus_curation_pipeline_planted(spark, tmp_path):
+    """pipeline_corpus_curation e2e on a planted corpus: the gate drops
+    the garbage doc, exact dedup keeps the lowest-id copy of the
+    verbatim duplicate, the keep-first clip strips the repeated passage
+    from the later doc only, and packing splits each source shard when
+    the cleaned running total crosses the budget."""
+    from pyspark.sql import functions as F
+
+    from fn_rq_report_etl_dev_spark.workloads.curation import (
+        pipeline_corpus_curation,
+    )
+
+    # 5-gram-disjoint fixtures: the only duplicated 5-gram across the
+    # survivor corpus is `passage` itself (each doc's framing words
+    # differ within every 5-token window).
+    passage = "alpha beta gamma delta epsilon"
+    rows = [
+        (0, "web", f"the cat and the dog sat on that mat in peace {passage}"),
+        (1, "web", f"the cat and the dog sat on that mat in peace {passage}"),
+        # ^ exact dup of doc 0 -> deduped
+        (2, "web", f"{passage} the bird and the fish swam on that reef in quiet"),
+        (3, "web", "zzzz xxxx qqqq"),             # fails n_words/stopwords gate
+        (4, "books", None),                        # no_text -> dropped
+        (5, "books", "the cow and the hen sat on that barn in light"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    d = str(tmp_path / "corpus")
+    df.withColumn("lang", F.lit("en")).withColumn(
+        "n_chars", F.length("text")
+    ).write.parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: r for r in pipeline_corpus_curation(spark, d).collect()}
+    # survivors: 0 (canonical of {0,1}), 2, 5 — 1 deduped, 3/4 gated out
+    assert sorted(out) == [0, 2, 5]
+    n0 = len(rows[0][2].split(" "))
+    # doc 0 holds the passage's canonical sites -> nothing clipped
+    assert out[0].n_removed == 0 and out[0].n_tokens_clean == n0
+    # doc 2 repeats the passage -> exactly those 5 tokens clipped
+    assert out[2].n_removed == 5
+    assert out[2].n_tokens_clean == len(rows[2][2].split(" ")) - 5
+    # packing: cleaned totals are far under the 2000 budget -> pack 0,
+    # per source shard
+    assert out[0].pack_id == 0 and out[2].pack_id == 0 and out[5].pack_id == 0
+    assert out[5].source == "books"
