@@ -981,8 +981,25 @@ def substr_experiment():
             "doc_id", "carrier", "off", F.array_join(toks, " ").alias("text")
         )
 
+    def clip_anti_join_strategy(docs):
+        """Which physical join AQE FINALIZES for the clip's covered-
+        position anti-join (VERDICT r07 ask #4: the sf0.01 plan builds
+        it broadcast — confirm it degrades to a shuffle join cleanly
+        once the covered set outgrows the broadcast budget). A cheap
+        count-agg on top forces the plan on the SAME Dataset object, so
+        queryExecution() exposes the mutated AdaptiveSparkPlan."""
+        agg = substring_clip(docs, "doc_id", "text", k=5).groupBy().count()
+        agg.collect()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        anti = [
+            next((w for w in l.split() if w.endswith("Join")), l.strip())
+            for l in plan.splitlines()
+            if "LeftAnti" in l
+        ]
+        return anti, "isFinalPlan=true" in plan
+
     timings = {}
-    for n_docs in (100_000, 400_000):
+    for n_docs in (100_000, 400_000, 1_600_000):
         docs = corpus(n_docs).persist()
         docs.count()  # materialize the generator before timing
         t0 = time.perf_counter()
@@ -997,6 +1014,13 @@ def substr_experiment():
             "n_tokens": n_docs * DOC, "n_carriers": n_docs // MOD,
             "runs_sec": runs_s, "clip_sec": clip_s,
         }))
+        if n_docs in (100_000, 1_600_000):
+            anti, final = clip_anti_join_strategy(docs)
+            print(json.dumps({
+                "experiment": "substr", "label": "clip_anti_join",
+                "n_docs": n_docs, "anti_join_ops": anti,
+                "aqe_final": final,
+            }))
         if n_docs == 100_000:
             runs = substring_duplicate_runs(docs, "doc_id", "text", k=5).persist()
             n_runs = runs.count()
@@ -1021,6 +1045,9 @@ def substr_experiment():
     r1, r4 = timings[100_000][0], timings[400_000][0]
     print(json.dumps({"experiment": "substr", "label": "scaling_4x",
                       "runs_ratio": round(r4 / r1, 2)}))
+    c4, c16 = timings[400_000][1], timings[1_600_000][1]
+    print(json.dumps({"experiment": "substr", "label": "clip_4x_to_16x",
+                      "clip_ratio": round(c16 / c4, 2)}))
 
 
 def _pairs_once(n_baskets, n_items):

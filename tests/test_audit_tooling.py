@@ -104,6 +104,9 @@ def test_iterative_attribute_pins_the_fixed_point_class():
         "dedup_apply_survivors",
         "dedup_survivors_quality",
         "curation_greedy_coverage",
+        # r08: BPE merge learning — one argmax driver row per merge
+        # round, the greedy-coverage shape
+        "text_bpe_vocab_learn",
     }
     assert ITERATIVE_FIXED_POINTS <= set(QUERIES)
     # The two side-timed classes are disjoint — each name lands in
