@@ -110,6 +110,8 @@ EAGER_SCHEMAS: dict[str, str] = {
         "merge_rank bigint, sym_a string, sym_b string, merged string, "
         "pair_weight bigint"
     ),
+    # BPE apply embeds the learner loop (collects the merge table)
+    "text_bpe_tokenize": "doc_id bigint, n_words bigint, n_subwords bigint",
     # collects the two-dimension min/max normalization bounds (driver scalars)
     "zorder_layout_events": (
         "bucket bigint, n_rows bigint, min_user bigint, max_user bigint, "
@@ -212,6 +214,7 @@ _RECHECK: dict[str, int] = {
     "text_collocations_pmi": 8,
     # Round-8 additions (never driver-reported).
     "text_bpe_vocab_learn": 8,
+    "text_bpe_tokenize": 8,
     "dedup_image_phash": 8,
     "pipeline_corpus_curation": 8,
     # banded_hamming_pairs extraction touches simhash's code path

@@ -1302,6 +1302,21 @@ def _bpe_merge_sql(k: int) -> str:
     recursive step + pair count), so without materialization the chain
     re-executes exponentially (measured ~12× per extra round; 8 rounds
     would never finish)."""
+    parts, selects = _bpe_chain(k, rewrite_last=False)
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL ".join(selects)
+    )
+
+
+def _bpe_chain(k: int, rewrite_last: bool) -> tuple[list[str], list[str]]:
+    """Shared CTE chain for the two BPE oracles: word-freq table, k
+    rounds of (pair count pc_r, argmax m_r, recursive rewrite walk
+    wk_r, rewritten vocab s_r). ``rewrite_last=False`` skips the final
+    rewrite (the learner only reports merges); ``rewrite_last=True``
+    carries the chain through s_k (the tokenizer applies all merges)."""
     parts = [
         r"""tw AS MATERIALIZED (
         SELECT string_split_regex(trim(translate(text,
@@ -1328,7 +1343,7 @@ def _bpe_merge_sql(k: int) -> str:
             f"b AS sym_b, a || b AS merged, CAST(w AS BIGINT) AS pair_weight "
             f"FROM m{r}"
         )
-        if r < k:
+        if r < k or rewrite_last:
             parts.append(
                 f"wk{r} AS ("
                 f"SELECT word, freq, syms, 1 AS pos, "
@@ -1340,18 +1355,42 @@ def _bpe_merge_sql(k: int) -> str:
                 f"CASE WHEN pos < len(syms) AND syms[pos] = m.a "
                 f"AND syms[pos+1] = m.b THEN list_append(acc, m.a || m.b) "
                 f"ELSE list_append(acc, syms[pos]) END "
-                f"FROM wk{r}, m{r} m WHERE pos <= len(syms))"
+                # LEFT JOIN, not cross join: a merge-exhausted round has
+                # an EMPTY m_r, and the walk must pass the vocab through
+                # unchanged (matching the Spark builder's early stop)
+                # rather than vanish mid-chain.
+                f"FROM wk{r} LEFT JOIN m{r} m ON TRUE "
+                f"WHERE pos <= len(syms))"
             )
             parts.append(
                 f"s{r} AS MATERIALIZED (SELECT word, freq, acc AS syms "
                 f"FROM wk{r} WHERE pos = len(syms) + 1)"
             )
             prev = f"s{r}"
+    return parts, selects
+
+
+def _bpe_tokenize_sql(k: int) -> str:
+    """Tokenizer-apply oracle: the learner chain carried through the
+    final rewritten vocabulary s_k, then every document's words join
+    the vocab for per-doc word/subword counts. Merge-exhausted corpora
+    (< k merges available) are safe: the walk's LEFT JOIN passes the
+    vocab through empty rounds unchanged, matching the Spark builder's
+    early stop."""
+    parts, _selects = _bpe_chain(k, rewrite_last=True)
+    parts.append(
+        "dw AS (SELECT doc_id, w FROM ("
+        "SELECT doc_id, unnest(string_split_regex(trim(translate(text, "
+        "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), "
+        r"'\s+')) AS w "
+        "FROM documents WHERE text IS NOT NULL) WHERE w <> '')"
+    )
     return (
         "WITH RECURSIVE "
         + ",\n".join(parts)
-        + "\n"
-        + "\nUNION ALL ".join(selects)
+        + f"\nSELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+        f"CAST(SUM(len(s{k}.syms)) AS BIGINT) AS n_subwords "
+        f"FROM dw JOIN s{k} ON dw.w = s{k}.word GROUP BY dw.doc_id"
     )
 
 
@@ -1377,6 +1416,43 @@ def text_bpe_vocab_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     return bpe_pair_merges(wf, "word", "freq", n_merges=8)
+
+
+@workload("text_bpe_tokenize", oracle=_bpe_tokenize_sql(8), iterative=True)
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE APPLY step completing the tokenizer story: learn the 8
+    merge rules (``text_bpe_vocab_learn``'s loop — embedded in this
+    builder exactly like the survivors queries embed the components
+    loop, hence the iterative class), then encode the corpus. The
+    merges come back as ≤8 driver rows and are applied to the DISTINCT-
+    WORD table as plan literals — 8 stacked ``merge_adjacent_pair``
+    aggregate HOFs in ONE projection over |vocab| rows, never over the
+    corpus. Each document then joins its words against the encoded
+    vocab (word-keyed equi-join; Zipf-head skew AQE-splittable) and
+    aggregates per-doc word/subword counts — the shape of every
+    production tokenizer: encode the dictionary once, map the corpus
+    through it. Output: (doc_id, n_words, n_subwords)."""
+    from ..operators.tokenizer import bpe_pair_merges, merge_adjacent_pair
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = (
+        docs.select("doc_id", F.explode(TXT.words(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    wf = tok.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    merges = bpe_pair_merges(wf, "word", "freq", n_merges=8).collect()
+    syms = F.split(F.col("word"), "")
+    for m in sorted(merges, key=lambda r: r.merge_rank):
+        syms = merge_adjacent_pair(syms, m.sym_a, m.sym_b)
+    vocab = wf.select("word", F.size(syms).cast("bigint").alias("__n_sub"))
+    return (
+        tok.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("__n_sub").cast("bigint").alias("n_subwords"),
+        )
+    )
 
 
 @workload(

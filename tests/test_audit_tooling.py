@@ -105,8 +105,10 @@ def test_iterative_attribute_pins_the_fixed_point_class():
         "dedup_survivors_quality",
         "curation_greedy_coverage",
         # r08: BPE merge learning — one argmax driver row per merge
-        # round, the greedy-coverage shape
+        # round, the greedy-coverage shape — and the apply step that
+        # embeds the same loop in its builder
         "text_bpe_vocab_learn",
+        "text_bpe_tokenize",
     }
     assert ITERATIVE_FIXED_POINTS <= set(QUERIES)
     # The two side-timed classes are disjoint — each name lands in

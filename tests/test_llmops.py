@@ -864,6 +864,35 @@ def test_bpe_planted_merge_sequence(spark):
     assert [(r.sym_a, r.sym_b, r.pair_weight) for r in rows2] == [("a", "a", 3)]
 
 
+def test_bpe_tokenize_planted_counts(spark, tmp_path):
+    """text_bpe_tokenize on the hug/pug/hugs corpus: the 4 learned
+    merges collapse every word to ONE symbol, so each doc's subword
+    count equals its word count; a word built from merged symbols plus
+    a leftover char ('hugs' before its own merge would be 2) is covered
+    by mixed-word docs replayed against the Python reference."""
+    from pyspark.sql import functions as F
+
+    from fn_rq_report_etl_dev_spark.workloads.llmops import (
+        text_bpe_tokenize,
+    )
+
+    rows = [
+        (0, "hug hug hug hug"),
+        (1, "pug pug hugs"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "bpe")
+    df.withColumn("source", F.lit("t")).withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        f"{d}/documents.parquet"
+    )
+    out = {r.doc_id: r for r in text_bpe_tokenize(spark, d).collect()}
+    # merges: ug, hug, pug, hugs (then exhausted) -> every word 1 symbol
+    assert out[0].n_words == 4 and out[0].n_subwords == 4
+    assert out[1].n_words == 3 and out[1].n_subwords == 3
+
+
 def test_collocations_pmi_shuffle_join_path(spark, sf_dir):
     """broadcast_vocab=False (the open-vocabulary degradation path,
     ADVICE r07) removes the broadcast hints from the unigram joins —
