@@ -564,3 +564,35 @@ def test_salted_aggregate_two_phase_plan(spark, sf_dir):
     )
     assert exchange_count(plain) == 1
     assert "__salt" not in formatted_plan(plain)
+
+
+def test_corpus_curation_pipeline_plan(spark, sf_dir):
+    """pipeline_corpus_curation (r08 flagship): one Catalyst DAG, no
+    cartesian/nested-loop anywhere, a bounded exchange budget (gate 0 +
+    dedup window 1 + the clip's keyed stages + meta join + pack window),
+    and the gate's staged __bl_* blocklist columns present in the plan
+    (the composition really is one projection, not a re-scan)."""
+    df = QUERIES["pipeline_corpus_curation"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    # gate + dedup + clip + meta-join + pack: keyed stages only; the
+    # budget leaves headroom for AQE variation but catches a re-scan
+    # explosion or a lost partial aggregate
+    assert exchange_count(df) <= 12
+
+
+def test_image_phash_banded_join_plan(spark, sf_dir):
+    """dedup_image_phash (r08): the pair generation must ride the banded
+    bucket join (posexplode of band slices -> chunk-capped pair
+    expansion), never a full signature cross join."""
+    df = QUERIES["dedup_image_phash"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    # two Arrow stages (synth, hash): the formatted tree repeats the
+    # persisted signature subtree under each join branch, so count
+    # DISTINCT MapInPandas node ids, not occurrences
+    import re
+
+    assert len(set(re.findall(r"MapInPandas \((\d+)\)", plan))) == 2
