@@ -901,3 +901,190 @@ def quantized_rerank_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+def _argmin_cell_structs(cents: list[list[float]], vec: Column) -> Column:
+    """``array<struct<d,cell>>`` of squared distances to LITERAL centroids —
+    ``array_min`` over it is the (distance, cell) argmin, a pure scan-side
+    projection (no join, no window shuffle). Shared by the Lloyd rounds;
+    :func:`build_codebook_index` inlines the same shape."""
+    return F.array(
+        *[
+            F.struct(
+                sqdist(vec, F.array(*[F.lit(v) for v in cent])).alias("d"),
+                F.lit(i).cast("int").alias("cell"),
+            )
+            for i, cent in enumerate(cents)
+        ]
+    )
+
+
+def kmeans_lloyd(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    rounds: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Distributed Lloyd k-means over an embedding column, SQL-REPLAYABLE —
+    the full clustering loop the engine's existing pieces only covered in
+    halves (`build_codebook_index` = the seeded init + one assignment;
+    `embedding_centroid_by_label` = one update step given labels).
+
+    Exactness design (every round replayable bit-for-bit by a DuckDB
+    oracle):
+    - init: centroids = the ``k`` corpus vectors with the smallest
+      ``md5(f"{seed}:{id}")`` digest (ties by id) — the
+      `build_codebook_index` pick, ORDER BY md5 LIMIT k in SQL;
+    - assignment: argmin over (:func:`sqdist` left-fold, cell) — the
+      left-associated addition chain is bit-identical across engines
+      (proven by `ann_ivf_topk`'s oracle at three scales);
+    - update: per (cell, dim), member components quantize to 2⁻²⁰ fixed
+      point and sum as BIGINT (order-insensitive — the
+      `embedding_centroid_by_label` discipline), and the new component is
+      ``(float(s) / 1048576.0) / float(n) + 0.0`` — an exact power-of-two
+      scale then ONE correctly-rounded IEEE division, identical in Python,
+      Spark and DuckDB. Cells that lose every member keep their previous
+      centroid (both engines COALESCE).
+
+    Plan shape at 100 TB: per round, ONE corpus pass — assignment is a
+    literal-centroid scan projection (zero shuffle), and the update's
+    posexplode + groupBy(cell, dim) collapses map-side to ≤ k·d rows per
+    task before its single bounded exchange. The driver collects k·d
+    partial-sum rows per round (k=4, d=64 ⇒ 256 — the bounded-collect
+    precedent of the greedy-coverage argmax and the 64Ki codebook sample)
+    and re-broadcasts centroids as literals. No iteration-growing lineage:
+    each round's plan roots at the persisted base relation.
+
+    Returns the FINAL assignment: (vec_id, cell, dist) where ``dist`` is
+    the squared distance to the final centroid (bit-identical chain, so
+    oracles may hash it raw).
+    """
+    c = corpus.filter(
+        indexable(F.col(vec_col)) & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    c = c.persist()
+    try:
+        cb_rows = (
+            c.withColumn(
+                "__h",
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col("vec_id").cast("string"))),
+            )
+            .orderBy("__h", "vec_id")
+            .limit(k)
+            .select("cv")
+            .collect()
+        )
+        cents = [[float(x) for x in r["cv"]] for r in cb_rows]
+        spark = corpus.sparkSession
+        if not cents:
+            return spark.createDataFrame(
+                [], "vec_id bigint, cell int, dist double"
+            )
+        for _ in range(rounds):
+            assigned = c.withColumn(
+                "cell", F.array_min(_argmin_cell_structs(cents, F.col("cv")))["cell"]
+            )
+            rows = (
+                assigned.select("cell", F.posexplode("cv").alias("dim", "v"))
+                .groupBy("cell", "dim")
+                .agg(
+                    F.sum(
+                        F.floor(F.col("v") * 1048576.0).cast("bigint")
+                    ).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            )  # ≤ k·d rows — bounded by cluster/dim cardinality, not data
+            upd: dict[int, list[float]] = {}
+            cnt: dict[int, int] = {}
+            for r in rows:
+                upd.setdefault(r["cell"], [0.0] * len(cents[0]))[r["dim"]] = (
+                    float(r["s"]) / 1048576.0
+                ) / float(r["n"]) + 0.0
+                cnt[r["cell"]] = r["n"]
+            cents = [upd.get(i, cents[i]) for i in range(len(cents))]
+        structs = _argmin_cell_structs(cents, F.col("cv"))
+        best = F.array_min(structs)
+        return c.select(
+            "vec_id",
+            best["cell"].alias("cell"),
+            best["d"].alias("dist"),
+        )
+    finally:
+        # Cached rounds are done; the returned plan recomputes the (tiny
+        # relative to the corpus scan) base projection lazily if re-run.
+        c.unpersist()
+
+
+def semantic_dedup(
+    index: IvfIndex,
+    min_cosine: float = 0.30,
+) -> DataFrame:
+    """SemDeDup-style cluster-scoped embedding dedup (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): compare embeddings ONLY within their k-means cell,
+    mark near-duplicate pairs (cosine ≥ threshold), and within each pair
+    keep the member MORE CENTRAL to the cell (smaller squared distance to
+    the cell centroid, id tiebreak) — the paper keeps one exemplar per
+    semantic-duplicate group; centrality is its "keep the representative"
+    policy made deterministic.
+
+    Why this shape at 100 TB: the quadratic pair space is bounded PER
+    CELL (SemDeDup's entire point — k grows with the corpus so cell size
+    stays roughly constant), the pair join is an equi-join on cell id,
+    and centrality reuses the assignment's centroid distances — no extra
+    corpus pass. Contrast `embedding_near_dup_pairs`, which blocks on a
+    PRE-EXISTING label; here the blocking key is learned from the
+    vectors themselves.
+
+    Returns one verdict row per indexable vector: (vec_id, cell, kept).
+    """
+    m = (
+        index.assigned.join(F.broadcast(index.centroids), "cell")
+        .select(
+            F.col("neighbor_id").alias("vec_id"),
+            "cell",
+            "cv",
+            sqdist(F.col("cv"), F.col("centroid")).alias("cd"),
+            norm(F.col("cv")).alias("nv"),
+        )
+    )
+    x = m.select(
+        F.col("cell"),
+        F.col("vec_id").alias("id_a"),
+        F.col("cv").alias("va"),
+        F.col("nv").alias("na"),
+        F.col("cd").alias("cda"),
+    )
+    y = m.select(
+        F.col("cell").alias("cell_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("cv").alias("vb"),
+        F.col("nv").alias("nb"),
+        F.col("cd").alias("cdb"),
+    )
+    pairs = x.join(
+        y, (F.col("cell") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b"))
+    ).filter(
+        _cosine_from_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+        >= F.lit(min_cosine)
+    )
+    # id_a < id_b always, so a centroid-distance TIE keeps the smaller id:
+    # loser = b when cda <= cdb, else a.
+    removed = pairs.select(
+        F.when(F.col("cda") <= F.col("cdb"), F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("vec_id")
+    ).distinct()
+    return (
+        m.join(removed.withColumn("__rm", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("__rm").isNull().cast("bigint").alias("kept"),
+        )
+    )

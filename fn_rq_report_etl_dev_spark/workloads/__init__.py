@@ -112,6 +112,8 @@ EAGER_SCHEMAS: dict[str, str] = {
     ),
     # BPE apply embeds the learner loop (collects the merge table)
     "text_bpe_tokenize": "doc_id bigint, n_words bigint, n_subwords bigint",
+    # Lloyd k-means collects k·d partial-sum rows per round (driver scalars)
+    "embedding_kmeans_lloyd": "vec_id bigint, cell int, dist double",
     # collects the two-dimension min/max normalization bounds (driver scalars)
     "zorder_layout_events": (
         "bucket bigint, n_rows bigint, min_user bigint, max_user bigint, "
@@ -217,6 +219,8 @@ _RECHECK: dict[str, int] = {
     "text_bpe_tokenize": 8,
     "dedup_image_phash": 8,
     "pipeline_corpus_curation": 8,
+    "embedding_kmeans_lloyd": 8,
+    "dedup_semantic_clusters": 8,
     # banded_hamming_pairs extraction touches simhash's code path
     # (byte-identical results expected — re-verify anyway).
     "dedup_simhash64": 8,

@@ -2528,3 +2528,145 @@ def export_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_row_number(
         docs, [F.col("n_chars").desc(), F.col("doc_id").asc()], "seq"
     )
+
+
+def _kmeans_unrolled_sql(k: int, rounds: int, dim: int, seed: int) -> str:
+    """DuckDB replay of ``operators.similarity.kmeans_lloyd``: the Lloyd
+    recurrence unrolled into a MATERIALIZED CTE chain (the pagerank/BPE
+    oracle pattern; plain CTEs get inlined per reference — measured
+    blowup on the BPE learner). Round r: assignment = argmin over the
+    identical left-associated sqdist chains, update = the 2⁻²⁰
+    fixed-point BIGINT mean with COALESCE keeping starved cells."""
+    init_rank = f"row_number() OVER (ORDER BY md5('{seed}:' || vec_id), vec_id)"
+    parts = [
+        f"""e AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE embedding IS NOT NULL
+          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+          AND vec_id IS NOT NULL),
+    c0 AS MATERIALIZED (
+        SELECT ({init_rank} - 1)::INT AS cell, v AS c
+        FROM e QUALIFY {init_rank} <= {k})"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"c{r - 1}"
+        chain = _sqdist_chain_sql("e.v", f"{prev}.c", dim)
+        parts.append(
+            f"""a{r} AS MATERIALIZED (
+        SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, {prev}.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {chain}, {prev}.cell) AS rk
+            FROM e, {prev})
+        WHERE rk = 1),
+    u{r} AS (
+        SELECT cell, dim,
+               CAST(sum(CAST(floor(comp * 1048576.0) AS BIGINT)) AS DOUBLE) AS s,
+               count(*) AS n
+        FROM (SELECT cell, unnest(range(len(v))) AS dim, unnest(v) AS comp
+              FROM a{r})
+        GROUP BY cell, dim),
+    c{r} AS MATERIALIZED (
+        SELECT {prev}.cell, COALESCE(u.arr, {prev}.c) AS c
+        FROM {prev} LEFT JOIN (
+            SELECT cell,
+                   list((s / 1048576.0) / CAST(n AS DOUBLE) + 0.0
+                        ORDER BY dim) AS arr
+            FROM u{r} GROUP BY cell) u USING (cell))"""
+        )
+    fchain = _sqdist_chain_sql("e.v", f"c{rounds}.c", dim)
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT vec_id, cell, dist FROM (
+        SELECT e.vec_id, c{rounds}.cell, {fchain} AS dist,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {fchain}, c{rounds}.cell) AS rk
+        FROM e, c{rounds})
+    WHERE rk = 1
+    """
+
+
+@workload(
+    "embedding_kmeans_lloyd",
+    oracle=_kmeans_unrolled_sql(k=4, rounds=3, dim=64, seed=42),
+    iterative=True,
+)
+def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full distributed Lloyd k-means (k=4, 3 rounds) over the embeddings
+    corpus, HASH-CHECKED end to end — the clustering loop whose halves the
+    registry already proves separately (`ann_ivf_topk` = seeded init + one
+    assignment; `embedding_centroid_by_label` = one fixed-point update).
+    Every round is exact: assignment argmin over bit-identical sqdist
+    chains, update in 2⁻²⁰ fixed-point BIGINT sums + one IEEE division —
+    so the unrolled-CTE oracle replays all three rounds bit-for-bit,
+    starved cells COALESCE to their previous centroid on both engines.
+
+    Scale: one corpus pass per round (zero-shuffle literal-centroid
+    assignment projection + a groupBy(cell, dim) whose map-side partials
+    bound the exchange at k·d rows per task); the driver sees k·d
+    partial-sum rows per round. The iterative bench class times it
+    outside the suite total like the other fixed-point loops."""
+    from ..operators.similarity import kmeans_lloyd
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, k=4, rounds=3, seed=42)
+
+
+_SEMDEDUP_CB_RANK = "row_number() OVER (ORDER BY md5('42:' || vec_id), vec_id)"
+
+
+@workload(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE embedding IS NOT NULL
+          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+          AND vec_id IS NOT NULL),
+    cb AS MATERIALIZED (
+        SELECT ({_SEMDEDUP_CB_RANK} - 1)::INT AS cell, v AS c
+        FROM e QUALIFY {_SEMDEDUP_CB_RANK} <= 8),
+    asg AS MATERIALIZED (
+        SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, cb.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_sqdist_chain_sql('e.v', 'cb.c')}, cb.cell
+                   ) AS rk
+            FROM e, cb)
+        WHERE rk = 1),
+    m AS MATERIALIZED (
+        SELECT a.vec_id, a.v, a.cell,
+               {_sqdist_chain_sql('a.v', 'cb.c')} AS cd
+        FROM asg a JOIN cb USING (cell)),
+    removed AS (
+        SELECT DISTINCT
+               CASE WHEN x.cd <= y.cd THEN y.vec_id ELSE x.vec_id END AS vec_id
+        FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        WHERE list_cosine_similarity(x.v, y.v) >= 0.30)
+    SELECT m.vec_id, m.cell, CAST(r.vec_id IS NULL AS BIGINT) AS kept
+    FROM m LEFT JOIN removed r USING (vec_id)
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup scoped to k-means
+    cells — within each cell of the seeded 8-cell codebook quantizer
+    (the `ann_ivf_topk` index, cached per session), embeddings with
+    cosine ≥ 0.30 are duplicate pairs and the member LESS central to the
+    cell (larger sqdist to centroid, id tiebreak) is dropped. One verdict
+    row per indexable vector: (vec_id, cell, kept).
+
+    Exactness: cell assignment and centroid distances are bit-identical
+    sqdist chains; the pair threshold is the `_cosine_from_norms` fold vs
+    DuckDB `list_cosine_similarity` — the exact pattern
+    `dedup_embedding_cosine` has held green since r02 at three scales.
+
+    Scale: the pair space is quadratic only WITHIN a cell (SemDeDup's
+    design point — k grows with the corpus, cell size stays bounded);
+    the pair join is an equi-join on cell id, centrality reuses the
+    assignment pass, and the removed-set is one distinct + one left
+    join. No all-pairs, no driver loop."""
+    from ..operators.similarity import semantic_dedup
+
+    out = semantic_dedup(_ivf_codebook_index(spark, sf_dir), min_cosine=0.30)
+    return out.select("vec_id", "cell", "kept")

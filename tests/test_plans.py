@@ -596,3 +596,27 @@ def test_image_phash_banded_join_plan(spark, sf_dir):
     import re
 
     assert len(set(re.findall(r"MapInPandas \((\d+)\)", plan))) == 2
+
+
+def test_kmeans_final_assignment_is_shuffle_free(spark, sf_dir):
+    """kmeans_lloyd's returned plan (the FINAL assignment) is a pure
+    scan-side projection — literal-centroid argmin, no exchange, no join,
+    no window on the corpus: the per-round shape that makes Lloyd one
+    corpus pass per iteration at 100 TB. (The round-loop's update
+    aggregates ran eagerly during build; they are groupBy(cell, dim)
+    with map-side partials bounded at k·d rows per task.)"""
+    df = QUERIES["embedding_kmeans_lloyd"](spark, sf_dir)
+    assert exchange_count(df) == 0
+    plan = formatted_plan(df)
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_semantic_dedup_pairs_equi_join_on_cell(spark, sf_dir):
+    """SemDeDup's pair space must be an EQUI-join on the k-means cell id
+    (quadratic only within a cell — the paper's scale contract), never a
+    cartesian product, and the centroid join stays broadcast."""
+    df = QUERIES["dedup_semantic_clusters"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert uses_broadcast_join(df)  # centroids broadcast onto assignment

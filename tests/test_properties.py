@@ -1090,3 +1090,77 @@ def test_bpe_matches_python_reference(spark, words):
         for r in bpe_pair_merges(wf, "word", "freq", n_merges=4).collect()
     ]
     assert got == _py_bpe(words, n_merges=4)
+
+
+def _py_kmeans_lloyd(vectors, k, rounds, seed=42):
+    """Pure-Python replay of operators.similarity.kmeans_lloyd: md5-seeded
+    init pick, (sqdist, cell) argmin over LEFT-FOLD float64 chains,
+    2^-20 fixed-point BIGINT mean update, starved cells keep their
+    previous centroid. Returns {vec_id: (cell, dist)}."""
+    import hashlib
+    import math
+
+    order = sorted(
+        vectors,
+        key=lambda t: (hashlib.md5(f"{seed}:{t[0]}".encode()).hexdigest(), t[0]),
+    )
+    cents = [[float(x) for x in v] for _, v in order[:k]]
+    if not cents:
+        return {}
+
+    def best(v):
+        top = None
+        for i, c in enumerate(cents):
+            d = 0.0
+            for x, y in zip(v, c):
+                d = d + (x - y) * (x - y)
+            if top is None or (d, i) < top:
+                top = (d, i)
+        return top
+
+    dim = len(cents[0])
+    for _ in range(rounds):
+        sums = {}
+        for vid, v in vectors:
+            _, cell = best(v)
+            s, n = sums.setdefault(cell, ([0] * dim, [0]))
+            for j, x in enumerate(v):
+                s[j] += int(math.floor(x * 1048576.0))
+            n[0] += 1
+        cents = [
+            [
+                (float(sums[i][0][j]) / 1048576.0) / float(sums[i][1][0]) + 0.0
+                for j in range(dim)
+            ]
+            if i in sums
+            else cents[i]
+            for i in range(len(cents))
+        ]
+    return {vid: best(v) for vid, v in vectors}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.floats(-4, 4, allow_nan=False, width=32),
+            st.floats(-4, 4, allow_nan=False, width=32),
+            st.floats(-4, 4, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    k=st.integers(1, 4),
+)
+def test_kmeans_lloyd_matches_python_reference(spark, vecs, k):
+    """kmeans_lloyd == the pure-Python Lloyd replay (same seeded init,
+    fold arithmetic, fixed-point update, starved-cell COALESCE) on
+    arbitrary small float corpora — including duplicate vectors, ties,
+    and corpora smaller than k. dist compares EXACTLY (bit-identical
+    float64 chains)."""
+    from fn_rq_report_etl_dev_spark.operators.similarity import kmeans_lloyd
+
+    vectors = [(i, [float(a), float(b), float(c)]) for i, (a, b, c) in enumerate(vecs)]
+    df = spark.createDataFrame(vectors, "vec_id long, embedding array<double>")
+    got = {r.vec_id: (r.dist, r.cell) for r in kmeans_lloyd(df, k=k, rounds=3).collect()}
+    assert got == _py_kmeans_lloyd(vectors, k=k, rounds=3)
