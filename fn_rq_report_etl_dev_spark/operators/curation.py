@@ -611,3 +611,114 @@ def greedy_token_cover(
     return df.sparkSession.createDataFrame(
         picked, "rank bigint, doc_id bigint, new_tokens bigint"
     )
+
+
+def bigram_backoff_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    holdout_mod: int = 5,
+    backoff_bits: int = 2,
+) -> DataFrame:
+    """Held-out bigram language-model scoring with Stupid Backoff (Brants
+    et al. 2007) in integer-log2 form — the train/score shape of a
+    CCNet/KenLM perplexity quality filter: train counts on the corpus
+    slice ``id % holdout_mod != 0``, score the held-out slice
+    ``id % holdout_mod == 0``, so unseen bigrams/unigrams actually occur
+    and the backoff path is live (an in-sample bigram model never backs
+    off — every bigram trivially has count ≥ 1).
+
+    Per held-out bigram (w1, w2), surprisal in integer bits:
+      - seen:   lb(c(w1)) − lb(c(w1,w2))      (the log count ratio)
+      - unseen: backoff_bits + lb(N) − lb(c(w2))   (unigram backoff,
+        α = 2^-backoff_bits; an unseen w2 contributes lb(N) — prob 1/N)
+    where lb(x) = floor(log2 x) = length(bin(x)) − 1 — every aggregate is
+    integer-exact and engine-portable (the `unigram_frequency_scores`
+    discipline; no libm `ln`).
+
+    Scale shape: bigrams are built MAP-SIDE per row (zip_with over two
+    array slices — no posexplode+window shuffle); the held (doc, bigram)
+    table collapses repeats per doc BEFORE joining the model, so a
+    Zipf-head bigram ships one row per document, not per occurrence; the
+    two model tables are map-side-combinable groupBys and the train-total
+    is a broadcast scalar. Scoring is three equi-joins, all on
+    word-shaped keys.
+
+    Output: one row per held-out doc with ≥1 bigram — (doc_id, n_bigrams,
+    n_unseen, sum_bits, avg_bits, oov_heavy = unseen > 25% of bigrams).
+    """
+    from ..functions import text as TXT
+
+    ws = F.filter(TXT.words(F.col(text_col)), lambda t: t != "")
+    base = df.select(F.col(id_col).alias("__id"), ws.alias("ws"))
+    pair_len = F.greatest(F.size(F.col("ws")) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(F.col("ws"), 1, pair_len),
+        F.slice(F.col("ws"), 2, pair_len),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = base.select("__id", F.explode(pairs).alias("p")).select(
+        "__id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    toks = base.select("__id", F.explode("ws").alias("w"))
+    held_pred = (F.col("__id") % holdout_mod) == 0
+    train_big = (
+        big.filter(~held_pred).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    )
+    train_uni = (
+        toks.filter(~held_pred).groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    )
+    total = train_uni.agg(F.sum("cu").alias("n_train"))
+    held = (
+        big.filter(held_pred)
+        .groupBy("__id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+
+    def lb(c: Column) -> Column:
+        return F.length(F.bin(c)) - 1
+
+    scored = (
+        held.join(train_big, ["w1", "w2"], "left")
+        .join(
+            train_uni.select(F.col("w").alias("w1"), F.col("cu").alias("c_ctx")),
+            "w1",
+            "left",
+        )
+        .join(
+            train_uni.select(F.col("w").alias("w2"), F.col("cu").alias("c_w2")),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "__id",
+            "k",
+            F.col("cb").isNull().cast("bigint").alias("unseen"),
+            F.when(F.col("cb").isNotNull(), lb(F.col("c_ctx")) - lb(F.col("cb")))
+            .otherwise(
+                F.lit(backoff_bits)
+                + lb(F.col("n_train"))
+                - F.coalesce(lb(F.col("c_w2")), F.lit(0))
+            )
+            .alias("bits"),
+        )
+    )
+    return (
+        scored.groupBy("__id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.sum(F.col("k") * F.col("unseen")).alias("n_unseen"),
+            F.sum(F.col("k") * F.col("bits")).alias("sum_bits"),
+        )
+        .select(
+            "__id",
+            "n_bigrams",
+            "n_unseen",
+            "sum_bits",
+            F.round(F.col("sum_bits") * 1.0 / F.col("n_bigrams"), 6).alias(
+                "avg_bits"
+            ),
+            (4 * F.col("n_unseen") > F.col("n_bigrams")).alias("oov_heavy"),
+        )
+    )

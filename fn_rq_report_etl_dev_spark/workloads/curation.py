@@ -833,3 +833,79 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pack_id",
         F.floor(before / F.lit(float(PACK_BUDGET_TOKENS))).cast("bigint"),
     )
+
+
+@workload(
+    "text_bigram_backoff",
+    oracle=r"""
+    WITH ws AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(
+                       trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                      'abcdefghijklmnopqrstuvwxyz')),
+                       '\s+'),
+                   t -> t <> '') AS ws
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        FROM ws, UNNEST(range(1, len(ws))) AS t(i)
+    ),
+    toks AS (
+        SELECT doc_id, ws[i] AS w
+        FROM ws, UNNEST(range(1, len(ws) + 1)) AS t(i)
+    ),
+    train_big AS (
+        SELECT w1, w2, count(*) AS cb FROM big
+        WHERE doc_id % 5 <> 0 GROUP BY w1, w2
+    ),
+    train_uni AS (
+        SELECT w, count(*) AS cu FROM toks
+        WHERE doc_id % 5 <> 0 GROUP BY w
+    ),
+    tot AS (SELECT sum(cu) AS n_train FROM train_uni),
+    held AS (
+        SELECT doc_id, w1, w2, count(*) AS k FROM big
+        WHERE doc_id % 5 = 0 GROUP BY doc_id, w1, w2
+    ),
+    scored AS (
+        SELECT h.doc_id, h.k,
+               CAST(tb.cb IS NULL AS BIGINT) AS unseen,
+               CASE WHEN tb.cb IS NOT NULL
+                    THEN (length(bin(cx.cu)) - 1) - (length(bin(tb.cb)) - 1)
+                    ELSE 2 + (length(bin(tot.n_train)) - 1)
+                         - COALESCE(length(bin(c2.cu)) - 1, 0)
+               END AS bits
+        FROM held h
+        LEFT JOIN train_big tb USING (w1, w2)
+        LEFT JOIN train_uni cx ON h.w1 = cx.w
+        LEFT JOIN train_uni c2 ON h.w2 = c2.w
+        CROSS JOIN tot
+    )
+    SELECT doc_id, n_bigrams, n_unseen, sum_bits,
+           round(sum_bits * 1.0 / n_bigrams, 6) AS avg_bits,
+           4 * n_unseen > n_bigrams AS oov_heavy
+    FROM (
+        SELECT doc_id,
+               CAST(sum(k) AS BIGINT) AS n_bigrams,
+               CAST(sum(k * unseen) AS BIGINT) AS n_unseen,
+               CAST(sum(k * bits) AS BIGINT) AS sum_bits
+        FROM scored GROUP BY doc_id
+    )
+    """,
+)
+def text_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram LM quality scoring with Stupid Backoff in integer
+    bits (Brants et al. 2007; the CCNet/KenLM filter shape): model counts
+    from docs with id % 5 != 0, every 5th doc scored against them — so
+    unseen bigrams occur and the backoff path is live. See
+    `operators.curation.bigram_backoff_scores` for the exactness and
+    scale story (map-side zip_with bigrams, per-doc collapse before the
+    Zipf-keyed model joins, broadcast train total)."""
+    from ..operators.curation import bigram_backoff_scores
+
+    docs = load(spark, sf_dir, "documents")
+    return bigram_backoff_scores(docs, "doc_id", "text").withColumnRenamed(
+        "__id", "doc_id"
+    )

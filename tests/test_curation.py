@@ -582,3 +582,34 @@ def test_corpus_curation_pipeline_planted(spark, tmp_path):
     # per source shard
     assert out[0].pack_id == 0 and out[2].pack_id == 0 and out[5].pack_id == 0
     assert out[5].source == "books"
+
+
+def test_bigram_backoff_planted_branches(spark):
+    """All three Stupid-Backoff branches on a hand-computed corpus:
+    seen bigram (log count ratio), unseen bigram with a KNOWN unigram,
+    and unseen bigram with an UNSEEN unigram (pure 1/N mass). Train =
+    ids 1,2 (id%5!=0); held = ids 0,5."""
+    from fn_rq_report_etl_dev_spark.operators.curation import (
+        bigram_backoff_scores,
+    )
+
+    rows = [
+        (0, "a b x"),        # held: (a,b) seen; (b,x) unseen, x OOV
+        (5, "c a b b a"),    # held: 3 seen bigrams + (b,b) unseen with b known
+        (1, "a b a b a c"),  # train
+        (2, "c a b"),        # train
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["__id"]: r for r in bigram_backoff_scores(df, "doc_id", "text").collect()}
+    # train: N=9; uni a:4 b:3 c:2; big (a,b):3 (b,a):2 (a,c):1 (c,a):1
+    d0 = out[0]
+    # (a,b): lb(4)-lb(3) = 2-1 = 1; (b,x): 2 + lb(9) - 0 = 5
+    assert (d0.n_bigrams, d0.n_unseen, d0.sum_bits) == (2, 1, 6)
+    assert d0.avg_bits == 3.0 and d0.oov_heavy
+    d5 = out[5]
+    # (c,a): lb(2)-lb(1) = 1; (a,b): 1; (b,b): 2 + lb(9) - lb(3) = 4;
+    # (b,a): lb(3)-lb(2) = 0 → sum 6 over 4 bigrams, 1 unseen = exactly 25%
+    assert (d5.n_bigrams, d5.n_unseen, d5.sum_bits) == (4, 1, 6)
+    assert d5.avg_bits == 1.5 and not d5.oov_heavy
+    # train docs never scored
+    assert set(out) == {0, 5}
