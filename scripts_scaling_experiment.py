@@ -1120,6 +1120,74 @@ def _pairs_once(n_baskets, n_items):
     mapside.unpersist(); selfjoin.unpersist(); items.unpersist()
 
 
+
+
+def kmeans_experiment():
+    """Lloyd k-means scaling (r08, embedding_kmeans_lloyd's engine): the
+    claim is ONE corpus pass per round — a zero-shuffle literal-centroid
+    assignment projection plus a groupBy(cell, dim) whose map-side
+    partials bound the exchange at k*d rows per task — so wall time must
+    scale ~linearly with the corpus while the driver only ever collects
+    k*d partial sums per round. Measured at 250k and 1M x 64 (4x data),
+    k=8, 3 rounds, end-to-end including the final assignment force."""
+    from fn_rq_report_etl_dev_spark.operators.similarity import kmeans_lloyd
+
+    emb = corpus_1m()
+    out = []
+    for n in (250_000, 1_000_000):
+        sub = emb.filter(F.col("vec_id") < n)
+        _force(sub.select("vec_id"))  # warm the scan
+        t0 = time.perf_counter()
+        _force(kmeans_lloyd(sub, k=8, rounds=3))
+        out.append({"experiment": "kmeans_lloyd", "n_vectors": n,
+                    "sec": round(time.perf_counter() - t0, 2)})
+        print(json.dumps(out[-1]))
+    ratio = out[1]["sec"] / out[0]["sec"]
+    print(json.dumps({"experiment": "kmeans_lloyd", "label": "4x_data_ratio",
+                      "ratio": round(ratio, 2)}))
+    assert ratio < 8, f"kmeans scaling superlinear: {ratio}"
+    return out
+
+
+def semdedup_experiment():
+    """SemDeDup scaling (r08, dedup_semantic_clusters' engine): the
+    paper's contract is that k GROWS WITH THE CORPUS so cell size stays
+    ~constant and the within-cell pair space scales LINEARLY (an
+    all-pairs join would be quadratic: 4x data -> 16x pairs). Measured
+    at 100k/1024 cells and 400k/4096 cells (Lloyd quantizer via
+    build_ivf_index, Arrow assignment): the materialized pair count and
+    the end-to-end wall must both grow ~4x, not 16x."""
+    from fn_rq_report_etl_dev_spark.operators.similarity import (
+        build_ivf_index, semantic_dedup)
+
+    emb = corpus_1m()
+    out = []
+    for n, cells in ((100_000, 1024), (400_000, 4096)):
+        sub = emb.filter(F.col("vec_id") < n)
+        idx = build_ivf_index(sub, n_cells=cells, train_sample=32768)
+        a = idx.assigned.groupBy("cell").count()
+        pair_rows = a.select(
+            F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("p")
+        ).collect()[0]["p"]
+        t0 = time.perf_counter()
+        _force(semantic_dedup(idx, min_cosine=0.95))
+        sec = round(time.perf_counter() - t0, 2)
+        idx.unpersist()
+        out.append({"experiment": "semdedup", "n_vectors": n, "n_cells": cells,
+                    "pair_rows": int(pair_rows), "sec": sec})
+        print(json.dumps(out[-1]))
+    pr = out[1]["pair_rows"] / max(out[0]["pair_rows"], 1)
+    wr = out[1]["sec"] / out[0]["sec"]
+    print(json.dumps({"experiment": "semdedup", "label": "4x_data_ratios",
+                      "pair_ratio": round(pr, 2), "wall_ratio": round(wr, 2)}))
+    assert pr < 8, f"pair space scaling superlinear: {pr} (quadratic would be 16)"
+    return out
+
+
+if EXPERIMENT == "kmeans":
+    kmeans_experiment()
+if EXPERIMENT == "semdedup":
+    semdedup_experiment()
 if EXPERIMENT == "pairs":
     pairs_experiment()
     sys.exit(0)

@@ -109,6 +109,9 @@ def test_iterative_attribute_pins_the_fixed_point_class():
         # embeds the same loop in its builder
         "text_bpe_vocab_learn",
         "text_bpe_tokenize",
+        # r08: Lloyd k-means — per round one assignment pass + one k·d
+        # update aggregate, collected and re-broadcast by the driver
+        "embedding_kmeans_lloyd",
     }
     assert ITERATIVE_FIXED_POINTS <= set(QUERIES)
     # The two side-timed classes are disjoint — each name lands in
