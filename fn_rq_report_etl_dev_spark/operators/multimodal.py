@@ -602,3 +602,50 @@ def decode_frames(assets: DataFrame, frame_stride: int = 2) -> DataFrame:
             )
 
     return assets.mapInPandas(run, FRAME_FEATURES_SCHEMA)
+
+
+def wave_pcm_samples() -> Callable[[bytes], "list[float] | None"]:
+    """Raw-sample variant of :func:`wave_audio_decoder`: same stdlib
+    ``wave`` parse and dtype handling, but returns the mono float
+    samples in [-1, 1] instead of the FEATURE_DIM histogram — the input
+    the audio FINGERPRINT path needs (block energies over sample
+    positions; a histogram destroys position). 16-bit samples decode to
+    exact dyadic rationals (v/32768), which is what keeps the
+    fingerprint's block-mean comparisons integer-exact."""
+
+    def decode(payload: bytes) -> list[float] | None:
+        import io
+        import wave
+
+        import numpy as np
+
+        if payload is None:
+            return None
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            width = wf.getsampwidth()
+            n_ch = wf.getnchannels()
+            raw = wf.readframes(wf.getnframes())
+        if width == 1:
+            samples = (
+                np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+            ) / 128.0
+        elif width == 2:
+            samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        elif width == 3:
+            b = np.frombuffer(raw, dtype=np.uint8)
+            b = b[: (b.size // 3) * 3].reshape(-1, 3).astype(np.int64)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            v -= (v & 0x800000) << 1
+            samples = v.astype(np.float64) / 8388608.0
+        elif width == 4:
+            samples = (
+                np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+            )
+        else:
+            raise ValueError(f"unsupported PCM sample width {width}")
+        if n_ch > 1:
+            samples = samples[: (samples.size // n_ch) * n_ch]
+            samples = samples.reshape(-1, n_ch).mean(axis=1)
+        return [float(x) for x in samples]
+
+    return decode

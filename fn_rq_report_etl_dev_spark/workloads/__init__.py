@@ -222,6 +222,7 @@ _RECHECK: dict[str, int] = {
     "embedding_kmeans_lloyd": 8,
     "dedup_semantic_clusters": 8,
     "text_bigram_backoff": 8,
+    "dedup_audio_fingerprint": 8,
     # banded_hamming_pairs extraction touches simhash's code path
     # (byte-identical results expected — re-verify anyway).
     "dedup_simhash64": 8,

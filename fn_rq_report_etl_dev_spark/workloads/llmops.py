@@ -2670,3 +2670,112 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = semantic_dedup(_ivf_codebook_index(spark, sf_dir), min_cosine=0.30)
     return out.select("vec_id", "cell", "kept")
+
+
+@workload(
+    "dedup_audio_fingerprint",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, k,
+               ((1 + doc_id % 29) * (k + 7) * 2654435761) % 4093
+               + CASE WHEN doc_id % 13 = 0 AND k = doc_id % 64
+                      THEN 16 ELSE 0 END AS v
+        FROM documents, UNNEST(range(0, 64)) AS t(k)
+        WHERE doc_id IS NOT NULL
+    ),
+    bits AS (
+        SELECT a.doc_id, a.k,
+               CASE WHEN a.v > n.v THEN 1 ELSE 0 END AS bit
+        FROM b a JOIN b n ON a.doc_id = n.doc_id AND n.k = (a.k + 1) % 64
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN bit = 1
+                    THEN (CAST(1 AS UBIGINT) << CAST(63 - k AS INTEGER))
+                    ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS hash
+        FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.hash, b.hash)) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hash, b.hash)) <= 3
+    """,
+)
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup detection, ORACLE-CHECKED end-to-end — the third
+    modality on the shared banded-Hamming engine (text SimHash64, image
+    aHash, now audio): synthesize a real PCM WAV per document (64
+    constant blocks of 16 samples; amplitude closed-form in doc_id, docs
+    sharing ``doc_id % 29`` identical, every 13th doc one block +16 — a
+    genuine near-duplicate), decode with the REAL stdlib
+    ``wave_audio_decoder``, fingerprint Haitsma–Kalker-style (bit k =
+    block-k mean > block-k+1 mean, circular), and bucket-join with
+    :func:`banded_hamming_pairs` at hamming ≤ 3 (pigeonhole full
+    recall, never the O(n²) pair space).
+
+    Exactness: 16-bit samples decode to dyadic rationals (a/32768) and a
+    16-sample constant-block mean is exact in float64, so every bit
+    comparison equals the INTEGER amplitude comparison — the oracle
+    replays the closed-form amplitudes, packs the same 64 bits and runs
+    the standard brute-force hash self-join (the quadratic-oracle
+    pattern). The one-block perturbation flips at most the 2 adjacent
+    comparison bits, so perturbed docs stay within the ≤3 recall bound
+    of their group. Cross-group pairs also appear at ≤3 on this fixture:
+    comparison-bit fingerprints of modular-sawtooth signals have
+    correlated wraparound positions, so distinct amplitude groups can
+    land within a few bits — an honest property of the Haitsma–Kalker
+    bit scheme on periodic signals, replayed identically by the oracle
+    (real audio is far less self-similar). At 100 TB: two Arrow
+    ``mapInPandas`` stages (decode + fingerprint are vectorized numpy)
+    and one banded equi-join keyed by (band, slice)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import wave_pcm_samples
+    from ..operators.text_dedup import banded_hamming_pairs
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        import io
+        import wave
+
+        ks = np.arange(64, dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                amps = ((1 + d % 29) * (ks + 7) * 2654435761) % 4093
+                if d % 13 == 0:
+                    amps = amps.copy()
+                    amps[d % 64] += 16
+                mono = np.repeat(amps.astype("<i2"), 16)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(mono.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+    dec = wave_pcm_samples()
+
+    def fp_batch(batches):
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                m = np.asarray(dec(p), dtype=np.float64).reshape(64, 16).mean(axis=1)
+                nxt = np.roll(m, -1)
+                out.append("".join("1" if x > y else "0" for x, y in zip(m, nxt)))
+            yield pd.DataFrame({"__id": pdf["asset_id"], "bits": out})
+
+    assets = docs.mapInPandas(synth, "asset_id long, payload binary")
+    sig = assets.mapInPandas(fp_batch, "__id long, bits string")
+    return banded_hamming_pairs(sig, "bits", max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )

@@ -991,3 +991,71 @@ def test_semantic_dedup_scoping_and_centrality(spark):
     )
     out = {r.vec_id: r.kept for r in semantic_dedup(IvfIndex(cents, assigned), min_cosine=0.95).collect()}
     assert out == {25: 0, 30: 1, 40: 1, 41: 1, 50: 1, 51: 0, 60: 1}
+
+
+def test_wave_pcm_samples_exact_dyadic_roundtrip():
+    """wave_pcm_samples returns the exact dyadic sample values (v/32768
+    for 16-bit) so block-mean comparisons equal integer amplitude
+    comparisons; stereo averages to mono; NULL passes through."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from fn_rq_report_etl_dev_spark.operators.multimodal import wave_pcm_samples
+
+    dec = wave_pcm_samples()
+    amps = np.array([0, 1, -1, 4095, -4096, 32767, -32768], dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(amps.tobytes())
+    got = dec(buf.getvalue())
+    assert got == [float(a) / 32768.0 for a in amps]  # exact, not approx
+    # stereo: interleaved (L, R) averages to mono
+    st = io.BytesIO()
+    with wave.open(st, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(np.array([100, 300, -50, -150], dtype="<i2").tobytes())
+    assert dec(st.getvalue()) == [200.0 / 32768.0, -100.0 / 32768.0]
+    assert dec(None) is None
+
+
+def test_audio_fingerprint_planted_groups(spark, sf_dir):
+    """dedup_audio_fingerprint contract on the planted corpus: docs
+    sharing doc_id % 29 (both unperturbed) collide at hamming 0; a
+    perturbed member (doc_id % 13 == 0) sits within hamming <= 2 of its
+    group (one block change flips at most the 2 adjacent comparison
+    bits) — inside the banded join's <= 3 full-recall bound."""
+    from fn_rq_report_etl_dev_spark.workloads import QUERIES
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in QUERIES["dedup_audio_fingerprint"](spark, sf_dir).collect()
+    }
+    # 30 and 59 share group 1, neither is %13: identical audio
+    assert pairs[(30, 59)] == 0
+    # 13 is perturbed; 42 shares group 13 and is clean. One block change
+    # flips at most the 2 adjacent comparison bits — and flips NONE when
+    # the +16 step doesn't cross either neighbor's amplitude (the case
+    # here): still a near-dup, never past the recall bound.
+    assert pairs[(13, 42)] <= 2
+    # FULL RECALL within groups: every clean same-group pair is present
+    # at hamming 0 (the pigeonhole guarantee the banded join provides).
+    clean = [d for d in range(500) if d % 13 != 0]
+    by_group: dict[int, list[int]] = {}
+    for d in clean:
+        by_group.setdefault(d % 29, []).append(d)
+    for g, ds in by_group.items():
+        for i, a in enumerate(ds):
+            for b in ds[i + 1 :]:
+                assert pairs.get((a, b)) == 0, (a, b)
+    # threshold respected everywhere; cross-group pairs DO occur at <= 3
+    # (comparison-bit fingerprints of modular sawtooths have correlated
+    # wraparound positions — an honest property of the bit scheme on
+    # periodic signals, replayed identically by the oracle)
+    assert all(h <= 3 for h in pairs.values())
