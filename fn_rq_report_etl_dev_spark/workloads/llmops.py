@@ -1556,7 +1556,12 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    assets = docs.mapInPandas(synth, "asset_id long, payload binary")
+    # Same single-file parallelism fix as dedup_audio_fingerprint: fan
+    # the per-doc synth+resize+hash loop across the cores.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    assets = docs.repartition(par).mapInPandas(
+        synth, "asset_id long, payload binary"
+    )
     sig = assets.mapInPandas(hash_batch, "__id long, bits string")
     return banded_hamming_pairs(sig, "bits", max_hamming=3).select(
         "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
@@ -2774,7 +2779,15 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append("".join("1" if x > y else "0" for x, y in zip(m, nxt)))
             yield pd.DataFrame({"__id": pdf["asset_id"], "bits": out})
 
-    assets = docs.mapInPandas(synth, "asset_id long, payload binary")
+    # documents.parquet is a single file => a bare mapInPandas would run
+    # the whole synth+decode loop as ONE task; spread the id list across
+    # the cores first (trivial shuffle of bare ids, the decode stage is
+    # the expensive part — and the 100 TB story wants decode parallelism
+    # to match the cluster, not the input file count).
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    assets = docs.repartition(par).mapInPandas(
+        synth, "asset_id long, payload binary"
+    )
     sig = assets.mapInPandas(fp_batch, "__id long, bits string")
     return banded_hamming_pairs(sig, "bits", max_hamming=3).select(
         "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")

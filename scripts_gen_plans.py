@@ -68,6 +68,10 @@ HEADLINERS = [
     ("docs_blocklist_gate", "blocklist + quality gate composed (r07): six rules, term list as plan literals, staged __bl_* projections (each metric evaluated once - the pure-column form was 25x slower), ZERO exchanges - runs at scan speed"),
     ("pipeline_corpus_curation", "LLM-corpus flagship (r08): gate (0 exchanges, scan-projection) -> exact-dedup survivors (1 digest-keyed window exchange) -> keep-first substring clip (the detector's keyed shuffles) -> pack window (1 source-keyed exchange); one Catalyst DAG, no pair lists, no driver loops"),
     ("dedup_image_phash", "perceptual-hash image dedup (r08): two Arrow mapInPandas stages (synth+resize+aHash, vectorized numpy) -> the shared banded-Hamming pigeonhole join; shuffle keyed by (band, slice), pair space never materialized"),
+    ("embedding_kmeans_lloyd", "Lloyd k-means (r08): the RETURNED final-assignment plan is a zero-shuffle literal-centroid argmin projection (no join/window on the corpus); per-round updates ran eagerly as k*d-bounded groupBy aggregates with driver-collected partial sums"),
+    ("dedup_semantic_clusters", "SemDeDup (r08): pair space equi-joined on the k-means cell id (quadratic only within a cell), centroids broadcast, centrality reuses the assignment pass; removed-set = one distinct + one left join — no cartesian anywhere"),
+    ("text_bigram_backoff", "held-out bigram LM scoring (r08): bigrams built map-side via zip_with over array slices (no posexplode+window); held (doc,bigram) repeats collapse before the three word-keyed model joins; train total broadcast as a scalar"),
+    ("dedup_audio_fingerprint", "audio fingerprint dedup (r08): two Arrow mapInPandas stages (WAV synth + decode/fingerprint, vectorized numpy) -> the same banded-Hamming pigeonhole join as SimHash/aHash; (band, slice)-keyed shuffle, no O(n^2) pair space"),
 ]
 
 spark = get_spark(app_name="gen-plans")
