@@ -114,6 +114,8 @@ EAGER_SCHEMAS: dict[str, str] = {
     "text_bpe_tokenize": "doc_id bigint, n_words bigint, n_subwords bigint",
     # Lloyd k-means collects k·d partial-sum rows per round (driver scalars)
     "embedding_kmeans_lloyd": "vec_id bigint, cell int, dist double",
+    # SemDeDup builds/persists the shared codebook index during build
+    "dedup_semantic_clusters": "vec_id bigint, cell int, kept bigint",
     # collects the two-dimension min/max normalization bounds (driver scalars)
     "zorder_layout_events": (
         "bucket bigint, n_rows bigint, min_user bigint, max_user bigint, "
