@@ -225,6 +225,7 @@ _RECHECK: dict[str, int] = {
     "dedup_semantic_clusters": 8,
     "text_bigram_backoff": 8,
     "dedup_audio_fingerprint": 8,
+    "text_hash_classifier": 8,
     # banded_hamming_pairs extraction touches simhash's code path
     # (byte-identical results expected — re-verify anyway).
     "dedup_simhash64": 8,

@@ -909,3 +909,112 @@ def text_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_backoff_scores(docs, "doc_id", "text").withColumnRenamed(
         "__id", "doc_id"
     )
+
+
+# Hashing-trick classifier fixture: 64 feature buckets, 3 classes.
+# Weights are a DETERMINISTIC integer stand-in for trained parameters —
+# w(c, b) = ((2654435761 * (64*c + b + 1)) % 4093) % 17 - 8 in [-8, 8] —
+# because a bit-exact cross-engine oracle needs closed-form weights; the
+# Spark-side shape (hash buckets, map-side count collapse, linear score,
+# argmax label) is exactly how a production fastText/LR quality filter
+# applies, with the weight expression swapped for a broadcast lookup.
+_HC_BUCKETS = 64
+_HC_CLASSES = 3
+
+
+def _hc_weight_sql(cls: int, bucket_expr: str) -> str:
+    return (
+        f"((2654435761 * ({_HC_BUCKETS} * {cls} + {bucket_expr} + 1)) "
+        f"% 4093) % 17 - 8"
+    )
+
+
+@workload(
+    "text_hash_classifier",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(translate(text,
+                   'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                   'abcdefghijklmnopqrstuvwxyz')), '\s+')) AS w
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(w), 1, 8))::BIGINT % {_HC_BUCKETS}
+                   AS bucket,
+               count(*) AS k
+        FROM toks WHERE w <> ''
+        GROUP BY doc_id, bucket
+    ),
+    scores AS (
+        SELECT doc_id,
+               CAST(sum(k) AS BIGINT) AS n_tokens,
+               CAST(sum(k * ({_hc_weight_sql(0, 'bucket')})) AS BIGINT) AS s0,
+               CAST(sum(k * ({_hc_weight_sql(1, 'bucket')})) AS BIGINT) AS s1,
+               CAST(sum(k * ({_hc_weight_sql(2, 'bucket')})) AS BIGINT) AS s2
+        FROM b GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, s0, s1, s2,
+           CASE WHEN s0 >= s1 AND s0 >= s2 THEN 0
+                WHEN s1 >= s2 THEN 1 ELSE 2 END AS label
+    FROM scores
+    """,
+)
+def text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear text classifier via the hashing trick — the APPLY step of a
+    fastText/logistic-regression quality filter (the model CCNet and the
+    GPT-3 data pipeline run over every crawl document): token → md5
+    feature bucket (mod 64), per-doc bucket counts, one integer dot
+    product per class, argmax label (smallest class index wins ties).
+
+    Weights are a deterministic closed-form integer stand-in (see
+    `_hc_weight_sql`) so the DuckDB oracle replays the scores EXACTLY;
+    swapping in trained parameters changes one expression to a broadcast
+    lookup — the plan shape is identical.
+
+    Scale shape: tokenize (narrow) → groupBy(doc, bucket) collapses each
+    doc to ≤64 rows MAP-SIDE before the one exchange; scoring is a
+    post-agg projection (the weight is pure arithmetic of the bucket id,
+    JVM-side); no joins, no UDF, no second corpus pass. The 100 TB cost
+    is exactly one word-count-shaped aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.translate(F.col("text"),
+                                       "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+                                       "abcdefghijklmnopqrstuvwxyz")),
+                    r"\s+")
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    b = (
+        toks.withColumn(
+            "bucket",
+            F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10)
+            .cast("bigint") % _HC_BUCKETS,
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+
+    def wexpr(cls: int):
+        return (
+            (F.lit(2654435761) * (_HC_BUCKETS * cls + F.col("bucket") + 1))
+            % 4093
+        ) % 17 - 8
+
+    scores = b.groupBy("doc_id").agg(
+        F.sum("k").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("k") * wexpr(0)).cast("bigint").alias("s0"),
+        F.sum(F.col("k") * wexpr(1)).cast("bigint").alias("s1"),
+        F.sum(F.col("k") * wexpr(2)).cast("bigint").alias("s2"),
+    )
+    return scores.select(
+        "doc_id", "n_tokens", "s0", "s1", "s2",
+        F.when((F.col("s0") >= F.col("s1")) & (F.col("s0") >= F.col("s2")), 0)
+        .when(F.col("s1") >= F.col("s2"), 1)
+        .otherwise(2)
+        .cast("int")
+        .alias("label"),
+    )

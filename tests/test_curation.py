@@ -613,3 +613,46 @@ def test_bigram_backoff_planted_branches(spark):
     assert d5.avg_bits == 1.5 and not d5.oov_heavy
     # train docs never scored
     assert set(out) == {0, 5}
+
+
+def test_hash_classifier_planted_scores(spark):
+    """text_hash_classifier's integer dot products and argmax on
+    hand-computed buckets/weights: bucket(w) = int(md5(w)[:8], 16) % 64,
+    w(c,b) = ((2654435761*(64c+b+1)) % 4093) % 17 - 8. Docs chosen so
+    each class wins once (incl. the CASE ELSE class-2 branch) and the
+    smallest-class tiebreak is exercised by repetition counts."""
+    import hashlib
+
+    from fn_rq_report_etl_dev_spark.workloads import QUERIES, load
+    from fn_rq_report_etl_dev_spark.workloads.curation import (
+        text_hash_classifier,
+    )
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 64
+
+    def wgt(c, b):
+        return ((2654435761 * (64 * c + b + 1)) % 4093) % 17 - 8
+
+    rows = [
+        (0, "Alpha alpha GAMMA"),   # fold to lower; class 0 wins
+        (1, "beta beta beta"),      # class 1 wins
+        (2, "phi phi kappa"),       # class 2 wins (ELSE branch)
+        (3, "  "),                  # whitespace-only: no tokens, no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="hc-test-")
+    df.write.parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: r for r in text_hash_classifier(spark, d).collect()}
+    assert set(out) == {0, 1, 2}
+    for doc_id, text in rows[:3]:
+        toks = text.lower().split()
+        exp = [sum(wgt(c, bucket(w)) for w in toks) for c in range(3)]
+        r = out[doc_id]
+        assert (r.s0, r.s1, r.s2) == tuple(exp), (doc_id, exp)
+        assert r.n_tokens == len(toks)
+        want = 0 if exp[0] >= exp[1] and exp[0] >= exp[2] else (1 if exp[1] >= exp[2] else 2)
+        assert r.label == want
+    assert [out[i].label for i in (0, 1, 2)] == [0, 1, 2]
