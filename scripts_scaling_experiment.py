@@ -1256,6 +1256,8 @@ for target_rows in (500_000, 2_000_000, 8_000_000):
 
 if EXPERIMENT == "all":
     substr_experiment()
+    kmeans_experiment()
+    semdedup_experiment()
     pps_sample_experiment()
     pairs_experiment()
     skew_experiment()
