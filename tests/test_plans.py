@@ -620,3 +620,15 @@ def test_semantic_dedup_pairs_equi_join_on_cell(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert uses_broadcast_join(df)  # centroids broadcast onto assignment
+
+
+def test_hash_classifier_two_aggregates_no_join_no_udf(spark, sf_dir):
+    """The hashing-trick classifier must stay a pure aggregate pipeline:
+    the (doc, bucket) collapse and the per-doc score roll-up are the only
+    exchanges, the weight arithmetic is a JVM projection — no join, no
+    Python stage, no window."""
+    df = QUERIES["text_hash_classifier"](spark, sf_dir)
+    assert exchange_count(df) <= 2
+    plan = formatted_plan(df)
+    assert "Join" not in plan and "Window" not in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
