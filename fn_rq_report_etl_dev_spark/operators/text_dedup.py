@@ -799,15 +799,23 @@ def substring_clip(
     canonical lies elsewhere; exactly-one-copy holds per shingle, not
     per merged run.
 
-    Same three keyed stages as the detector, plus: covered positions =
-    explode(sequence(pos, pos+k−1)) per hit (bounded ×k blowup of hit
-    rows only, never of the corpus), one anti-join of token sites
-    against covered positions on (doc, pos), and one per-doc groupBy
-    that re-joins surviving tokens in position order (sort_array over
-    (pos, token) structs — deterministic, no window needed). Documents
-    whose text is entirely duplicated survive with ``text_clean = ''``;
-    sub-``k`` documents are never clipped. NULL-text rows are dropped
-    (they carry nothing to clip — the quality gate owns them).
+    Same three keyed stages as the detector, plus the INTERVAL-FORM cut
+    (VERDICT r09 — the r08 shape anti-joined token sites against an
+    exploded covered-position set, shuffling |hits|·k + |tokens|
+    per-position rows; at 1.6M docs that was a 73.6M-row SortMergeJoin
+    and the clip ran 2.4× the detector): distinct hit positions merge
+    into maximal covered runs per doc (the detector's islands trick with
+    gap tolerance ``k`` — starts ≤ ``k`` apart fuse, a run covers
+    [min, max+k−1]), runs aggregate to ONE sorted interval array per doc
+    (|runs| rows — each run spans ≥ ``k`` tokens, so |runs| ≤ |tokens|/k
+    and the shuffled side shrinks from per-position rows to per-run
+    rows), and the cut is a JVM higher-order filter of each doc's (pos,
+    token) array against its interval array — zero per-position shuffle,
+    the only corpus-sized exchange is the per-doc groupBy that the
+    output contract needs anyway. Documents whose text is entirely
+    duplicated survive with ``text_clean = ''``; sub-``k`` documents are
+    never clipped. NULL-text rows are dropped (they carry nothing to
+    clip — the quality gate owns them).
 
     Output: (doc_id, n_tokens, n_removed, text_clean) — ONE row per
     distinct ``doc_id``. Dirty data with a repeated id merges into a
@@ -851,49 +859,72 @@ def substring_clip(
         )
     else:
         hits = sites.join(dup.select("shingle"), "shingle", "left_semi")
-    # Null-SAFE joins on doc_id throughout: a NULL-id document (dirty
-    # data) must still be clipped and must keep its surviving text — a
-    # plain equi-join would never match its covered positions (so it
-    # would dodge the cut) AND would drop its kept text in the final
-    # left join (emitting ''). eqNullSafe here, IS NOT DISTINCT FROM in
-    # the oracles.
-    covered = hits.select(
-        F.col("doc_id").alias("__cdoc"),
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("__cpos"),
-    ).distinct()
-    tokens = toks.select(
-        "doc_id", F.posexplode("toks").alias("pos0", "tok")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    kept = tokens.join(
-        covered,
-        F.col("doc_id").eqNullSafe(F.col("__cdoc"))
-        & (F.col("pos") == F.col("__cpos")),
-        "left_anti",
-    )
-    kept_agg = kept.groupBy(F.col("doc_id").alias("__kdoc")).agg(
-        F.count(F.lit(1)).alias("__n_kept"),
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s.tok,
+    # Merge distinct hit positions into maximal covered runs per doc:
+    # starts p1 < p2 produce intervals [p1, p1+k-1], [p2, p2+k-1] that
+    # touch/overlap iff p2 - p1 <= k, so islands break on gap > k and a
+    # run covers [min, max+k-1] — exactly the union of the per-hit
+    # covered sets. (First row: lag is NULL, NULL > k is 3VL-NULL, brk
+    # falls to 0 — run ids start at 0.) The window and both groupBys
+    # stay on the doc_id partitioning: one |hits|-row exchange total.
+    hp = hits.select("doc_id", "pos").distinct()
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        hp.withColumn(
+            "__brk",
+            F.when(F.col("pos") - F.lag("pos", 1).over(w) > k, F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "__rid",
+            F.sum("__brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ),
-            " ",
-        ).alias("__text"),
+        )
+        .groupBy("doc_id", "__rid")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + (k - 1)).alias("e"))
     )
-    # Per-DOC totals (groupBy folds NULL and repeated ids into their
-    # pseudo-doc, matching kept_agg's grouping) — the final join is 1:1.
-    totals = (
-        toks.select("doc_id", F.size("toks").cast("bigint").alias("__sz"))
-        .groupBy("doc_id")
-        .agg(F.sum("__sz").alias("n_tokens"))
+    runs_agg = runs.groupBy(F.col("doc_id").alias("__rdoc")).agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("__rs")
     )
-    return totals.join(
-        kept_agg, F.col("doc_id").eqNullSafe(F.col("__kdoc")), "left"
-    ).select(
+    # Per-doc merged (pos, tok) sequence: one struct ARRAY per input row
+    # (positions 1-based per row), flattened + sorted per doc — repeated
+    # and NULL ids fold into their pseudo-doc with the (pos, tok)
+    # interleave tie-break, same contract as before. The groupBy shuffles
+    # one array row per input row (the text bytes once), never
+    # per-position rows.
+    stoks = toks.select(
+        "doc_id",
+        F.transform(
+            "toks",
+            lambda t, i: F.struct((i + 1).alias("pos"), t.alias("tok")),
+        ).alias("__arr"),
+        F.size("toks").cast("bigint").alias("__sz"),
+    )
+    rows = stoks.groupBy("doc_id").agg(
+        F.sort_array(F.flatten(F.collect_list("__arr"))).alias("__merged"),
+        F.sum("__sz").alias("n_tokens"),
+    )
+    # Null-SAFE final join: a NULL-id pseudo-doc must still be clipped —
+    # a plain equi-join would never match its runs. The cut itself is a
+    # JVM higher-order filter (exists over the sorted interval array):
+    # O(tokens·runs) per doc worst case, all task-local, zero shuffle.
+    joined = rows.join(
+        runs_agg, F.col("doc_id").eqNullSafe(F.col("__rdoc")), "left"
+    )
+    kept = F.when(F.col("__rs").isNull(), F.col("__merged")).otherwise(
+        F.filter(
+            F.col("__merged"),
+            lambda t: ~F.exists(
+                F.col("__rs"),
+                lambda r: (t["pos"] >= r["s"]) & (t["pos"] <= r["e"]),
+            ),
+        )
+    )
+    return joined.select(
         "doc_id",
         "n_tokens",
-        (F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0)))
-        .cast("bigint")
-        .alias("n_removed"),
-        F.coalesce(F.col("__text"), F.lit("")).alias("text_clean"),
+        (F.col("n_tokens") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.array_join(F.transform(kept, lambda t: t["tok"]), " ").alias(
+            "text_clean"
+        ),
     )

@@ -208,6 +208,9 @@ from . import analytics  # noqa: E402,F401
 # quality-gate composition point) all carried round 7, got green r07
 # verdicts, and are gone: settled out, exactly as designed.
 _RECHECK: dict[str, int] = {
+    # Round-9 changes: SemDeDup hot-cell salt split + oracle cosine-chain
+    # replay (the r08 `weak` + ADVICE #1).
+    "dedup_semantic_clusters": 9,
     # Round-8 ADVICE fixes: blocklist canon set-dedupe feeds the gate's
     # n_hits/hit_terms; clip totals aggregate per doc_id in operator AND
     # both oracles; PMI grew the broadcast_vocab knob (default preserves
@@ -222,7 +225,6 @@ _RECHECK: dict[str, int] = {
     "dedup_image_phash": 8,
     "pipeline_corpus_curation": 8,
     "embedding_kmeans_lloyd": 8,
-    "dedup_semantic_clusters": 8,
     "text_bigram_backoff": 8,
     "dedup_audio_fingerprint": 8,
     "text_hash_classifier": 8,

@@ -2619,6 +2619,19 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMDEDUP_CB_RANK = "row_number() OVER (ORDER BY md5('42:' || vec_id), vec_id)"
+_SEMDEDUP_MAX_CELL = 1024  # operators.similarity.DEFAULT_MAX_CELL
+
+
+def _dot_chain_sql(a: str, b: str, dim: int = 64) -> str:
+    """DuckDB rendering of ``operators.similarity.dot``: the identical
+    left-fold ``((0.0 + a1·b1) + a2·b2) + …`` — bit-identical doubles
+    (the sqdist-chain technique; ADVICE r08 asked the semdedup oracle to
+    replay the Spark fold instead of ``list_cosine_similarity``, whose
+    summation order is unspecified and could flip a pair sitting exactly
+    on the threshold)."""
+    return "(0.0 + " + " + ".join(
+        f"{a}[{i}]*{b}[{i}]" for i in range(1, dim + 1)
+    ) + ")"
 
 
 @workload(
@@ -2642,13 +2655,21 @@ _SEMDEDUP_CB_RANK = "row_number() OVER (ORDER BY md5('42:' || vec_id), vec_id)"
         WHERE rk = 1),
     m AS MATERIALIZED (
         SELECT a.vec_id, a.v, a.cell,
-               {_sqdist_chain_sql('a.v', 'cb.c')} AS cd
+               {_sqdist_chain_sql('a.v', 'cb.c')} AS cd,
+               sqrt({_dot_chain_sql('a.v', 'a.v')}) AS nv
         FROM asg a JOIN cb USING (cell)),
+    sz AS (SELECT cell, count(*) AS csz FROM m GROUP BY cell),
+    ms AS MATERIALIZED (
+        SELECT m.*,
+               CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+                    % ((csz - 1) // {_SEMDEDUP_MAX_CELL} + 1) AS INT) AS salt
+        FROM m JOIN sz USING (cell)),
     removed AS (
         SELECT DISTINCT
                CASE WHEN x.cd <= y.cd THEN y.vec_id ELSE x.vec_id END AS vec_id
-        FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id < y.vec_id
-        WHERE list_cosine_similarity(x.v, y.v) >= 0.30)
+        FROM ms x JOIN ms y
+          ON x.cell = y.cell AND x.salt = y.salt AND x.vec_id < y.vec_id
+        WHERE {_dot_chain_sql('x.v', 'y.v')} / (x.nv * y.nv) >= 0.30)
     SELECT m.vec_id, m.cell, CAST(r.vec_id IS NULL AS BIGINT) AS kept
     FROM m LEFT JOIN removed r USING (vec_id)
     """,
@@ -2662,15 +2683,20 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per indexable vector: (vec_id, cell, kept).
 
     Exactness: cell assignment and centroid distances are bit-identical
-    sqdist chains; the pair threshold is the `_cosine_from_norms` fold vs
-    DuckDB `list_cosine_similarity` — the exact pattern
-    `dedup_embedding_cosine` has held green since r02 at three scales.
+    sqdist chains, and the pair threshold now replays the Spark fold in
+    SQL — `_cosine_from_norms` is `dot/(nv_a·nv_b)` with per-row norms,
+    and `_dot_chain_sql` renders the identical left-associated chains
+    (ADVICE r08: `list_cosine_similarity`'s unspecified summation order
+    could flip a pair sitting exactly on min_cosine).
 
-    Scale: the pair space is quadratic only WITHIN a cell (SemDeDup's
-    design point — k grows with the corpus, cell size stays bounded);
-    the pair join is an equi-join on cell id, centrality reuses the
-    assignment pass, and the removed-set is one distinct + one left
-    join. No all-pairs, no driver loop."""
+    Scale: the pair space is quadratic only WITHIN a sub-cell — cells
+    above `max_cell=1024` members are deterministically salt-split
+    (md5(vec_id) % ceil(size/max_cell), replayed in the oracle), so one
+    boilerplate-heavy hot cell costs ~size·max_cell pairs instead of
+    size² (VERDICT r08 hot-cell guard). The pair join is an equi-join on
+    (cell, salt), centrality reuses the assignment pass, and the
+    removed-set is one distinct + one left join. No all-pairs, no driver
+    loop."""
     from ..operators.similarity import semantic_dedup
 
     out = semantic_dedup(_ivf_codebook_index(spark, sf_dir), min_cosine=0.30)

@@ -1150,44 +1150,70 @@ def kmeans_experiment():
 
 
 def semdedup_experiment():
-    """SemDeDup scaling (r08, dedup_semantic_clusters' engine): the
-    paper's contract is that k GROWS WITH THE CORPUS so cell size stays
-    ~constant and the within-cell pair space scales LINEARLY (an
-    all-pairs join would be quadratic: 4x data -> 16x pairs). Measured
-    at 100k/1024 cells and 400k/4096 cells (Lloyd quantizer via
-    build_ivf_index, Arrow assignment): the materialized pair count and
-    the end-to-end wall must both grow ~4x, not 16x."""
+    """SemDeDup scaling (r08, dedup_semantic_clusters' engine; r09 adds
+    the hot-cell salt split): the paper's contract is that k GROWS WITH
+    THE CORPUS so cell size stays ~constant and the within-cell pair
+    space scales LINEARLY (an all-pairs join would be quadratic: 4x
+    data -> 16x pairs). The r08 run showed quantizer imbalance breaking
+    that promise anyway — Σ cell² grew 7.2x at 4x data because Lloyd's
+    cell-size SKEW inflates the square sum. r09's guard salt-splits
+    cells above max_cell; this experiment measures BOTH pair spaces
+    (raw Σ C(size,2) vs capped Σ C(subcell,2) at max_cell=256, ~2.5x
+    the mean cell size of ~100) and runs the guarded operator, asserting
+    the capped growth stays near the 4x data ratio."""
     from fn_rq_report_etl_dev_spark.operators.similarity import (
         build_ivf_index, semantic_dedup)
 
+    max_cell = 256
     emb = corpus_1m()
     out = []
     for n, cells in ((100_000, 1024), (400_000, 4096)):
         sub = emb.filter(F.col("vec_id") < n)
         idx = build_ivf_index(sub, n_cells=cells, train_sample=32768)
-        a = idx.assigned.groupBy("cell").count()
-        pair_rows = a.select(
-            F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("p")
+        sizes = idx.assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("csz"))
+        raw_pairs = sizes.select(
+            F.sum(F.col("csz") * (F.col("csz") - 1) / 2).alias("p")
         ).collect()[0]["p"]
+        salted = idx.assigned.join(F.broadcast(sizes), "cell").withColumn(
+            "salt",
+            F.conv(F.substring(F.md5(F.col("neighbor_id").cast("string")),
+                               1, 8), 16, 10).cast("bigint")
+            % (F.expr(f"(csz - 1) div {max_cell}") + F.lit(1)),
+        )
+        capped_pairs = (
+            salted.groupBy("cell", "salt").agg(F.count(F.lit(1)).alias("c"))
+            .select(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("p"))
+            .collect()[0]["p"]
+        )
         t0 = time.perf_counter()
-        _force(semantic_dedup(idx, min_cosine=0.95))
+        _force(semantic_dedup(idx, min_cosine=0.95, max_cell=max_cell))
         sec = round(time.perf_counter() - t0, 2)
         idx.unpersist()
-        out.append({"experiment": "semdedup", "n_vectors": n, "n_cells": cells,
-                    "pair_rows": int(pair_rows), "sec": sec})
+        out.append({"experiment": "semdedup", "n_vectors": n,
+                    "n_cells": cells, "max_cell": max_cell,
+                    "raw_pair_rows": int(raw_pairs),
+                    "pair_rows": int(capped_pairs), "sec": sec})
         print(json.dumps(out[-1]))
+    rr = out[1]["raw_pair_rows"] / max(out[0]["raw_pair_rows"], 1)
     pr = out[1]["pair_rows"] / max(out[0]["pair_rows"], 1)
     wr = out[1]["sec"] / out[0]["sec"]
     print(json.dumps({"experiment": "semdedup", "label": "4x_data_ratios",
-                      "pair_ratio": round(pr, 2), "wall_ratio": round(wr, 2)}))
-    assert pr < 8, f"pair space scaling superlinear: {pr} (quadratic would be 16)"
+                      "raw_pair_ratio": round(rr, 2),
+                      "pair_ratio": round(pr, 2),
+                      "wall_ratio": round(wr, 2)}))
+    assert pr < 6, f"capped pair space superlinear: {pr} (quadratic = 16)"
     return out
 
 
 if EXPERIMENT == "kmeans":
     kmeans_experiment()
+    sys.exit(0)
+
 if EXPERIMENT == "semdedup":
     semdedup_experiment()
+    sys.exit(0)
+
 if EXPERIMENT == "pairs":
     pairs_experiment()
     sys.exit(0)

@@ -993,6 +993,54 @@ def test_semantic_dedup_scoping_and_centrality(spark):
     assert out == {25: 0, 30: 1, 40: 1, 41: 1, 50: 1, 51: 0, 60: 1}
 
 
+def test_semantic_dedup_hot_cell_salt_split(spark):
+    """Cells above ``max_cell`` are salt-split (VERDICT r08 hot-cell
+    guard): comparisons happen only within
+    (cell, md5(vec_id) % ceil(size/max_cell)). Six identical vectors in
+    one cell: uncapped they collapse to the single smallest id; with
+    max_cell=2 (g=3) each md5 sub-cell keeps its own smallest id — the
+    survivor set is exactly one per NON-EMPTY sub-cell, replayed here
+    with hashlib as the independent salt reference."""
+    import hashlib
+
+    from fn_rq_report_etl_dev_spark.operators.similarity import (
+        IvfIndex,
+        semantic_dedup,
+    )
+
+    ids = [10, 11, 12, 13, 14, 15]
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "cell int, centroid array<double>"
+    )
+    assigned = spark.createDataFrame(
+        [(i, [1.0, 0.0], 0) for i in ids],
+        "neighbor_id long, cv array<double>, cell int",
+    )
+    idx = IvfIndex(cents, assigned)
+
+    out = {
+        r.vec_id: r.kept
+        for r in semantic_dedup(idx, min_cosine=0.95, max_cell=1024).collect()
+    }
+    assert out == {10: 1, 11: 0, 12: 0, 13: 0, 14: 0, 15: 0}
+
+    g = 3  # ceil(6 / max_cell=2)
+    salt = {
+        i: int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % g
+        for i in ids
+    }
+    expected = {
+        i: 1 if i == min(j for j in ids if salt[j] == salt[i]) else 0
+        for i in ids
+    }
+    got = {
+        r.vec_id: r.kept
+        for r in semantic_dedup(idx, min_cosine=0.95, max_cell=2).collect()
+    }
+    assert got == expected
+    assert sum(got.values()) == len(set(salt.values()))
+
+
 def test_wave_pcm_samples_exact_dyadic_roundtrip():
     """wave_pcm_samples returns the exact dyadic sample values (v/32768
     for 16-bit) so block-mean comparisons equal integer amplitude
