@@ -722,3 +722,179 @@ def bigram_backoff_scores(
             (4 * F.col("n_unseen") > F.col("n_bigrams")).alias("oov_heavy"),
         )
     )
+
+
+def nb_train_apply(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 64,
+    n_classes: int = 3,
+    holdout_mod: int = 5,
+) -> DataFrame:
+    """Multinomial Naive Bayes quality classifier — TRAIN and APPLY in
+    one Catalyst DAG (VERDICT r09 ask #3: `text_hash_classifier` proved
+    the apply plan with closed-form stand-in weights; this is the
+    distributed TRAINING pass feeding that same apply shape through a
+    broadcast lookup).
+
+    Labels are a deterministic stand-in (``id % n_classes`` — a
+    production run swaps in human/heuristic labels; the split/score
+    plumbing is identical), split train/apply on the
+    `bigram_backoff_scores` discipline: docs with
+    ``id % holdout_mod != 0`` train the model, every ``holdout_mod``-th
+    doc is scored against it, so genuinely unseen buckets occur.
+
+    All-integer scoring (exactly SQL-replayable — the
+    `text_bigram_backoff` bit discipline, lb(x) = length(bin(x)) − 1 =
+    floor(log2 x)):
+      s(doc, c) = lb(D_c + 1) + Σ_b k_b · (lb(n_cb + 1) − lb(N_c + B))
+    i.e. Laplace-smoothed log-likelihood in floor-log2 bits: n_cb =
+    class-c token count in bucket b, N_c = class-c token total, D_c =
+    class-c train-doc count (the prior), B = n_buckets. Predicted label
+    = argmax, ties to the smallest class index.
+
+    Scale shape: ONE tokenize pass feeds both halves via the shared
+    (doc, bucket, k) collapse (map-side combinable, ≤ B rows per doc).
+    The train side reduces to ≤ n_classes·n_buckets weight rows padded
+    over the full ``spark.range(n_buckets)`` bucket domain (so unseen
+    buckets score lb(1)−lb(N_c+B) instead of vanishing) with the class
+    constants folded in: w'_cb = lb(n_cb+1) − lb(N_c+B) rides each
+    bucket row, the prior rides along and is min()-folded after the
+    per-doc aggregate. The apply side is the hash-classifier plan with
+    the weight arithmetic swapped for a BROADCAST hash join on the
+    bucket id — stream side adds zero exchanges beyond its own two
+    aggregates; no shuffle join anywhere. NULL ids fall out of both
+    splits (3-valued ``%``); token-less docs produce no row (the
+    classifier has nothing to score — `text_hash_classifier` contract).
+    """
+    from ..functions.text import ascii_lower
+
+    lb = lambda c: (F.length(F.bin(c)) - 1).cast("int")  # noqa: E731
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.trim(ascii_lower(F.col(text_col))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    tb = (
+        toks.withColumn(
+            "bucket",
+            F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("bigint")
+            % n_buckets,
+        )
+        .groupBy("__id", "bucket")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    is_train = F.col("__id") % holdout_mod != 0
+    cls = (F.col("__id") % n_classes).cast("int")
+
+    # --- train: per-(class, bucket) token counts over the full bucket
+    # domain, class totals and doc priors folded into one ≤B-row table.
+    cnt = (
+        tb.filter(is_train)
+        .withColumn("label", cls)
+        .groupBy("label", "bucket")
+        .agg(F.sum("k").alias("n"))
+    )
+    wm = cnt.groupBy("bucket").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("label") == c, F.col("n"))), F.lit(0)
+            ).alias(f"m{c}")
+            for c in range(n_classes)
+        ]
+    )
+    # The class constants are 1-row relations; attaching them is a
+    # crossJoin that plans as BroadcastNestedLoopJoin with a ONE-ROW
+    # build side — the same physical shape Catalyst's own scalar-
+    # subquery rewrite produces, free at any scale (a literal-key
+    # equi-join constant-folds back to the same plan). The stream side
+    # here is ≤ n_buckets rows anyway.
+    consts = (
+        cnt.groupBy()
+        .agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("label") == c, F.col("n"))), F.lit(0)
+                ).alias(f"N{c}")
+                for c in range(n_classes)
+            ],
+        )
+        .crossJoin(
+            df.filter((F.col(id_col) % holdout_mod) != 0)
+            .groupBy()
+            .agg(
+                *[
+                    F.coalesce(
+                        F.sum(
+                            F.when(
+                                (F.col(id_col) % n_classes) == c, F.lit(1)
+                            )
+                        ),
+                        F.lit(0),
+                    ).alias(f"D{c}")
+                    for c in range(n_classes)
+                ],
+            )
+        )
+    )
+    spark = df.sparkSession
+    wtab = (
+        spark.range(n_buckets)
+        .select(F.col("id").alias("bucket"))
+        .join(wm, "bucket", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "bucket",
+            *[
+                (
+                    lb(F.coalesce(F.col(f"m{c}"), F.lit(0)) + 1)
+                    - lb(F.col(f"N{c}") + n_buckets)
+                ).alias(f"w{c}")
+                for c in range(n_classes)
+            ],
+            *[
+                lb(F.col(f"D{c}") + 1).alias(f"p{c}")
+                for c in range(n_classes)
+            ],
+        )
+    )
+
+    # --- apply: hash-classifier plan, weights via broadcast lookup.
+    hb = tb.filter(F.col("__id") % holdout_mod == 0)
+    scored = hb.join(F.broadcast(wtab), "bucket")
+    agg = scored.groupBy("__id").agg(
+        F.sum("k").cast("bigint").alias("n_tokens"),
+        *[
+            (F.sum(F.col("k") * F.col(f"w{c}")) + F.min(F.col(f"p{c}")))
+            .cast("bigint")
+            .alias(f"s{c}")
+            for c in range(n_classes)
+        ],
+    )
+    # Argmax with smallest-index tie-break as a when-chain: branch c
+    # tests s_c >= every LATER class only; the first branch to succeed
+    # is provably the global argmax (if an earlier class held the max,
+    # its own branch would have succeeded first).
+    import functools
+    import operator
+
+    label = F.lit(n_classes - 1)
+    for c in range(n_classes - 2, -1, -1):
+        cond = functools.reduce(
+            operator.and_,
+            [
+                F.col(f"s{c}") >= F.col(f"s{j}")
+                for j in range(c + 1, n_classes)
+            ],
+        )
+        label = F.when(cond, F.lit(c)).otherwise(label)
+    return agg.select(
+        "__id",
+        "n_tokens",
+        *[f"s{c}" for c in range(n_classes)],
+        label.cast("int").alias("label"),
+        (F.col("__id") % n_classes).cast("int").alias("label_true"),
+        (label.cast("int") == (F.col("__id") % n_classes).cast("int"))
+        .cast("bigint")
+        .alias("correct"),
+    )

@@ -209,21 +209,24 @@ from . import analytics  # noqa: E402,F401
 # verdicts, and are gone: settled out, exactly as designed.
 _RECHECK: dict[str, int] = {
     # Round-9 changes: SemDeDup hot-cell salt split + oracle cosine-chain
-    # replay (the r08 `weak` + ADVICE #1).
+    # replay (the r08 `weak` + ADVICE #1); interval-form substring clip
+    # (same output contract — re-verify the rewritten builders anyway);
+    # NB train+apply addition.
     "dedup_semantic_clusters": 9,
+    "dedup_substring_clip": 9,
+    "dedup_substring_keepfirst": 9,
+    "pipeline_corpus_curation": 9,
+    "text_nb_train_apply": 9,
     # Round-8 ADVICE fixes: blocklist canon set-dedupe feeds the gate's
     # n_hits/hit_terms; clip totals aggregate per doc_id in operator AND
     # both oracles; PMI grew the broadcast_vocab knob (default preserves
     # the r07 plan — re-verify anyway, the builder body changed).
     "docs_blocklist_gate": 8,
-    "dedup_substring_clip": 8,
-    "dedup_substring_keepfirst": 8,
     "text_collocations_pmi": 8,
     # Round-8 additions (never driver-reported).
     "text_bpe_vocab_learn": 8,
     "text_bpe_tokenize": 8,
     "dedup_image_phash": 8,
-    "pipeline_corpus_curation": 8,
     "embedding_kmeans_lloyd": 8,
     "text_bigram_backoff": 8,
     "dedup_audio_fingerprint": 8,

@@ -1164,7 +1164,7 @@ def semdedup_experiment():
     from fn_rq_report_etl_dev_spark.operators.similarity import (
         build_ivf_index, semantic_dedup)
 
-    max_cell = 256
+    max_cell = int(os.environ.get("SEMDEDUP_MAX_CELL", "256"))
     emb = corpus_1m()
     out = []
     for n, cells in ((100_000, 1024), (400_000, 4096)):

@@ -656,3 +656,64 @@ def test_hash_classifier_planted_scores(spark):
         want = 0 if exp[0] >= exp[1] and exp[0] >= exp[2] else (1 if exp[1] >= exp[2] else 2)
         assert r.label == want
     assert [out[i].label for i in (0, 1, 2)] == [0, 1, 2]
+
+
+def test_nb_train_apply_integer_scores(spark):
+    """nb_train_apply replayed against an independent pure-Python NB on a
+    planted corpus: md5 hash buckets, Laplace floor-log2 weights, doc
+    priors, argmax-with-smallest-tie — and the holdout split (id % 5 == 0
+    scored, others trained; NULL ids in neither)."""
+    import hashlib
+
+    from fn_rq_report_etl_dev_spark.operators.curation import nb_train_apply
+
+    rows = [
+        (0, "aa bb aa"),          # held out (0 % 5 == 0)
+        (1, "aa aa cc"),          # train, label 1
+        (2, "bb bb bb dd"),       # train, label 2
+        (3, "aa cc cc"),          # train, label 0
+        (4, "dd aa"),             # train, label 1
+        (5, "Aa   bb"),           # held out, case-folds to aa bb
+        (None, "aa bb"),          # NULL id: in neither split
+        (10, ""),                 # held out but token-less: no row
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["__id"]: r.asDict()
+        for r in nb_train_apply(docs, "doc_id", "text").collect()
+    }
+
+    B, C = 64, 3
+    bkt = lambda w: int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % B  # noqa: E731
+    lb = lambda x: x.bit_length() - 1  # noqa: E731  floor(log2 x), x >= 1
+    cnt: dict[tuple[int, int], int] = {}
+    D = [0] * C
+    for did, text in rows:
+        if did is None or did % 5 == 0:
+            continue
+        D[did % C] += 1
+        for w in text.lower().split():
+            key = (did % C, bkt(w))
+            cnt[key] = cnt.get(key, 0) + 1
+    N = [sum(v for (c, _), v in cnt.items() if c == ci) for ci in range(C)]
+    expected = {}
+    for did, text in rows:
+        if did is None or did % 5 != 0:
+            continue
+        ws = [w for w in text.lower().split() if w]
+        if not ws:
+            continue
+        s = [
+            lb(D[c] + 1)
+            + sum(lb(cnt.get((c, bkt(w)), 0) + 1) - lb(N[c] + B) for w in ws)
+            for c in range(C)
+        ]
+        lab = max(range(C), key=lambda c: (s[c], -c))
+        expected[did] = {
+            "__id": did, "n_tokens": len(ws),
+            "s0": s[0], "s1": s[1], "s2": s[2],
+            "label": lab, "label_true": did % C,
+            "correct": int(lab == did % C),
+        }
+    assert got == expected
+    assert 0 in got and 5 in got and 10 not in got and None not in got

@@ -632,3 +632,19 @@ def test_hash_classifier_two_aggregates_no_join_no_udf(spark, sf_dir):
     plan = formatted_plan(df)
     assert "Join" not in plan and "Window" not in plan
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_nb_train_apply_no_shuffle_join(spark, sf_dir):
+    """NB train+apply in one DAG: the weight lookup on the apply side is
+    a BROADCAST hash join on the bucket id, the 1-row class-constant
+    relations attach as BroadcastNestedLoop builds (the physical shape
+    Catalyst's own scalar-subquery rewrite produces — free with a one-row
+    build side), and nothing joins by shuffle: no SortMergeJoin, no
+    ShuffledHashJoin, no CartesianProduct, no Python stage."""
+    df = QUERIES["text_nb_train_apply"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
