@@ -61,11 +61,55 @@ def merge_adjacent_pair(syms: Column, a: str, b: str) -> Column:
     )
 
 
+_MERGE_SCHEMA = (
+    "merge_rank bigint, sym_a string, sym_b string, "
+    "merged string, pair_weight bigint"
+)
+
+
+def _merge_pair_py(syms: list[str], a: str, b: str) -> list[str]:
+    """Pure-Python mirror of :func:`merge_adjacent_pair` (the same
+    greedy left-to-right walk the Hypothesis reference in
+    tests/test_properties.py uses)."""
+    acc: list[str] = []
+    for s in syms:
+        if acc and acc[-1] == a and s == b:
+            acc[-1] = a + b
+        else:
+            acc.append(s)
+    return acc
+
+
+def _driver_merge_loop(spark, rows, n_merges: int) -> DataFrame:
+    """The in-driver BPE merge loop over a collected (freq, syms) vocab —
+    subword-nmt's shape. Pair counting (ALL adjacent positions, overlap
+    included, weighted by word freq), argmax tie-break (weight DESC then
+    (sym_a, sym_b) ASC — Python tuple-min == Spark's UTF8 string sort:
+    code-point order equals byte order in UTF-8), rewrite, and early
+    stop replicate the distributed rounds exactly; a property test pins
+    both paths to identical merge tables."""
+    vocab = [(int(r["freq"]), list(r["syms"])) for r in rows]
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        w: dict[tuple[str, str], int] = {}
+        for freq, syms in vocab:
+            for a, b in zip(syms, syms[1:]):
+                w[(a, b)] = w.get((a, b), 0) + freq
+        if not w:
+            break
+        best_w = max(w.values())
+        a, b = min(p for p, v in w.items() if v == best_w)
+        merges.append((rank, a, b, a + b, best_w))
+        vocab = [(f, _merge_pair_py(s, a, b)) for f, s in vocab]
+    return spark.createDataFrame(merges, _MERGE_SCHEMA)
+
+
 def bpe_pair_merges(
     words: DataFrame,
     word_col: str,
     freq_col: str,
     n_merges: int = 8,
+    driver_vocab_limit: int = 65536,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merge rules from a (word, frequency)
     table. Symbols start as single characters; each round counts
@@ -74,6 +118,22 @@ def bpe_pair_merges(
     deterministic), and rewrites every word's symbol array with
     :func:`merge_adjacent_pair`. Stops early when no adjacent pair
     remains (every word fused to one symbol).
+
+    Two execution paths, identical results (pinned by test):
+
+    - **driver loop** (vocab ≤ ``driver_vocab_limit``, default 64Ki —
+      the codebook-sample bounded-collect precedent): after the one
+      corpus-sized word-count pass the (word, freq) dictionary is
+      corpus-INDEPENDENT and bounded, so the merge loop runs in-driver
+      exactly like subword-nmt / SentencePiece's BPE trainer. A
+      production 32k-merge vocab over the distributed rounds would be
+      ~64k Spark jobs of pure fixed overhead (~2 jobs/merge × scheduler
+      latency ≫ the actual counting); in-driver each round is an
+      O(|vocab|·avg_len) dict pass — the crossover favors the driver
+      loop for any realistic natural-language vocab (VERDICT r09 ask #4).
+    - **distributed rounds** (oversized vocabs, e.g. open-vocabulary
+      byte soup): the original per-round aggregate + rewrite, one argmax
+      row collected per round.
 
     Returns DataFrame[merge_rank, sym_a, sym_b, merged, pair_weight]
     with ≤ ``n_merges`` rows — the ordered merge table a downstream
@@ -90,6 +150,11 @@ def bpe_pair_merges(
         .localCheckpoint(eager=True)
     )
     prev_rdd = _checkpoint_rdd(vocab)
+    if vocab.count() <= driver_vocab_limit:
+        rows = vocab.collect()
+        if prev_rdd is not None:
+            prev_rdd.unpersist(False)
+        return _driver_merge_loop(words.sparkSession, rows, n_merges)
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         pairs = vocab.filter(F.size("syms") >= 2).select(

@@ -217,6 +217,10 @@ _RECHECK: dict[str, int] = {
     "dedup_substring_keepfirst": 9,
     "pipeline_corpus_curation": 9,
     "text_nb_train_apply": 9,
+    # Round-9: BPE learner gained the in-driver merge loop for bounded
+    # vocabs (same merge table — property-pinned — re-verify anyway).
+    "text_bpe_vocab_learn": 9,
+    "text_bpe_tokenize": 9,
     # Round-8 ADVICE fixes: blocklist canon set-dedupe feeds the gate's
     # n_hits/hit_terms; clip totals aggregate per doc_id in operator AND
     # both oracles; PMI grew the broadcast_vocab knob (default preserves
@@ -224,8 +228,6 @@ _RECHECK: dict[str, int] = {
     "docs_blocklist_gate": 8,
     "text_collocations_pmi": 8,
     # Round-8 additions (never driver-reported).
-    "text_bpe_vocab_learn": 8,
-    "text_bpe_tokenize": 8,
     "dedup_image_phash": 8,
     "embedding_kmeans_lloyd": 8,
     "text_bigram_backoff": 8,

@@ -1076,20 +1076,31 @@ def _py_bpe(word_freqs, n_merges):
     )
 )
 def test_bpe_matches_python_reference(spark, words):
-    """bpe_pair_merges == the brute-force Python BPE on arbitrary
-    word-frequency tables over a 2-char alphabet (forces heavy pair
-    collisions, overlapping runs like 'aaaa', merged-symbol reuse
-    across rounds, and weight ties resolved by the pinned order)."""
+    """BOTH bpe_pair_merges paths — the in-driver merge loop (default,
+    vocab ≤ driver_vocab_limit) and the distributed rounds (forced with
+    driver_vocab_limit=0) — produce the identical merge table, equal to
+    the brute-force Python BPE, on arbitrary word-frequency tables over
+    a 2-char alphabet (heavy pair collisions, overlapping runs like
+    'aaaa', merged-symbol reuse across rounds, weight ties resolved by
+    the pinned order)."""
     from fn_rq_report_etl_dev_spark.operators.tokenizer import (
         bpe_pair_merges,
     )
 
     wf = spark.createDataFrame(list(words), "word string, freq long")
-    got = [
+    want = _py_bpe(words, n_merges=4)
+    got_driver = [
         (r.merge_rank, r.sym_a, r.sym_b, r.merged, r.pair_weight)
         for r in bpe_pair_merges(wf, "word", "freq", n_merges=4).collect()
     ]
-    assert got == _py_bpe(words, n_merges=4)
+    got_dist = [
+        (r.merge_rank, r.sym_a, r.sym_b, r.merged, r.pair_weight)
+        for r in bpe_pair_merges(
+            wf, "word", "freq", n_merges=4, driver_vocab_limit=0
+        ).collect()
+    ]
+    assert got_driver == want
+    assert got_dist == want
 
 
 def _py_kmeans_lloyd(vectors, k, rounds, seed=42):
