@@ -232,7 +232,7 @@ def merge_upsert_delta(
     are on the classpath. Import-gated: this environment ships plain
     parquet only, so calling it without delta installed raises with a
     pointer to the join-rewrite backend above. (Install re-attempted and
-    still impossible as of round 6, 2026-08-15: the sandbox has no
+    still impossible as of round 9, 2026-08-16: the sandbox has no
     package-index network route — pip retries end in NewConnectionError.)
     """
     try:

@@ -221,6 +221,11 @@ _RECHECK: dict[str, int] = {
     # vocabs (same merge table — property-pinned — re-verify anyway).
     "text_bpe_vocab_learn": 9,
     "text_bpe_tokenize": 9,
+    # Round-9: video frame-hash dedup addition; image/audio fingerprint
+    # builders gained the gated spread_for_decode fan-out.
+    "dedup_video_framehash": 9,
+    "dedup_image_phash": 9,
+    "dedup_audio_fingerprint": 9,
     # Round-8 ADVICE fixes: blocklist canon set-dedupe feeds the gate's
     # n_hits/hit_terms; clip totals aggregate per doc_id in operator AND
     # both oracles; PMI grew the broadcast_vocab knob (default preserves
@@ -228,10 +233,8 @@ _RECHECK: dict[str, int] = {
     "docs_blocklist_gate": 8,
     "text_collocations_pmi": 8,
     # Round-8 additions (never driver-reported).
-    "dedup_image_phash": 8,
     "embedding_kmeans_lloyd": 8,
     "text_bigram_backoff": 8,
-    "dedup_audio_fingerprint": 8,
     "text_hash_classifier": 8,
     # banded_hamming_pairs extraction touches simhash's code path
     # (byte-identical results expected — re-verify anyway).

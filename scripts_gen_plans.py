@@ -63,15 +63,17 @@ HEADLINERS = [
     ("skew_key_gini", "exact Gini skew diagnostic (r06): global rank via zipWithIndex-shape global_row_number (range exchange + offset scalars, NO SinglePartition over data); integer numerator aggregate + 1-row broadcast totals"),
     ("timeseries_gapfill_locf", "gap-fill + LOCF (r06): dense grid = users x broadcast 30-literal-day explode (map-side); per-user IGNORE-NULLS window fully parallel; daily close is a WindowGroupLimit top-1"),
     ("dedup_substring_runs", "exact-substring dedup (r07): flat zip_with shingle build (no per-position slice copies) -> map-side-combinable shingle count -> left-semi dup filter -> per-doc islands window; three keyed stages, no pair list, no suffix array"),
-    ("dedup_substring_clip", "ExactSubstr cut (r07): covered positions explode ONLY the hit rows (x k); one anti-join against token sites; per-doc sort_array reassembly - no window over the corpus"),
+    ("dedup_substring_clip", "ExactSubstr cut (r09 interval form): distinct hit positions merge into per-doc covered RUNS (islands window, gap tolerance k); the cut is a JVM higher-order filter of each doc's (pos,tok) array against its broadcastable interval array - the r08 per-position anti-join (73.6M shuffled rows at 1.6M docs) is gone"),
     ("agg_event_type_salted", "salted two-phase aggregate (r07): __salt in the wide aggregate's grouping spreads 5 hot keys over 80 partials; second tiny exchange re-aggregates by key - the skew insurance is 2 exchanges vs 1"),
     ("docs_blocklist_gate", "blocklist + quality gate composed (r07): six rules, term list as plan literals, staged __bl_* projections (each metric evaluated once - the pure-column form was 25x slower), ZERO exchanges - runs at scan speed"),
     ("pipeline_corpus_curation", "LLM-corpus flagship (r08): gate (0 exchanges, scan-projection) -> exact-dedup survivors (1 digest-keyed window exchange) -> keep-first substring clip (the detector's keyed shuffles) -> pack window (1 source-keyed exchange); one Catalyst DAG, no pair lists, no driver loops"),
     ("dedup_image_phash", "perceptual-hash image dedup (r08): two Arrow mapInPandas stages (synth+resize+aHash, vectorized numpy) -> the shared banded-Hamming pigeonhole join; shuffle keyed by (band, slice), pair space never materialized"),
     ("embedding_kmeans_lloyd", "Lloyd k-means (r08): the RETURNED final-assignment plan is a zero-shuffle literal-centroid argmin projection (no join/window on the corpus); per-round updates ran eagerly as k*d-bounded groupBy aggregates with driver-collected partial sums"),
-    ("dedup_semantic_clusters", "SemDeDup (r08): pair space equi-joined on the k-means cell id (quadratic only within a cell), centroids broadcast, centrality reuses the assignment pass; removed-set = one distinct + one left join — no cartesian anywhere"),
+    ("dedup_semantic_clusters", "SemDeDup (r09 hot-cell guard): pair space equi-joined on (cell, salt) — cells above max_cell salt-split by md5(vec_id) so quantizer imbalance cannot make one task quadratic (7.2x->4.06x pair growth at 4x data, SCALING.md); centroids + per-cell sizes broadcast, centrality reuses the assignment pass; no cartesian anywhere"),
     ("text_bigram_backoff", "held-out bigram LM scoring (r08): bigrams built map-side via zip_with over array slices (no posexplode+window); held (doc,bigram) repeats collapse before the three word-keyed model joins; train total broadcast as a scalar"),
     ("dedup_audio_fingerprint", "audio fingerprint dedup (r08): two Arrow mapInPandas stages (WAV synth + decode/fingerprint, vectorized numpy) -> the same banded-Hamming pigeonhole join as SimHash/aHash; (band, slice)-keyed shuffle, no O(n^2) pair space"),
+    ("dedup_video_framehash", "video frame-hash dedup (r09): y4m synth -> stride-2 frame decode -> per-frame aHash -> majority pooling, all in two Arrow mapInPandas stages behind the gated spread_for_decode fan-out -> the shared banded-Hamming join; the fourth modality on one engine"),
+    ("text_nb_train_apply", "NB train+apply (r09): train collapses to a <=classes*buckets weight table padded over spark.range(64), broadcast onto the hash-classifier apply plan; class constants attach as 1-row BroadcastNestedLoop builds (scalar-subquery shape); no shuffle join anywhere in the DAG"),
 ]
 
 spark = get_spark(app_name="gen-plans")

@@ -981,22 +981,27 @@ def substr_experiment():
             "doc_id", "carrier", "off", F.array_join(toks, " ").alias("text")
         )
 
-    def clip_anti_join_strategy(docs):
-        """Which physical join AQE FINALIZES for the clip's covered-
-        position anti-join (VERDICT r07 ask #4: the sf0.01 plan builds
-        it broadcast — confirm it degrades to a shuffle join cleanly
-        once the covered set outgrows the broadcast budget). A cheap
-        count-agg on top forces the plan on the SAME Dataset object, so
-        queryExecution() exposes the mutated AdaptiveSparkPlan."""
+    def clip_join_strategy(docs):
+        """Joins AQE FINALIZES for the clip (r09 interval form): the
+        r07/r08 per-position covered-set LeftAnti — whose AQE
+        broadcast->SMJ degradation was the measured sort-bound
+        bottleneck at 1.6M docs — is GONE (asserted); what remains are
+        the duplicated-shingle semi-join and the per-doc rows<->runs
+        LEFT join on interval ARRAYS. A cheap count-agg forces the plan
+        on the SAME Dataset so queryExecution() exposes the mutated
+        AdaptiveSparkPlan."""
         agg = substring_clip(docs, "doc_id", "text", k=5).groupBy().count()
         agg.collect()
         plan = agg._jdf.queryExecution().executedPlan().toString()
-        anti = [
-            next((w for w in l.split() if w.endswith("Join")), l.strip())
-            for l in plan.splitlines()
-            if "LeftAnti" in l
-        ]
-        return anti, "isFinalPlan=true" in plan
+        assert "LeftAnti" not in plan, "per-position anti-join resurfaced"
+        joins = sorted({
+            w
+            for line in plan.splitlines()
+            if "Join" in line
+            for w in line.split()
+            if w.endswith("Join")
+        })
+        return joins, "isFinalPlan=true" in plan
 
     timings = {}
     for n_docs in (100_000, 400_000, 1_600_000):
@@ -1015,10 +1020,10 @@ def substr_experiment():
             "runs_sec": runs_s, "clip_sec": clip_s,
         }))
         if n_docs in (100_000, 1_600_000):
-            anti, final = clip_anti_join_strategy(docs)
+            joins, final = clip_join_strategy(docs)
             print(json.dumps({
-                "experiment": "substr", "label": "clip_anti_join",
-                "n_docs": n_docs, "anti_join_ops": anti,
+                "experiment": "substr", "label": "clip_joins",
+                "n_docs": n_docs, "join_ops": joins,
                 "aqe_final": final,
             }))
         if n_docs == 100_000:

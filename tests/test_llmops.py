@@ -1107,3 +1107,19 @@ def test_audio_fingerprint_planted_groups(spark, sf_dir):
     # wraparound positions — an honest property of the bit scheme on
     # periodic signals, replayed identically by the oracle)
     assert all(h <= 3 for h in pairs.values())
+
+
+def test_video_framehash_planted_duplicates(spark, sf_dir):
+    """dedup_video_framehash on the sf0.001 fixture: docs sharing
+    doc_id % 31 synthesize identical y4m streams (when neither carries
+    the every-12th perturbation), so their pooled frame hashes collide
+    at hamming 0; every reported pair respects the hamming <= 3 contract
+    and the id_a < id_b orientation."""
+    from fn_rq_report_etl_dev_spark.workloads import QUERIES
+
+    out = QUERIES["dedup_video_framehash"](spark, sf_dir).collect()
+    pairs = {(r.id_a, r.id_b): r.hamming for r in out}
+    # 5 and 67: same mod-31 class (5), neither divisible by 12.
+    assert pairs[(5, 67)] == 0
+    assert all(h <= 3 for h in pairs.values())
+    assert all(a < b for a, b in pairs)
