@@ -1080,7 +1080,12 @@ def semantic_dedup(
             norm(F.col("cv")).alias("nv"),
         )
     )
-    sizes = m.groupBy("cell").agg(F.count(F.lit(1)).alias("__csz"))
+    # Cell sizes come from the (persisted) assignment directly — the
+    # centroid join and norm/sqdist projections in `m` are irrelevant to
+    # a count and every assigned row survives the inner centroid join.
+    sizes = index.assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("__csz")
+    )
     ms = m.join(F.broadcast(sizes), "cell").withColumn(
         "salt",
         (

@@ -971,7 +971,9 @@ def text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Weights are a deterministic closed-form integer stand-in (see
     `_hc_weight_sql`) so the DuckDB oracle replays the scores EXACTLY;
     swapping in trained parameters changes one expression to a broadcast
-    lookup — the plan shape is identical.
+    lookup — the plan shape is identical. (That swap now EXISTS:
+    `text_nb_train_apply` trains multinomial-NB weights distributively
+    and consumes them through exactly this apply plan, r09.)
 
     Scale shape: tokenize (narrow) → groupBy(doc, bucket) collapses each
     doc to ≤64 rows MAP-SIDE before the one exchange; scoring is a
