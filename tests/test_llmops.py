@@ -1123,3 +1123,20 @@ def test_video_framehash_planted_duplicates(spark, sf_dir):
     assert pairs[(5, 67)] == 0
     assert all(h <= 3 for h in pairs.values())
     assert all(a < b for a, b in pairs)
+
+
+def test_spread_for_decode_gate(spark):
+    """spread_for_decode repartitions a parallelism-starved input up to
+    defaultParallelism but returns a well-split input UNTOUCHED (r08
+    nit: the unconditional repartition taxed inputs already matching
+    the cluster)."""
+    from fn_rq_report_etl_dev_spark.operators.multimodal import (
+        spread_for_decode,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    starved = spark.range(100).coalesce(1)
+    assert starved.rdd.getNumPartitions() == 1
+    assert spread_for_decode(starved).rdd.getNumPartitions() == par
+    wide = spark.range(1000).repartition(par)
+    assert spread_for_decode(wide) is wide
