@@ -1059,6 +1059,15 @@ def semantic_dedup(
     split (and hence the exact output) bit-for-bit at every scale. The
     per-cell size table is ≤ k rows — always broadcast.
 
+    Choosing ``max_cell``: the default (1024) is MACHINE-centric — it
+    bounds any single task at ~1M cosine comparisons regardless of
+    quantizer quality, while leaving typically-sized cells exact. To
+    also hold the AGGREGATE pair count to ~linear growth under heavy
+    Lloyd skew, set it relative to the target mean cell size (corpus/k):
+    the SCALING.md experiment measured 7.23× pair growth at 4× data
+    uncapped, 5.43× at cap ≈ 2.5× mean, and 4.06× (the data ratio
+    itself) at cap ≈ 1.3× mean.
+
     Why this shape at 100 TB: the quadratic pair space is bounded PER
     SUB-CELL, the pair join is an equi-join on (cell id, salt), and
     centrality reuses the assignment's centroid distances — no extra
