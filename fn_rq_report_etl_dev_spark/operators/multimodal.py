@@ -62,7 +62,15 @@ def spread_for_decode(df: DataFrame) -> DataFrame:
     inputs that already match the cluster). At 100 TB a real multi-
     row-group input planfully splits to ≥ defaultParallelism tasks and
     this is a no-op; the repartition only fires for the
-    decode-parallelism-starved small-file case it exists to fix."""
+    decode-parallelism-starved small-file case it exists to fix.
+
+    Contract: callers hand this a SCAN-shaped input (the dedup/decode
+    workloads pass the bare id/metadata projection of the source scan),
+    whose partitions are split-balanced. The partition-COUNT probe is
+    blind to row skew — an input that is ≥ par partitions but mostly
+    empty (e.g. after a highly selective filter) passes through
+    untouched; such callers should `repartition` explicitly after the
+    filter, since no cheap probe can see emptiness without a job."""
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)

@@ -1027,6 +1027,20 @@ def kmeans_lloyd(
 DEFAULT_MAX_CELL = 1024  # sub-cell target size for the hot-cell salt split
 
 
+def hot_cell_salt(id_col: str, csz_col: str, max_cell: int) -> Column:
+    """The hot-cell sub-cell salt, ``md5int(id) % ceil(csz/max_cell)``,
+    as one shared expression — :func:`semantic_dedup` executes it and
+    `scripts_scaling_experiment.py semdedup` measures the pair space it
+    induces, so sharing the builder keeps the measured split
+    definitionally the executed one (and the DuckDB oracle replays the
+    same integer arithmetic)."""
+    return (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % (F.expr(f"(({csz_col} - 1) div {int(max_cell)})") + F.lit(1))
+    ).cast("int")
+
+
 def semantic_dedup(
     index: IvfIndex,
     min_cosine: float = 0.30,
@@ -1096,12 +1110,7 @@ def semantic_dedup(
         F.count(F.lit(1)).alias("__csz")
     )
     ms = m.join(F.broadcast(sizes), "cell").withColumn(
-        "salt",
-        (
-            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
-            .cast("bigint")
-            % (F.expr(f"(__csz - 1) div {int(max_cell)}") + F.lit(1))
-        ).cast("int"),
+        "salt", hot_cell_salt("vec_id", "__csz", max_cell)
     )
     x = ms.select(
         F.col("cell"),

@@ -864,8 +864,12 @@ def substring_clip(
     # touch/overlap iff p2 - p1 <= k, so islands break on gap > k and a
     # run covers [min, max+k-1] — exactly the union of the per-hit
     # covered sets. (First row: lag is NULL, NULL > k is 3VL-NULL, brk
-    # falls to 0 — run ids start at 0.) The window and both groupBys
-    # stay on the doc_id partitioning: one |hits|-row exchange total.
+    # falls to 0 — run ids start at 0.) Cost: TWO |hits|-row exchanges —
+    # the distinct hashes on (doc_id, pos) and the window re-partitions
+    # on doc_id alone (a superset partitioning doesn't satisfy the
+    # narrower clustering) — then the run groupBys and the runs_agg
+    # reuse the window's doc_id partitioning with no further exchange.
+    # Both are |hits|-row sized, nothing per-position.
     hp = hits.select("doc_id", "pos").distinct()
     w = Window.partitionBy("doc_id").orderBy("pos")
     runs = (

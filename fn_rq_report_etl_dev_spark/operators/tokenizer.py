@@ -150,7 +150,18 @@ def bpe_pair_merges(
         .localCheckpoint(eager=True)
     )
     prev_rdd = _checkpoint_rdd(vocab)
-    if vocab.count() <= driver_vocab_limit:
+    # Gate on BOTH dimensions of the collect: row count AND total symbol
+    # payload (a 50k-row vocab of 100KB "words" — open-vocabulary byte
+    # soup — passes a row-count-only gate and OOMs the driver). The
+    # payload bound is 64 symbols per allowed row on average.
+    probe = vocab.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.size("syms")), F.lit(0)).alias("syms"),
+    ).collect()[0]
+    if (
+        probe["n"] <= driver_vocab_limit
+        and probe["syms"] <= 64 * driver_vocab_limit
+    ):
         rows = vocab.collect()
         if prev_rdd is not None:
             prev_rdd.unpersist(False)

@@ -1167,7 +1167,7 @@ def semdedup_experiment():
     the mean cell size of ~100) and runs the guarded operator, asserting
     the capped growth stays near the 4x data ratio."""
     from fn_rq_report_etl_dev_spark.operators.similarity import (
-        build_ivf_index, semantic_dedup)
+        build_ivf_index, hot_cell_salt, semantic_dedup)
 
     max_cell = int(os.environ.get("SEMDEDUP_MAX_CELL", "256"))
     emb = corpus_1m()
@@ -1181,10 +1181,7 @@ def semdedup_experiment():
             F.sum(F.col("csz") * (F.col("csz") - 1) / 2).alias("p")
         ).collect()[0]["p"]
         salted = idx.assigned.join(F.broadcast(sizes), "cell").withColumn(
-            "salt",
-            F.conv(F.substring(F.md5(F.col("neighbor_id").cast("string")),
-                               1, 8), 16, 10).cast("bigint")
-            % (F.expr(f"(csz - 1) div {max_cell}") + F.lit(1)),
+            "salt", hot_cell_salt("neighbor_id", "csz", max_cell)
         )
         capped_pairs = (
             salted.groupBy("cell", "salt").agg(F.count(F.lit(1)).alias("c"))
