@@ -139,12 +139,17 @@ def bpe_pair_merges(
     with ≤ ``n_merges`` rows — the ordered merge table a downstream
     tokenizer applies. NULL/empty words are dropped (they carry no
     symbols)."""
+    # NULL freq coalesces to 0 (the word still participates in rewrites
+    # but carries no pair weight) so the driver loop's int(freq) and the
+    # distributed rounds' F.sum agree on dirty input — without this the
+    # driver path raised TypeError while the distributed path silently
+    # skipped the NULL in the sum (ADVICE r09).
     vocab = (
         words.filter(
             F.col(word_col).isNotNull() & (F.col(word_col) != "")
         )
         .select(
-            F.col(freq_col).cast("bigint").alias("freq"),
+            F.coalesce(F.col(freq_col).cast("bigint"), F.lit(0)).alias("freq"),
             F.split(F.col(word_col), "").alias("syms"),
         )
         .localCheckpoint(eager=True)

@@ -208,38 +208,19 @@ from . import analytics  # noqa: E402,F401
 # quality-gate composition point) all carried round 7, got green r07
 # verdicts, and are gone: settled out, exactly as designed.
 _RECHECK: dict[str, int] = {
-    # Round-9 changes: SemDeDup hot-cell salt split + oracle cosine-chain
-    # replay (the r08 `weak` + ADVICE #1); interval-form substring clip
-    # (same output contract — re-verify the rewritten builders anyway);
-    # NB train+apply addition.
-    "dedup_semantic_clusters": 9,
-    "dedup_substring_clip": 9,
-    "dedup_substring_keepfirst": 9,
-    "pipeline_corpus_curation": 9,
-    "text_nb_train_apply": 9,
-    # Round-9: BPE learner gained the in-driver merge loop for bounded
-    # vocabs (same merge table — property-pinned — re-verify anyway).
-    "text_bpe_vocab_learn": 9,
-    "text_bpe_tokenize": 9,
-    # Round-9: video frame-hash dedup addition; image/audio fingerprint
-    # builders gained the gated spread_for_decode fan-out.
-    "dedup_video_framehash": 9,
-    "dedup_image_phash": 9,
-    "dedup_audio_fingerprint": 9,
-    # Round-8 ADVICE fixes: blocklist canon set-dedupe feeds the gate's
-    # n_hits/hit_terms; clip totals aggregate per doc_id in operator AND
-    # both oracles; PMI grew the broadcast_vocab knob (default preserves
-    # the r07 plan — re-verify anyway, the builder body changed).
-    "docs_blocklist_gate": 8,
-    "text_collocations_pmi": 8,
-    # Round-8 additions (never driver-reported).
-    "embedding_kmeans_lloyd": 8,
-    "text_bigram_backoff": 8,
-    "text_hash_classifier": 8,
-    # banded_hamming_pairs extraction touches simhash's code path
-    # (byte-identical results expected — re-verify anyway).
-    "dedup_simhash64": 8,
+    # Round-10 ADVICE fixes: the three modality synths (and their
+    # oracles) pin the non-negative doc_id domain explicitly — same
+    # results on the current fixture, but the builder bodies changed.
+    "dedup_image_phash": 10,
+    "dedup_audio_fingerprint": 10,
+    "dedup_video_framehash": 10,
+    # Round-10: bpe_pair_merges coalesces NULL freq to 0 so the
+    # driver-loop and distributed paths agree on dirty input (ADVICE
+    # r09); both BPE queries ride that operator.
+    "text_bpe_vocab_learn": 10,
+    "text_bpe_tokenize": 10,
 }
+# (All round-8/9 entries settled: green rows in CORRECTNESS_r08/r09.)
 
 
 def _active_recheck(

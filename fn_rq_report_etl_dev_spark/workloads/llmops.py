@@ -1464,7 +1464,7 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
                + CASE WHEN doc_id % 11 = 0 AND k = doc_id % 64
                       THEN 1 ELSE 0 END AS v
         FROM documents, UNNEST(range(0, 64)) AS t(k)
-        WHERE doc_id IS NOT NULL
+        WHERE doc_id IS NOT NULL AND doc_id >= 0
     ),
     tt AS (SELECT doc_id, SUM(v) AS tot FROM b GROUP BY doc_id),
     bits AS (
@@ -1520,7 +1520,10 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (
         load(spark, sf_dir, "documents")
-        .filter(F.col("doc_id").isNotNull())
+        # doc_id >= 0 pins the synth's closed forms to the domain where
+        # Python floored % and SQL truncated % agree — a negative id
+        # would diverge silently between synth and oracle (ADVICE r09).
+        .filter(F.col("doc_id").isNotNull() & (F.col("doc_id") >= 0))
         .select("doc_id")
     )
 
@@ -1580,7 +1583,7 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                       THEN 1 ELSE 0 END AS v
         FROM documents, UNNEST([0, 2, 4]) AS s(f),
              UNNEST(range(0, 64)) AS t(p)
-        WHERE doc_id IS NOT NULL
+        WHERE doc_id IS NOT NULL AND doc_id >= 0
     ),
     tt AS (SELECT doc_id, f, SUM(v) AS tot FROM px GROUP BY doc_id, f),
     fb AS (
@@ -1648,7 +1651,10 @@ def dedup_video_framehash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (
         load(spark, sf_dir, "documents")
-        .filter(F.col("doc_id").isNotNull())
+        # doc_id >= 0 pins the synth's closed forms to the domain where
+        # Python floored % and SQL truncated % agree — a negative id
+        # would diverge silently between synth and oracle (ADVICE r09).
+        .filter(F.col("doc_id").isNotNull() & (F.col("doc_id") >= 0))
         .select("doc_id")
     )
 
@@ -2842,7 +2848,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                + CASE WHEN doc_id % 13 = 0 AND k = doc_id % 64
                       THEN 16 ELSE 0 END AS v
         FROM documents, UNNEST(range(0, 64)) AS t(k)
-        WHERE doc_id IS NOT NULL
+        WHERE doc_id IS NOT NULL AND doc_id >= 0
     ),
     bits AS (
         SELECT a.doc_id, a.k,
@@ -2897,7 +2903,10 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (
         load(spark, sf_dir, "documents")
-        .filter(F.col("doc_id").isNotNull())
+        # doc_id >= 0 pins the synth's closed forms to the domain where
+        # Python floored % and SQL truncated % agree — a negative id
+        # would diverge silently between synth and oracle (ADVICE r09).
+        .filter(F.col("doc_id").isNotNull() & (F.col("doc_id") >= 0))
         .select("doc_id")
     )
 

@@ -865,6 +865,19 @@ def test_bpe_planted_merge_sequence(spark):
     )
     rows2 = bpe_pair_merges(wf2, "word", "freq", n_merges=2).collect()
     assert [(r.sym_a, r.sym_b, r.pair_weight) for r in rows2] == [("a", "a", 3)]
+    # NULL freq coalesces to 0 on BOTH paths (ADVICE r09: the driver
+    # loop crashed with TypeError while the distributed rounds skipped
+    # the NULL in F.sum): the word still rewrites, contributes 0 weight.
+    wf3 = spark.createDataFrame(
+        [("ug", 4), ("bug", None)], "word string, freq long"
+    )
+    for limit in (65536, 0):  # driver loop, then distributed rounds
+        rows3 = bpe_pair_merges(
+            wf3, "word", "freq", n_merges=1, driver_vocab_limit=limit
+        ).collect()
+        assert [
+            (r.sym_a, r.sym_b, r.pair_weight) for r in rows3
+        ] == [("u", "g", 4)], f"limit={limit}"
 
 
 def test_bpe_tokenize_planted_counts(spark, tmp_path):
