@@ -728,52 +728,111 @@ def nb_train_apply(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    n_buckets: int = 64,
-    n_classes: int = 3,
+    n_buckets: int = 1024,
+    tier_mults: tuple[int, ...] = (20, 50),
     holdout_mod: int = 5,
+    stop_words: tuple[str, ...] = None,
 ) -> DataFrame:
     """Multinomial Naive Bayes quality classifier — TRAIN and APPLY in
-    one Catalyst DAG (VERDICT r09 ask #3: `text_hash_classifier` proved
-    the apply plan with closed-form stand-in weights; this is the
-    distributed TRAINING pass feeding that same apply shape through a
-    broadcast lookup).
+    one Catalyst DAG, trained on SEMANTICALLY REAL labels (VERDICT r10
+    ask #3: the r09 version proved the train/apply plumbing under
+    ``id % n_classes`` stand-in labels; accuracy against those was
+    definitionally noise).
 
-    Labels are a deterministic stand-in (``id % n_classes`` — a
-    production run swaps in human/heuristic labels; the split/score
-    plumbing is identical), split train/apply on the
-    `bigram_backoff_scores` discipline: docs with
-    ``id % holdout_mod != 0`` train the model, every ``holdout_mod``-th
-    doc is scored against it, so genuinely unseen buckets occur.
+    **Labels** are stopword-density quality tiers — the
+    quality-gate-style rule a production pipeline distills into a cheap
+    hashed classifier (the CCNet/fastText pattern: train a fast model to
+    mimic an expensive heuristic): with n = a doc's token count and
+    s = its stopword-token count, ``label = first i where
+    s·tier_mults[i] >= n, else len(tier_mults)`` — defaults (20, 50)
+    give class 0 = stopword-dense (>= 5%), 1 = mid (>= 2%), 2 = sparse.
+    The label derives from the SAME token stream the classifier
+    consumes, but the classifier sees only hashed bucket counts (word
+    identity destroyed), so held-out accuracy measures real
+    separability of the rule through the hashing trick.
 
-    All-integer scoring (exactly SQL-replayable — the
-    `text_bigram_backoff` bit discipline, lb(x) = length(bin(x)) − 1 =
-    floor(log2 x)):
-      s(doc, c) = lb(D_c + 1) + Σ_b k_b · (lb(n_cb + 1) − lb(N_c + B))
-    i.e. Laplace-smoothed log-likelihood in floor-log2 bits: n_cb =
-    class-c token count in bucket b, N_c = class-c token total, D_c =
-    class-c train-doc count (the prior), B = n_buckets. Predicted label
-    = argmax, ties to the smallest class index.
+    **1/64-bit integer scoring** (exactly SQL-replayable — upgraded
+    from the r09 floor-log2 whole-bit discipline, whose 1-bit
+    granularity on the class-total term ``n_tokens·lb(N_c)`` collapsed
+    under imbalanced real classes; a 1/4-bit intermediate still
+    underflowed the ~1e-5 rare-bucket ratios at sf0.1 and degenerated
+    to all-majority): every log is the classic shift-and-square
+    integer log2 (6 fractional bits) over a 30-bit-quantized ratio:
+      r  = max((x·2^30) div y, 1) <= 2^30      (x <= y always here)
+      t  = lb(r);  u = r << (30 − t)  ∈ [2^30, 2^31)
+      6×: b_i = lb(u²) − 60;  u = u² >> (30 + b_i);  frac = 2·frac+b_i
+      W(x/y) = (t << 6) + frac  ≈ floor(64·log2(r)) − 1920 + const
+    (lb(v) = length(bin(v)) − 1). Every step is 64-bit-safe in both
+    engines (u² < 2^62); the truncating renormalization makes W a
+    deterministic integer recurrence computed IDENTICALLY by Spark and
+    DuckDB — cross-engine equality holds by construction, not by float
+    luck. A defensive pre-shift (den >> max(0, lb(den) − 32), num
+    shifted alike) keeps x·2^30 in bigint for class totals beyond 2^32
+    tokens, so the operator is scale-unbounded.
+      s(doc, c) = W(q_c) + Σ_b k_b · W(r_cb)
+      r_cb = (n_cb + 1) / (N_c + B)     (Laplace token weight)
+      q_c  = (D_c + 1) / (D + C)        (doc prior)
+    Predicted label = argmax, ties to the smallest class index.
 
-    Scale shape: ONE tokenize pass feeds both halves via the shared
-    (doc, bucket, k) collapse (map-side combinable, ≤ B rows per doc).
-    The train side reduces to ≤ n_classes·n_buckets weight rows padded
-    over the full ``spark.range(n_buckets)`` bucket domain (so unseen
-    buckets score lb(1)−lb(N_c+B) instead of vanishing) with the class
-    constants folded in: w'_cb = lb(n_cb+1) − lb(N_c+B) rides each
-    bucket row, the prior rides along and is min()-folded after the
-    per-doc aggregate. The apply side is the hash-classifier plan with
-    the weight arithmetic swapped for a BROADCAST hash join on the
-    bucket id — stream side adds zero exchanges beyond its own two
-    aggregates; no shuffle join anywhere. NULL ids fall out of both
-    splits (3-valued ``%``); token-less docs produce no row (the
-    classifier has nothing to score — `text_hash_classifier` contract).
-    """
-    from ..functions.text import ascii_lower
+    **Scale shape**: ONE tokenize pass feeds everything via the shared
+    (doc, bucket, k, stop_hits) collapse (map-side combinable,
+    <= n_buckets rows per doc). Per-doc totals (and so labels) attach
+    by a WINDOW over the doc id — no doc-keyed shuffle join. The train
+    side reduces to <= n_classes·n_buckets weight rows padded over the
+    full ``spark.range(n_buckets)`` bucket domain with the class
+    constants broadcast; the apply side is the hash-classifier plan
+    with a BROADCAST lookup on the bucket id, and its final per-doc
+    aggregate reuses the window's hash partitioning (zero extra
+    exchanges). No shuffle join anywhere. NULL ids fall out of both
+    splits (3-valued ``%``); token-less docs produce no row."""
+    from ..functions.text import LANG_STOPWORDS, ascii_lower
 
-    lb = lambda c: (F.length(F.bin(c)) - 1).cast("int")  # noqa: E731
+    if stop_words is None:
+        stop_words = LANG_STOPWORDS["en"]
+    n_classes = len(tier_mults) + 1
+
+    def with_w64(tbl: DataFrame, out: str, num_sql: str, den_sql: str) -> DataFrame:
+        # 1/64-bit integer log of a ratio <= 1 (see docstring): staged as
+        # chained columns on the (tiny, <= n_buckets-row) weight table so
+        # each intermediate evaluates once. SQL fragments because exact
+        # integer DIV has no DataFrame-API form ((num·2^30) exceeds 2^53,
+        # so double-rounding float division is not an option).
+        s, r, t, u = (f"__{x}_{out}" for x in ("s", "r", "t", "u"))
+        tbl = tbl.withColumn(
+            s,
+            F.expr(f"greatest(CAST(length(bin({den_sql})) - 1 AS INT) - 32, 0)"),
+        )
+        tbl = tbl.withColumn(
+            r,
+            F.expr(
+                f"greatest(CAST((shiftright(CAST({num_sql} AS BIGINT), {s})"
+                f" * 1073741824) div"
+                f" greatest(shiftright(CAST({den_sql} AS BIGINT), {s}), 1)"
+                f" AS BIGINT), 1)"
+            ),
+        )
+        tbl = tbl.withColumn(t, F.expr(f"CAST(length(bin({r})) - 1 AS INT)"))
+        tbl = tbl.withColumn(u, F.expr(f"shiftleft({r}, 30 - {t})"))
+        bs = []
+        for i in range(6):
+            b = f"__b{i}_{out}"
+            # u ∈ [2^30, 2^31) ⇒ u² ∈ [2^60, 2^62): b = lb(u²) − 60 ∈ {0,1}
+            tbl = tbl.withColumn(
+                b, F.expr(f"CAST(length(bin({u} * {u})) - 1 AS INT) - 60")
+            )
+            tbl = tbl.withColumn(u, F.expr(f"shiftright({u} * {u}, 30 + {b})"))
+            bs.append(b)
+        frac = " + ".join(f"{b} * {1 << (5 - i)}" for i, b in enumerate(bs))
+        tbl = tbl.withColumn(
+            out, F.expr(f"CAST({t} * 64 + {frac} AS BIGINT)")
+        )
+        return tbl.drop(s, r, t, u, *bs)
+
     toks = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(F.split(F.trim(ascii_lower(F.col(text_col))), r"\s+")).alias("w"),
+        F.explode(
+            F.split(F.trim(ascii_lower(F.col(text_col))), r"\s+")
+        ).alias("w"),
     ).filter(F.col("w") != "")
     tb = (
         toks.withColumn(
@@ -782,58 +841,68 @@ def nb_train_apply(
             % n_buckets,
         )
         .groupBy("__id", "bucket")
-        .agg(F.count(F.lit(1)).alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.col("w").isin(*stop_words).cast("bigint")).alias("s"),
+        )
     )
+    # Per-doc totals (and the tier label) via a window — partitions by
+    # __id, <= n_buckets rows per doc, and leaves the data hash-
+    # partitioned by __id for the apply-side aggregate to reuse.
+    from pyspark.sql import Window
+
+    wdoc = Window.partitionBy("__id")
+    n_tot = F.sum("k").over(wdoc)
+    s_tot = F.sum("s").over(wdoc)
+    label_true = F.lit(n_classes - 1)
+    for i in range(len(tier_mults) - 1, -1, -1):
+        label_true = F.when(
+            s_tot * tier_mults[i] >= n_tot, F.lit(i)
+        ).otherwise(label_true)
+    # Four consumers read this relation (apply side, per-(class, bucket)
+    # counts, class token totals, class doc counts) — persist the
+    # collapsed (<= n_buckets rows/doc) form so the corpus-sized
+    # tokenize+explode runs ONCE, not once per consumer (Catalyst never
+    # shares subtrees across a DAG by itself).
+    windowed = tb.select(
+        "__id", "bucket", "k", label_true.cast("int").alias("label_true")
+    ).persist()
     is_train = F.col("__id") % holdout_mod != 0
-    cls = (F.col("__id") % n_classes).cast("int")
 
     # --- train: per-(class, bucket) token counts over the full bucket
-    # domain, class totals and doc priors folded into one ≤B-row table.
-    cnt = (
-        tb.filter(is_train)
-        .withColumn("label", cls)
-        .groupBy("label", "bucket")
-        .agg(F.sum("k").alias("n"))
-    )
+    # domain; class token totals and doc priors are 1-row relations that
+    # attach as broadcast builds (Catalyst's scalar-subquery shape).
+    train = windowed.filter(is_train)
+    cnt = train.groupBy("label_true", "bucket").agg(F.sum("k").alias("n"))
     wm = cnt.groupBy("bucket").agg(
         *[
             F.coalesce(
-                F.sum(F.when(F.col("label") == c, F.col("n"))), F.lit(0)
+                F.sum(F.when(F.col("label_true") == c, F.col("n"))), F.lit(0)
             ).alias(f"m{c}")
             for c in range(n_classes)
         ]
     )
-    # The class constants are 1-row relations; attaching them is a
-    # crossJoin that plans as BroadcastNestedLoopJoin with a ONE-ROW
-    # build side — the same physical shape Catalyst's own scalar-
-    # subquery rewrite produces, free at any scale (a literal-key
-    # equi-join constant-folds back to the same plan). The stream side
-    # here is ≤ n_buckets rows anyway.
     consts = (
         cnt.groupBy()
         .agg(
             *[
                 F.coalesce(
-                    F.sum(F.when(F.col("label") == c, F.col("n"))), F.lit(0)
+                    F.sum(F.when(F.col("label_true") == c, F.col("n"))),
+                    F.lit(0),
                 ).alias(f"N{c}")
                 for c in range(n_classes)
             ],
         )
         .crossJoin(
-            df.filter((F.col(id_col) % holdout_mod) != 0)
-            .groupBy()
+            train.groupBy()
             .agg(
                 *[
-                    F.coalesce(
-                        F.sum(
-                            F.when(
-                                (F.col(id_col) % n_classes) == c, F.lit(1)
-                            )
-                        ),
-                        F.lit(0),
+                    F.count_distinct(
+                        F.when(F.col("label_true") == c, F.col("__id"))
                     ).alias(f"D{c}")
                     for c in range(n_classes)
                 ],
+                F.count_distinct(F.col("__id")).alias("Dt"),
             )
         )
     )
@@ -843,27 +912,25 @@ def nb_train_apply(
         .select(F.col("id").alias("bucket"))
         .join(wm, "bucket", "left")
         .crossJoin(F.broadcast(consts))
-        .select(
-            "bucket",
-            *[
-                (
-                    lb(F.coalesce(F.col(f"m{c}"), F.lit(0)) + 1)
-                    - lb(F.col(f"N{c}") + n_buckets)
-                ).alias(f"w{c}")
-                for c in range(n_classes)
-            ],
-            *[
-                lb(F.col(f"D{c}") + 1).alias(f"p{c}")
-                for c in range(n_classes)
-            ],
+    )
+    for c in range(n_classes):
+        wtab = with_w64(
+            wtab, f"w{c}", f"coalesce(m{c}, 0) + 1", f"N{c} + {n_buckets}"
         )
+        wtab = with_w64(wtab, f"p{c}", f"D{c} + 1", f"Dt + {n_classes}")
+    wtab = wtab.select(
+        "bucket",
+        *[f"w{c}" for c in range(n_classes)],
+        *[f"p{c}" for c in range(n_classes)],
     )
 
-    # --- apply: hash-classifier plan, weights via broadcast lookup.
-    hb = tb.filter(F.col("__id") % holdout_mod == 0)
+    # --- apply: hash-classifier plan, weights via broadcast lookup; the
+    # groupBy(__id) reuses the window's partitioning (no new exchange).
+    hb = windowed.filter(F.col("__id") % holdout_mod == 0)
     scored = hb.join(F.broadcast(wtab), "bucket")
     agg = scored.groupBy("__id").agg(
         F.sum("k").cast("bigint").alias("n_tokens"),
+        F.min("label_true").alias("label_true"),
         *[
             (F.sum(F.col("k") * F.col(f"w{c}")) + F.min(F.col(f"p{c}")))
             .cast("bigint")
@@ -893,8 +960,8 @@ def nb_train_apply(
         "n_tokens",
         *[f"s{c}" for c in range(n_classes)],
         label.cast("int").alias("label"),
-        (F.col("__id") % n_classes).cast("int").alias("label_true"),
-        (label.cast("int") == (F.col("__id") % n_classes).cast("int"))
+        F.col("label_true").cast("int").alias("label_true"),
+        (label.cast("int") == F.col("label_true"))
         .cast("bigint")
         .alias("correct"),
     )

@@ -219,6 +219,9 @@ _RECHECK: dict[str, int] = {
     # r09); both BPE queries ride that operator.
     "text_bpe_vocab_learn": 10,
     "text_bpe_tokenize": 10,
+    # Round-10: NB classifier retrained on real stopword-density tier
+    # labels with the 1/64-bit shift-square log discipline (ask #3).
+    "text_nb_train_apply": 10,
 }
 # (All round-8/9 entries settled: green rows in CORRECTNESS_r08/r09.)
 
