@@ -724,6 +724,204 @@ def bigram_backoff_scores(
     )
 
 
+def _with_w64(tbl: DataFrame, out: str, num_sql: str, den_sql: str) -> DataFrame:
+    """1/64-bit integer log of a ratio <= 1 (see `nb_train_apply`):
+    staged as chained columns on the (tiny, <= n_buckets-row) weight
+    table so each intermediate evaluates once. SQL fragments because
+    exact integer DIV has no DataFrame-API form ((num·2^30) exceeds
+    2^53, so double-rounding float division is not an option)."""
+    s, r, t, u = (f"__{x}_{out}" for x in ("s", "r", "t", "u"))
+    tbl = tbl.withColumn(
+        s,
+        F.expr(f"greatest(CAST(length(bin({den_sql})) - 1 AS INT) - 32, 0)"),
+    )
+    tbl = tbl.withColumn(
+        r,
+        F.expr(
+            f"greatest(CAST((shiftright(CAST({num_sql} AS BIGINT), {s})"
+            f" * 1073741824) div"
+            f" greatest(shiftright(CAST({den_sql} AS BIGINT), {s}), 1)"
+            f" AS BIGINT), 1)"
+        ),
+    )
+    tbl = tbl.withColumn(t, F.expr(f"CAST(length(bin({r})) - 1 AS INT)"))
+    tbl = tbl.withColumn(u, F.expr(f"shiftleft({r}, 30 - {t})"))
+    bs = []
+    for i in range(6):
+        b = f"__b{i}_{out}"
+        # u ∈ [2^30, 2^31) ⇒ u² ∈ [2^60, 2^62): b = lb(u²) − 60 ∈ {0,1}
+        tbl = tbl.withColumn(
+            b, F.expr(f"CAST(length(bin({u} * {u})) - 1 AS INT) - 60")
+        )
+        tbl = tbl.withColumn(u, F.expr(f"shiftright({u} * {u}, 30 + {b})"))
+        bs.append(b)
+    frac = " + ".join(f"{b} * {1 << (5 - i)}" for i, b in enumerate(bs))
+    tbl = tbl.withColumn(out, F.expr(f"CAST({t} * 64 + {frac} AS BIGINT)"))
+    return tbl.drop(s, r, t, u, *bs)
+
+
+def nb_bucketize(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 1024,
+    tier_mults: tuple[int, ...] = (20, 50),
+    stop_words: tuple[str, ...] = None,
+) -> DataFrame:
+    """The shared NB feature pass: collapse each document to its hashed
+    (bucket, count) rows and attach the stopword-density tier label —
+    returns a PERSISTED ``(__id, bucket, k, label_true)`` relation
+    (<= n_buckets rows per doc, map-side combinable, left hash-
+    partitioned by __id so downstream per-doc aggregates reuse the
+    exchange). Multiple consumers (weight training + apply) read it;
+    persisting makes the corpus-sized tokenize+explode run once."""
+    from pyspark.sql import Window
+
+    from ..functions.text import LANG_STOPWORDS, ascii_lower
+
+    if stop_words is None:
+        stop_words = LANG_STOPWORDS["en"]
+    n_classes = len(tier_mults) + 1
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.split(F.trim(ascii_lower(F.col(text_col))), r"\s+")
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    tb = (
+        toks.withColumn(
+            "bucket",
+            F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("bigint")
+            % n_buckets,
+        )
+        .groupBy("__id", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.col("w").isin(*stop_words).cast("bigint")).alias("s"),
+        )
+    )
+    wdoc = Window.partitionBy("__id")
+    n_tot = F.sum("k").over(wdoc)
+    s_tot = F.sum("s").over(wdoc)
+    label_true = F.lit(n_classes - 1)
+    for i in range(len(tier_mults) - 1, -1, -1):
+        label_true = F.when(
+            s_tot * tier_mults[i] >= n_tot, F.lit(i)
+        ).otherwise(label_true)
+    return tb.select(
+        "__id", "bucket", "k", label_true.cast("int").alias("label_true")
+    ).persist()
+
+
+def nb_weight_table(
+    train: DataFrame, n_buckets: int = 1024, n_classes: int = 3
+) -> DataFrame:
+    """NB training over a `nb_bucketize` relation: per-(class, bucket)
+    token counts padded over the full ``spark.range(n_buckets)`` bucket
+    domain; class token totals and doc priors are 1-row relations that
+    attach as broadcast builds (Catalyst's scalar-subquery shape).
+    Returns the <= n_buckets-row ``(bucket, w0.., p0..)`` weight table
+    in the 1/64-bit integer-log discipline (see `nb_train_apply`)."""
+    cnt = train.groupBy("label_true", "bucket").agg(F.sum("k").alias("n"))
+    wm = cnt.groupBy("bucket").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("label_true") == c, F.col("n"))), F.lit(0)
+            ).alias(f"m{c}")
+            for c in range(n_classes)
+        ]
+    )
+    consts = (
+        cnt.groupBy()
+        .agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("label_true") == c, F.col("n"))),
+                    F.lit(0),
+                ).alias(f"N{c}")
+                for c in range(n_classes)
+            ],
+        )
+        .crossJoin(
+            train.groupBy()
+            .agg(
+                *[
+                    F.count_distinct(
+                        F.when(F.col("label_true") == c, F.col("__id"))
+                    ).alias(f"D{c}")
+                    for c in range(n_classes)
+                ],
+                F.count_distinct(F.col("__id")).alias("Dt"),
+            )
+        )
+    )
+    wtab = (
+        train.sparkSession.range(n_buckets)
+        .select(F.col("id").alias("bucket"))
+        .join(wm, "bucket", "left")
+        .crossJoin(F.broadcast(consts))
+    )
+    for c in range(n_classes):
+        wtab = _with_w64(
+            wtab, f"w{c}", f"coalesce(m{c}, 0) + 1", f"N{c} + {n_buckets}"
+        )
+        wtab = _with_w64(wtab, f"p{c}", f"D{c} + 1", f"Dt + {n_classes}")
+    return wtab.select(
+        "bucket",
+        *[f"w{c}" for c in range(n_classes)],
+        *[f"p{c}" for c in range(n_classes)],
+    )
+
+
+def nb_apply(
+    apply_rel: DataFrame, wtab: DataFrame, n_classes: int = 3
+) -> DataFrame:
+    """NB scoring of a `nb_bucketize` relation against a
+    `nb_weight_table`: the hash-classifier apply plan with the weight
+    expression swapped for a BROADCAST lookup on the bucket id; the
+    per-doc aggregate reuses the bucketize window's hash partitioning
+    (zero extra exchanges on the apply side). Returns
+    ``(__id, n_tokens, s0.., label, label_true, correct)``."""
+    import functools
+    import operator
+
+    scored = apply_rel.join(F.broadcast(wtab), "bucket")
+    agg = scored.groupBy("__id").agg(
+        F.sum("k").cast("bigint").alias("n_tokens"),
+        F.min("label_true").alias("label_true"),
+        *[
+            (F.sum(F.col("k") * F.col(f"w{c}")) + F.min(F.col(f"p{c}")))
+            .cast("bigint")
+            .alias(f"s{c}")
+            for c in range(n_classes)
+        ],
+    )
+    # Argmax with smallest-index tie-break as a when-chain: branch c
+    # tests s_c >= every LATER class only; the first branch to succeed
+    # is provably the global argmax (if an earlier class held the max,
+    # its own branch would have succeeded first).
+    label = F.lit(n_classes - 1)
+    for c in range(n_classes - 2, -1, -1):
+        cond = functools.reduce(
+            operator.and_,
+            [
+                F.col(f"s{c}") >= F.col(f"s{j}")
+                for j in range(c + 1, n_classes)
+            ],
+        )
+        label = F.when(cond, F.lit(c)).otherwise(label)
+    return agg.select(
+        "__id",
+        "n_tokens",
+        *[f"s{c}" for c in range(n_classes)],
+        label.cast("int").alias("label"),
+        F.col("label_true").cast("int").alias("label_true"),
+        (label.cast("int") == F.col("label_true"))
+        .cast("bigint")
+        .alias("correct"),
+    )
+
+
 def nb_train_apply(
     df: DataFrame,
     id_col: str,
@@ -785,183 +983,14 @@ def nb_train_apply(
     aggregate reuses the window's hash partitioning (zero extra
     exchanges). No shuffle join anywhere. NULL ids fall out of both
     splits (3-valued ``%``); token-less docs produce no row."""
-    from ..functions.text import LANG_STOPWORDS, ascii_lower
-
-    if stop_words is None:
-        stop_words = LANG_STOPWORDS["en"]
     n_classes = len(tier_mults) + 1
-
-    def with_w64(tbl: DataFrame, out: str, num_sql: str, den_sql: str) -> DataFrame:
-        # 1/64-bit integer log of a ratio <= 1 (see docstring): staged as
-        # chained columns on the (tiny, <= n_buckets-row) weight table so
-        # each intermediate evaluates once. SQL fragments because exact
-        # integer DIV has no DataFrame-API form ((num·2^30) exceeds 2^53,
-        # so double-rounding float division is not an option).
-        s, r, t, u = (f"__{x}_{out}" for x in ("s", "r", "t", "u"))
-        tbl = tbl.withColumn(
-            s,
-            F.expr(f"greatest(CAST(length(bin({den_sql})) - 1 AS INT) - 32, 0)"),
-        )
-        tbl = tbl.withColumn(
-            r,
-            F.expr(
-                f"greatest(CAST((shiftright(CAST({num_sql} AS BIGINT), {s})"
-                f" * 1073741824) div"
-                f" greatest(shiftright(CAST({den_sql} AS BIGINT), {s}), 1)"
-                f" AS BIGINT), 1)"
-            ),
-        )
-        tbl = tbl.withColumn(t, F.expr(f"CAST(length(bin({r})) - 1 AS INT)"))
-        tbl = tbl.withColumn(u, F.expr(f"shiftleft({r}, 30 - {t})"))
-        bs = []
-        for i in range(6):
-            b = f"__b{i}_{out}"
-            # u ∈ [2^30, 2^31) ⇒ u² ∈ [2^60, 2^62): b = lb(u²) − 60 ∈ {0,1}
-            tbl = tbl.withColumn(
-                b, F.expr(f"CAST(length(bin({u} * {u})) - 1 AS INT) - 60")
-            )
-            tbl = tbl.withColumn(u, F.expr(f"shiftright({u} * {u}, 30 + {b})"))
-            bs.append(b)
-        frac = " + ".join(f"{b} * {1 << (5 - i)}" for i, b in enumerate(bs))
-        tbl = tbl.withColumn(
-            out, F.expr(f"CAST({t} * 64 + {frac} AS BIGINT)")
-        )
-        return tbl.drop(s, r, t, u, *bs)
-
-    toks = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.split(F.trim(ascii_lower(F.col(text_col))), r"\s+")
-        ).alias("w"),
-    ).filter(F.col("w") != "")
-    tb = (
-        toks.withColumn(
-            "bucket",
-            F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("bigint")
-            % n_buckets,
-        )
-        .groupBy("__id", "bucket")
-        .agg(
-            F.count(F.lit(1)).alias("k"),
-            F.sum(F.col("w").isin(*stop_words).cast("bigint")).alias("s"),
-        )
+    windowed = nb_bucketize(
+        df, id_col, text_col, n_buckets, tier_mults, stop_words
     )
-    # Per-doc totals (and the tier label) via a window — partitions by
-    # __id, <= n_buckets rows per doc, and leaves the data hash-
-    # partitioned by __id for the apply-side aggregate to reuse.
-    from pyspark.sql import Window
-
-    wdoc = Window.partitionBy("__id")
-    n_tot = F.sum("k").over(wdoc)
-    s_tot = F.sum("s").over(wdoc)
-    label_true = F.lit(n_classes - 1)
-    for i in range(len(tier_mults) - 1, -1, -1):
-        label_true = F.when(
-            s_tot * tier_mults[i] >= n_tot, F.lit(i)
-        ).otherwise(label_true)
-    # Four consumers read this relation (apply side, per-(class, bucket)
-    # counts, class token totals, class doc counts) — persist the
-    # collapsed (<= n_buckets rows/doc) form so the corpus-sized
-    # tokenize+explode runs ONCE, not once per consumer (Catalyst never
-    # shares subtrees across a DAG by itself).
-    windowed = tb.select(
-        "__id", "bucket", "k", label_true.cast("int").alias("label_true")
-    ).persist()
     is_train = F.col("__id") % holdout_mod != 0
-
-    # --- train: per-(class, bucket) token counts over the full bucket
-    # domain; class token totals and doc priors are 1-row relations that
-    # attach as broadcast builds (Catalyst's scalar-subquery shape).
-    train = windowed.filter(is_train)
-    cnt = train.groupBy("label_true", "bucket").agg(F.sum("k").alias("n"))
-    wm = cnt.groupBy("bucket").agg(
-        *[
-            F.coalesce(
-                F.sum(F.when(F.col("label_true") == c, F.col("n"))), F.lit(0)
-            ).alias(f"m{c}")
-            for c in range(n_classes)
-        ]
+    wtab = nb_weight_table(
+        windowed.filter(is_train), n_buckets, n_classes
     )
-    consts = (
-        cnt.groupBy()
-        .agg(
-            *[
-                F.coalesce(
-                    F.sum(F.when(F.col("label_true") == c, F.col("n"))),
-                    F.lit(0),
-                ).alias(f"N{c}")
-                for c in range(n_classes)
-            ],
-        )
-        .crossJoin(
-            train.groupBy()
-            .agg(
-                *[
-                    F.count_distinct(
-                        F.when(F.col("label_true") == c, F.col("__id"))
-                    ).alias(f"D{c}")
-                    for c in range(n_classes)
-                ],
-                F.count_distinct(F.col("__id")).alias("Dt"),
-            )
-        )
-    )
-    spark = df.sparkSession
-    wtab = (
-        spark.range(n_buckets)
-        .select(F.col("id").alias("bucket"))
-        .join(wm, "bucket", "left")
-        .crossJoin(F.broadcast(consts))
-    )
-    for c in range(n_classes):
-        wtab = with_w64(
-            wtab, f"w{c}", f"coalesce(m{c}, 0) + 1", f"N{c} + {n_buckets}"
-        )
-        wtab = with_w64(wtab, f"p{c}", f"D{c} + 1", f"Dt + {n_classes}")
-    wtab = wtab.select(
-        "bucket",
-        *[f"w{c}" for c in range(n_classes)],
-        *[f"p{c}" for c in range(n_classes)],
-    )
-
-    # --- apply: hash-classifier plan, weights via broadcast lookup; the
-    # groupBy(__id) reuses the window's partitioning (no new exchange).
-    hb = windowed.filter(F.col("__id") % holdout_mod == 0)
-    scored = hb.join(F.broadcast(wtab), "bucket")
-    agg = scored.groupBy("__id").agg(
-        F.sum("k").cast("bigint").alias("n_tokens"),
-        F.min("label_true").alias("label_true"),
-        *[
-            (F.sum(F.col("k") * F.col(f"w{c}")) + F.min(F.col(f"p{c}")))
-            .cast("bigint")
-            .alias(f"s{c}")
-            for c in range(n_classes)
-        ],
-    )
-    # Argmax with smallest-index tie-break as a when-chain: branch c
-    # tests s_c >= every LATER class only; the first branch to succeed
-    # is provably the global argmax (if an earlier class held the max,
-    # its own branch would have succeeded first).
-    import functools
-    import operator
-
-    label = F.lit(n_classes - 1)
-    for c in range(n_classes - 2, -1, -1):
-        cond = functools.reduce(
-            operator.and_,
-            [
-                F.col(f"s{c}") >= F.col(f"s{j}")
-                for j in range(c + 1, n_classes)
-            ],
-        )
-        label = F.when(cond, F.lit(c)).otherwise(label)
-    return agg.select(
-        "__id",
-        "n_tokens",
-        *[f"s{c}" for c in range(n_classes)],
-        label.cast("int").alias("label"),
-        F.col("label_true").cast("int").alias("label_true"),
-        (label.cast("int") == F.col("label_true"))
-        .cast("bigint")
-        .alias("correct"),
+    return nb_apply(
+        windowed.filter(F.col("__id") % holdout_mod == 0), wtab, n_classes
     )

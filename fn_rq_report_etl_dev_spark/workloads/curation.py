@@ -1033,6 +1033,62 @@ _NB_LOWER = (
 )
 
 
+_INCR_GATE_CTES = r"""
+    m AS (
+        SELECT doc_id, source, text,
+               text IS NULL AS missing,
+               string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+') AS ws,
+               length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+               length(text) AS n_chars,
+               CAST(len(list_filter(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+                   '[a-z0-9_]+'), t -> t IN ('the','and','of','to','in','is','for','with','on','that'))) AS BIGINT)
+                   AS stop_hits
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    b AS (
+        SELECT *,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bg
+        FROM m
+    ),
+    o AS (
+        SELECT *,
+               COALESCE(len(list_filter(bg, x -> x = 'big table')), 0)
+               + COALESCE(len(list_filter(ws, x -> x = 'dup')), 0)
+               + COALESCE(len(list_filter(ws, x -> x = 'slow')), 0)
+               + COALESCE(len(list_filter(bg, x -> x = 'slow query')), 0) AS n_hits
+        FROM b
+    ),
+    r AS (
+        SELECT doc_id, source, text, missing, n_words, stop_hits,
+               n_hits > 0 AND n_hits * 100 >= 2 * COALESCE(n_words, 0) AS blocked,
+               round(nonspace * 1.0 / n_words, 6) AS mean_word_len,
+               alpha_chars * 1.0 / n_chars AS alpha_raw
+        FROM o
+    ),
+    g AS (
+        SELECT doc_id, source, text,
+               concat_ws(',',
+                   CASE WHEN missing THEN 'no_text' END,
+                   CASE WHEN n_words < 5 OR n_words > 5000 THEN 'n_words' END,
+                   CASE WHEN mean_word_len < 2.0 OR mean_word_len > 12.0
+                        THEN 'word_len' END,
+                   CASE WHEN alpha_raw < 0.55 THEN 'alpha' END,
+                   CASE WHEN stop_hits < 2 THEN 'stopwords' END,
+                   CASE WHEN blocked THEN 'blocklist' END) AS reasons
+        FROM r
+    ),
+    kept AS (SELECT doc_id, source, text FROM g WHERE reasons = ''),
+    surv AS MATERIALIZED (
+        SELECT doc_id, source, text FROM (
+            SELECT *, row_number() OVER (PARTITION BY md5(text)
+                          ORDER BY doc_id ASC) AS rn
+            FROM kept
+        ) WHERE rn = 1
+    )"""
+
+
 def _nb_w64_ctes() -> str:
     """CTE chain replaying `operators.curation.nb_train_apply`'s
     1/64-bit shift-and-square integer log for the six ratios (three
@@ -1187,4 +1243,229 @@ def text_nb_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return nb_train_apply(docs, "doc_id", "text").withColumnRenamed(
         "__id", "doc_id"
+    )
+
+
+_INCR_SHINGLES_CTE = _SHINGLES_CTE.replace("FROM documents", "FROM docs2")
+
+_INCR_PIPELINE_SQL = rf"""
+    WITH {_INCR_GATE_CTES},
+    docs2 AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % {{nm}} <> 0
+        UNION ALL
+        SELECT doc_id, text FROM surv
+    ),
+    {_INCR_SHINGLES_CTE},
+    sig AS (
+        SELECT doc_id, {_SIG_COLS}
+        FROM shingles GROUP BY doc_id
+    ),
+    bands AS MATERIALIZED (
+        SELECT doc_id, bb.band,
+               CASE bb.band {_BAND_CASES} END AS band_hash
+        FROM sig, (VALUES (0), (1), (2)) AS bb(band)
+    ),
+    drops AS (
+        SELECT DISTINCT n.doc_id
+        FROM bands n
+        JOIN bands o ON n.band = o.band AND n.band_hash = o.band_hash
+        WHERE n.doc_id % {{nm}} = 0 AND o.doc_id % {{nm}} <> 0
+    ),
+    accepted AS MATERIALIZED (
+        SELECT s.doc_id, s.source, s.text FROM surv s
+        WHERE s.doc_id NOT IN (SELECT doc_id FROM drops)
+    ),
+    ttoks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim({_NB_LOWER}), '\s+')) AS w
+        FROM documents WHERE doc_id % {{nm}} <> 0
+    ),
+    tb AS MATERIALIZED (
+        SELECT doc_id,
+               ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS bucket,
+               count(*) AS k,
+               sum(CASE WHEN w IN ('the','and','of','to','in','is','for',
+                                   'with','on','that')
+                        THEN 1 ELSE 0 END) AS s
+        FROM ttoks WHERE w <> ''
+        GROUP BY doc_id, bucket
+    ),
+    lbl AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN sum(s) * 20 >= sum(k) THEN 0
+                    WHEN sum(s) * 50 >= sum(k) THEN 1 ELSE 2 END AS label_true
+        FROM tb GROUP BY doc_id
+    ),
+    cnt AS (
+        SELECT lbl.label_true AS label, tb.bucket, sum(tb.k) AS n
+        FROM tb JOIN lbl USING (doc_id)
+        GROUP BY label, tb.bucket
+    ),
+    wm AS (
+        SELECT bucket,
+               COALESCE(sum(CASE WHEN label = 0 THEN n END), 0) AS m0,
+               COALESCE(sum(CASE WHEN label = 1 THEN n END), 0) AS m1,
+               COALESCE(sum(CASE WHEN label = 2 THEN n END), 0) AS m2
+        FROM cnt GROUP BY bucket
+    ),
+    ncls AS (
+        SELECT COALESCE(sum(CASE WHEN label = 0 THEN n END), 0) AS n0,
+               COALESCE(sum(CASE WHEN label = 1 THEN n END), 0) AS n1,
+               COALESCE(sum(CASE WHEN label = 2 THEN n END), 0) AS n2
+        FROM cnt
+    ),
+    dcls AS (
+        SELECT COALESCE(sum(CASE WHEN label_true = 0 THEN 1 END), 0) AS d0,
+               COALESCE(sum(CASE WHEN label_true = 1 THEN 1 END), 0) AS d1,
+               COALESCE(sum(CASE WHEN label_true = 2 THEN 1 END), 0) AS d2,
+               count(*) AS dt
+        FROM lbl
+    ),
+    {_nb_w64_ctes()},
+    atoks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+')) AS w
+        FROM accepted
+    ),
+    atb AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS bucket,
+               count(*) AS k
+        FROM atoks WHERE w <> ''
+        GROUP BY doc_id, bucket
+    ),
+    sc AS (
+        SELECT a.doc_id,
+               CAST(sum(a.k) AS BIGINT) AS n_tokens,
+               CAST(sum(a.k * wt.w0) + min(wt.p0) AS BIGINT) AS s0,
+               CAST(sum(a.k * wt.w1) + min(wt.p1) AS BIGINT) AS s1,
+               CAST(sum(a.k * wt.w2) + min(wt.p2) AS BIGINT) AS s2
+        FROM atb a JOIN wt USING (bucket)
+        GROUP BY a.doc_id
+    ),
+    lab AS (
+        SELECT doc_id, n_tokens,
+               CAST(CASE WHEN s0 >= s1 AND s0 >= s2 THEN 0
+                         WHEN s1 >= s2 THEN 1 ELSE 2 END AS INT) AS label
+        FROM sc
+    )
+    SELECT acc.source, lab.doc_id, lab.n_tokens, lab.label,
+           CAST(floor(COALESCE(sum(lab.n_tokens) OVER (
+               PARTITION BY acc.source ORDER BY lab.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 2000.0) AS BIGINT) AS pack_id
+    FROM lab JOIN accepted acc ON lab.doc_id = acc.doc_id
+    """.replace("{nm}", "7")
+
+
+@workload("pipeline_corpus_incremental", oracle=_INCR_PIPELINE_SQL)
+def pipeline_corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DAILY-REFRESH corpus flagship (VERDICT r10 ask #1): the 100 TB
+    production shape is not the batch re-run (`pipeline_corpus_curation`)
+    but the increment — new documents arriving into a standing curated
+    corpus. One end-to-end DAG composing the verified pieces in the
+    order a production refresh runs them, touching the corpus only for
+    reusable state (LSH signatures + classifier model — what a real
+    pipeline persists between days), never re-deduping or re-packing it:
+
+    1. quality + blocklist gates on the INCREMENT only (docs with
+       ``doc_id % 7 == 0`` play the arriving batch) — scan-speed
+       projections that shrink the batch before anything keyed runs;
+    2. exact dedup WITHIN the increment (row_number over md5(text),
+       min doc_id survives — a day's crawl recrawls its own pages);
+    3. asymmetric near-dup screen: MinHash-LSH banded join of the gated
+       survivors against the standing corpus — new×old only, never the
+       quadratic old×old leg (`incremental_lsh_candidates`, plan-pinned
+       asymmetric); any band collision with the corpus drops the new doc;
+    4. NB quality classifier TRAINED ON THE CORPUS (the standing data is
+       the model's world) applied to the accepted increment through the
+       broadcast-lookup plan (`nb_weight_table` + `nb_apply`);
+    5. greedy sequence packing of the accepted docs (one window cumsum
+       per source shard, budget 2000).
+
+    Output: (source, doc_id, n_tokens, label, pack_id) — one row per
+    accepted increment document. NULL-id docs fall out of both sides of
+    the split (3-valued ``%``); every accepted doc has >= 5 tokens (the
+    gate guarantees it), so the classifier scores all of them. Run-twice
+    idempotence and a planted end-to-end fixture live in
+    tests/test_curation.py; the asymmetric-join and broadcast-apply plan
+    pins in tests/test_plans.py. At 100 TB the binding costs are the
+    increment's signature aggregate and the (band, band_hash)-keyed
+    equi-join against persisted corpus signatures — both linear in the
+    increment; corpus-side work is the once-per-day model/signature
+    refresh a production deployment amortizes."""
+    from pyspark.sql import Window
+
+    from ..operators.curation import nb_apply, nb_bucketize, nb_weight_table
+    from ..operators.curation import with_blocklist_metrics
+    from .llmops import PACK_BUDGET_TOKENS
+
+    docs = load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % _NEW_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _NEW_MOD != 0)
+
+    # 1. gates on the increment only
+    aug, _n_hits, _hit_terms, blocked = with_blocklist_metrics(
+        new, "text", _BLOCKLIST, hit_pct=2
+    )
+    gated = quality_gate(
+        aug,
+        "doc_id",
+        "text",
+        extra_rules=[(blocked, "blocklist")],
+        extra_cols=[F.col("text"), F.col("source")],
+    )
+    kept = gated.filter(F.col("keep")).select("doc_id", "source", "text")
+
+    # 2. exact dedup within the increment
+    w_dedup = Window.partitionBy(F.md5(F.col("text"))).orderBy(
+        F.asc("doc_id")
+    )
+    # Three consumers (LSH new side, anti-join stream, meta join) —
+    # persist the increment-sized survivor set so the gate + dedup
+    # window run once, not once per consumer.
+    surv = (
+        kept.withColumn("__rn", F.row_number().over(w_dedup))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .persist()
+    )
+
+    # 3. asymmetric near-dup screen vs the standing corpus
+    union = corpus.select("doc_id", "text").withColumn(
+        "__new", F.lit(False)
+    ).unionByName(
+        surv.select("doc_id", "text").withColumn("__new", F.lit(True))
+    )
+    pairs = incremental_lsh_candidates(
+        union, "doc_id", "text", is_new=F.col("__new")
+    )
+    drops = pairs.select(F.col("id_new").alias("doc_id")).distinct()
+    # two consumers (classifier tokenize + meta join) — persist
+    accepted = surv.join(drops, "doc_id", "left_anti").persist()
+
+    # 4. NB classifier: model from the corpus, applied to the increment
+    train_rel = nb_bucketize(corpus, "doc_id", "text")
+    apply_rel = nb_bucketize(accepted, "doc_id", "text")
+    wtab = nb_weight_table(train_rel)
+    scored = nb_apply(apply_rel, wtab).select(
+        F.col("__id").alias("doc_id"), "n_tokens", "label"
+    )
+
+    # 5. pack the accepted docs per source shard
+    t = scored.join(accepted.select("doc_id", "source"), "doc_id")
+    w_pack = (
+        Window.partitionBy("source")
+        .orderBy(F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w_pack), F.lit(0))
+    return t.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "label",
+        F.floor(before / F.lit(float(PACK_BUDGET_TOKENS)))
+        .cast("bigint")
+        .alias("pack_id"),
     )

@@ -774,3 +774,67 @@ def test_nb_train_apply_planted_separable_accuracy(spark):
     assert {r.label_true for r in out} == {0, 1, 2}
     acc = sum(r.correct for r in out) / len(out)
     assert acc >= 0.9, f"planted separable accuracy {acc:.2f} < 0.9"
+
+
+def test_corpus_incremental_pipeline_planted(spark, tmp_path):
+    """pipeline_corpus_incremental e2e on a planted corpus: increment =
+    doc_id % 7 == 0. The gate drops the garbage and blocklisted new
+    docs, exact dedup keeps the lowest-id copy of the within-increment
+    duplicate, the asymmetric LSH screen drops the new doc whose text
+    already exists in the standing corpus (identical text -> identical
+    signatures -> collides on every band, deterministically), and the
+    two genuinely new docs come out labeled and packed per source."""
+    from pyspark.sql import functions as F
+
+    from fn_rq_report_etl_dev_spark.workloads.curation import (
+        pipeline_corpus_incremental,
+    )
+
+    dup_of_corpus = "the cat and the dog sat on that mat in peace"
+    fresh = "the bird and the fish swam on that reef in quiet"
+    rows = [
+        # increment (id % 7 == 0)
+        (0, "web", dup_of_corpus),     # near-dup of corpus id 1 -> dropped
+        (7, "web", fresh),             # accepted
+        (14, "web", fresh),            # exact dup of id 7 -> deduped
+        (21, "web", "zz xx qq"),       # fails n_words/stopwords gate
+        (28, "web", "dup dup dup the and is slow dup"),  # blocklisted
+        (35, "books", "the cow and the hen sat on that barn in light"),
+        # standing corpus (id % 7 != 0)
+        (1, "web", dup_of_corpus),
+        (2, "web", "the and of to in is for with on that filler words"),
+        (3, "web", "one two three four five six seven eight nine ten"),
+        (4, "web", "the quick brown fox jumps over that lazy dog today"),
+        (5, "books", "alpha beta gamma delta epsilon zeta eta theta"),
+        (6, "books", "the library keeps the old books on that top shelf"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    d = str(tmp_path / "corpus")
+    df.withColumn("lang", F.lit("en")).withColumn(
+        "n_chars", F.length("text")
+    ).write.parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: r for r in pipeline_corpus_incremental(spark, d).collect()}
+    assert sorted(out) == [7, 35]
+    assert out[7].source == "web" and out[35].source == "books"
+    assert out[7].n_tokens == len(fresh.split())
+    assert out[35].n_tokens == len(rows[5][2].split())
+    # labels are NB argmax over the corpus-trained model: valid classes
+    assert {out[7].label, out[35].label} <= {0, 1, 2}
+    # far under the 2000 budget -> first pack of each source shard
+    assert out[7].pack_id == 0 and out[35].pack_id == 0
+
+
+def test_corpus_incremental_pipeline_run_twice_identical(spark, sf_dir):
+    """Determinism pin (the daily-refresh flagship is re-runnable): two
+    independent builds over the same input collect IDENTICAL rows —
+    every tiebreak (dedup window, pack order, NB argmax) is total, so
+    a re-run of the day's refresh reproduces the day's output."""
+    from fn_rq_report_etl_dev_spark.workloads import QUERIES
+
+    a = sorted(
+        map(tuple, QUERIES["pipeline_corpus_incremental"](spark, sf_dir).collect())
+    )
+    b = sorted(
+        map(tuple, QUERIES["pipeline_corpus_incremental"](spark, sf_dir).collect())
+    )
+    assert a == b and len(a) > 0

@@ -648,3 +648,22 @@ def test_nb_train_apply_no_shuffle_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "Python" not in plan and "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_incremental_pipeline_plan(spark, sf_dir):
+    """pipeline_corpus_incremental (r10 flagship): the near-dup screen
+    must ride the ASYMMETRIC banded join — both band-join inputs filter
+    on the __is_new side flag (new×corpus, never the quadratic old×old
+    self-join) — the NB weight lookup must be a broadcast hash join, and
+    nothing in the DAG may go cartesian. Shuffle joins are allowed only
+    for the increment-keyed anti/meta joins (small side = the day's
+    batch), so their count is pinned."""
+    df = QUERIES["pipeline_corpus_incremental"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "__is_new" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # anti-join (accepted = surv \ drops) + meta join at most; the banded
+    # join itself may be SMJ or SHJ but there must be no third corpus-
+    # sized shuffle join sneaking in beyond these keyed stages
+    assert plan.count("SortMergeJoin") <= 3
