@@ -1042,16 +1042,53 @@ def test_semantic_dedup_hot_cell_salt_split(spark):
         i: int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % g
         for i in ids
     }
+    # Phase 1 only (exemplar_bridge=False — the scaling experiment's
+    # measurement arm): one survivor per non-empty md5 sub-cell.
     expected = {
         i: 1 if i == min(j for j in ids if salt[j] == salt[i]) else 0
         for i in ids
     }
     got = {
         r.vec_id: r.kept
-        for r in semantic_dedup(idx, min_cosine=0.95, max_cell=2).collect()
+        for r in semantic_dedup(
+            idx, min_cosine=0.95, max_cell=2, exemplar_bridge=False
+        ).collect()
     }
     assert got == expected
     assert sum(got.values()) == len(set(salt.values()))
+
+    # With the exemplar bridge (the default, VERDICT r10 ask #4): each
+    # sub-cell's exemplar (its min-(cd, id) member — here the min id,
+    # all vectors identical) joins a cross-sub-cell pass that is itself
+    # capped by a SECOND-level salt, salt2 = md5int(id) %
+    # ceil(n_salt/max_cell) — at max_cell=2 the 3 exemplars split mod 2,
+    # so the survivor set is one exemplar per non-empty salt2 group
+    # (the full hashlib replay of the two-level recurrence):
+    exemplars = {
+        s: min(j for j in ids if salt[j] == s) for s in set(salt.values())
+    }
+    g2 = (g - 1) // 2 + 1
+    salt2 = {
+        e: int(hashlib.md5(str(e).encode()).hexdigest()[:8], 16) % g2
+        for e in exemplars.values()
+    }
+    bridge_survivors = {
+        min(e for e in salt2 if salt2[e] == v) for v in set(salt2.values())
+    }
+    expected_b = {i: 1 if i in bridge_survivors else 0 for i in ids}
+    got_b = {
+        r.vec_id: r.kept
+        for r in semantic_dedup(idx, min_cosine=0.95, max_cell=2).collect()
+    }
+    assert got_b == expected_b
+    # and with a roomier cap (max_cell=4 -> n_salt=2 exemplars, one
+    # salt2 group) the identical-vector hot cell collapses back to the
+    # EXACT uncapped answer: only the global smallest id survives.
+    got_c = {
+        r.vec_id: r.kept
+        for r in semantic_dedup(idx, min_cosine=0.95, max_cell=4).collect()
+    }
+    assert got_c == {10: 1, 11: 0, 12: 0, 13: 0, 14: 0, 15: 0}
 
 
 def test_wave_pcm_samples_exact_dyadic_roundtrip():
@@ -1153,3 +1190,68 @@ def test_spread_for_decode_gate(spark):
     assert spread_for_decode(starved).rdd.getNumPartitions() == par
     wide = spark.range(1000).repartition(par)
     assert spread_for_decode(wide) is wide
+
+
+def test_video_frameshift_catches_what_pooling_misses(spark, tmp_path):
+    """dedup_video_frameshift's raison d'être (VERDICT r10 ask #6): an
+    offset/trimmed near-duplicate video. Docs 9 (trimmed: pattern frames
+    3..9) and 40 (untrimmed: 0..6) share class 9 (id % 31) and exactly 4
+    of 7 pattern frames. The whole-video MAJORITY-POOLED hash re-votes
+    over the shifted frame set and lands far outside the banded engine's
+    hamming<=3 recall bound (asserted by replaying the pooling in
+    Python), while the frame vote pairs them at >= 4 matches."""
+    from pyspark.sql import functions as F
+
+    from fn_rq_report_etl_dev_spark.workloads.llmops import (
+        dedup_video_frameshift,
+    )
+
+    def frame_bits(d, f):
+        shift = 3 if d % 9 == 0 else 0
+        v = [
+            ((1 + d % 31) * (p + 5) * (p + 13) + (f + shift) * 17)
+            * 2654435761 % 251
+            for p in range(64)
+        ]
+        tot = sum(v)
+        return [1 if 64 * x > tot else 0 for x in v]
+
+    def pooled(d):
+        fb = [frame_bits(d, f) for f in range(7)]
+        return [1 if 2 * sum(b[p] for b in fb) >= 7 else 0 for p in range(64)]
+
+    pooled_dist = sum(a != b for a, b in zip(pooled(9), pooled(40)))
+    assert pooled_dist > 3, (
+        f"fixture regression: pooled hashes only {pooled_dist} bits apart "
+        "— the planted offset case no longer demonstrates the pooling gap"
+    )
+    # exact frame-level overlap: trimmed {3..9} vs untrimmed {0..6} share
+    # pattern frames {3,4,5,6} — at least 4 identical bit vectors (the
+    # deterministic fixture adds one accidental post-threshold collision
+    # between distinct pattern frames, which only helps the vote)
+    exact_matches = sum(
+        frame_bits(9, f) == frame_bits(40, g)
+        for f in range(7)
+        for g in range(7)
+    )
+    assert exact_matches >= 4
+
+    rows = [(9,), (40,), (1,), (63,)]  # 1: other class; 63: trimmed class 1
+    df = spark.createDataFrame(rows, "doc_id long")
+    d = str(tmp_path / "vids")
+    df.select(
+        "doc_id",
+        F.lit("src").alias("source"),
+        F.lit("en").alias("lang"),
+        F.lit("x").alias("text"),
+        F.lit(1).cast("bigint").alias("n_chars"),
+    ).write.parquet(f"{d}/documents.parquet")
+    out = {
+        (r.id_a, r.id_b): r.n_frame_matches
+        for r in dedup_video_frameshift(spark, d).collect()
+    }
+    assert (9, 40) in out and out[(9, 40)] >= 4
+    # class 1's trimmed rendition pairs with its base the same way
+    assert (1, 63) in out and out[(1, 63)] >= 4
+    # no CROSS-class pairs survive the vote
+    assert not {(1, 9), (1, 40), (9, 63), (40, 63)} & set(out)

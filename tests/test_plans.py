@@ -667,3 +667,18 @@ def test_corpus_incremental_pipeline_plan(spark, sf_dir):
     # join itself may be SMJ or SHJ but there must be no third corpus-
     # sized shuffle join sneaking in beyond these keyed stages
     assert plan.count("SortMergeJoin") <= 3
+
+
+def test_video_frameshift_banded_join_plan(spark, sf_dir):
+    """dedup_video_frameshift (r10): per-frame signatures must ride the
+    same banded bucket join as the pooled query (never a frame-pair
+    cross join), and the frame vote must be one hash aggregate over the
+    verified pairs (partial/final — map-side combinable)."""
+    df = QUERIES["dedup_video_frameshift"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    import re
+
+    assert len(set(re.findall(r"MapInPandas \((\d+)\)", plan))) == 2
+    assert "HashAggregate" in plan
