@@ -1045,6 +1045,7 @@ def semantic_dedup(
     index: IvfIndex,
     min_cosine: float = 0.30,
     max_cell: int = DEFAULT_MAX_CELL,
+    exemplar_bridge: bool = True,
 ) -> DataFrame:
     """SemDeDup-style cluster-scoped embedding dedup (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -1072,6 +1073,17 @@ def semantic_dedup(
     pure integer arithmetic on md5(vec_id), so a SQL oracle replays the
     split (and hence the exact output) bit-for-bit at every scale. The
     per-cell size table is ≤ k rows — always broadcast.
+
+    Exemplar bridge (VERDICT r10): a second pass recovers the bounded
+    core of the cross-sub-cell loss — each sub-cell's most-central
+    member (provably kept by phase 1) is compared against the other
+    exemplars of its cell, so a duplicate GROUP spanning sub-cells
+    collapses to one representative instead of ceil(size/max_cell).
+    The bridge adds ceil(size/max_cell) rows per hot cell and its own
+    second-level salt re-applies the task cap; residual loss remains
+    only for non-exemplar members whose duplicates sit entirely in
+    other sub-cells — and, beyond max_cell² members per cell, between
+    second-level exemplar groups (the same trade, one level deeper).
 
     Choosing ``max_cell``: the default (1024) is MACHINE-centric — it
     bounds any single task at ~1M cosine comparisons regardless of
@@ -1143,9 +1155,86 @@ def semantic_dedup(
         F.when(F.col("cda") <= F.col("cdb"), F.col("id_b"))
         .otherwise(F.col("id_a"))
         .alias("vec_id")
-    ).distinct()
+    )
+    if not exemplar_bridge:
+        # Phase-1-only variant: exists so the scaling experiment can
+        # measure exactly what the bridge recovers (kept-count delta) on
+        # the same index — never the production default.
+        removed_all = removed.distinct()
+        return (
+            m.join(removed_all.withColumn("__rm", F.lit(1)), "vec_id", "left")
+            .select(
+                "vec_id",
+                "cell",
+                F.col("__rm").isNull().cast("bigint").alias("kept"),
+            )
+        )
+
+    # --- exemplar bridge (VERDICT r10 ask #4): the salt split drops
+    # duplicate pairs straddling sub-cells of one hot cell. Recover the
+    # bounded core of that loss by comparing each sub-cell's EXEMPLAR —
+    # its most-central member, min (cd, vec_id), which phase 1 provably
+    # keeps (nobody in its own sub-cell is more central) — against the
+    # other exemplars of the same cell. Per cell that is
+    # ceil(size/max_cell) rows, and a second-level salt keyed by the
+    # sub-cell count re-applies the cap, so no bridge task exceeds
+    # ~max_cell² comparisons even for cells beyond max_cell² members
+    # (where the residual loss is between second-level groups — the
+    # same trade, one level deeper). min_by on the (cd, vec_id) struct
+    # is deterministic: vec_id makes the ordering total.
+    order = F.struct(F.col("cd"), F.col("vec_id"))
+    ex = (
+        ms.filter(F.col("__csz") > max_cell)
+        .groupBy("cell", "salt")
+        .agg(
+            F.min_by(F.col("vec_id"), order).alias("vec_id"),
+            F.min_by(F.col("cv"), order).alias("cv"),
+            F.min_by(F.col("nv"), order).alias("nv"),
+            F.min(order).getField("cd").alias("cd"),
+            F.first(
+                F.expr(f"CAST((__csz - 1) div {int(max_cell)} AS INT) + 1")
+            ).alias("__nsalt"),
+        )
+        .withColumn("salt2", hot_cell_salt("vec_id", "__nsalt", max_cell))
+    )
+    bx = ex.select(
+        "cell",
+        "salt2",
+        F.col("vec_id").alias("id_a"),
+        F.col("cv").alias("va"),
+        F.col("nv").alias("na"),
+        F.col("cd").alias("cda"),
+    )
+    by = ex.select(
+        F.col("cell").alias("cell_b"),
+        F.col("salt2").alias("salt2_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("cv").alias("vb"),
+        F.col("nv").alias("nb"),
+        F.col("cd").alias("cdb"),
+    )
+    bridge_removed = (
+        bx.join(
+            by,
+            (F.col("cell") == F.col("cell_b"))
+            & (F.col("salt2") == F.col("salt2_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(
+            _cosine_from_norms(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            )
+            >= F.lit(min_cosine)
+        )
+        .select(
+            F.when(F.col("cda") <= F.col("cdb"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("vec_id")
+        )
+    )
+    removed_all = removed.union(bridge_removed).distinct()
     return (
-        m.join(removed.withColumn("__rm", F.lit(1)), "vec_id", "left")
+        m.join(removed_all.withColumn("__rm", F.lit(1)), "vec_id", "left")
         .select(
             "vec_id",
             "cell",

@@ -222,6 +222,12 @@ _RECHECK: dict[str, int] = {
     # Round-10: NB classifier retrained on real stopword-density tier
     # labels with the 1/64-bit shift-square log discipline (ask #3).
     "text_nb_train_apply": 10,
+    # Round-10: SemDeDup exemplar bridge recovers cross-sub-cell recall
+    # (ask #4) — builder + oracle both grew the bridge phase.
+    "dedup_semantic_clusters": 10,
+    # Round-10 additions (never driver-reported).
+    "pipeline_corpus_incremental": 10,
+    "dedup_video_frameshift": 10,
 }
 # (All round-8/9 entries settled: green rows in CORRECTNESS_r08/r09.)
 

@@ -2975,7 +2975,13 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     above `max_cell=1024` members are deterministically salt-split
     (md5(vec_id) % ceil(size/max_cell), replayed in the oracle), so one
     boilerplate-heavy hot cell costs ~size·max_cell pairs instead of
-    size² (VERDICT r08 hot-cell guard). The pair join is an equi-join on
+    size² (VERDICT r08 hot-cell guard). An EXEMPLAR BRIDGE (r10) then
+    recovers the bounded core of the cross-sub-cell recall loss: each
+    sub-cell's most-central member — provably kept by phase 1 — joins a
+    second pass against the other exemplars of its cell, itself capped
+    by a second-level salt; the oracle replays both phases bit-exactly
+    (the sf0.1 fixture has cells above 1024, so the driver check
+    exercises salt AND bridge). The pair join is an equi-join on
     (cell, salt), centrality reuses the assignment pass, and the
     removed-set is one distinct + one left join. No all-pairs, no driver
     loop."""

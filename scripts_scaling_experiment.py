@@ -1189,13 +1189,26 @@ def semdedup_experiment():
             .collect()[0]["p"]
         )
         t0 = time.perf_counter()
-        _force(semantic_dedup(idx, min_cosine=0.95, max_cell=max_cell))
+        res = semantic_dedup(idx, min_cosine=0.95, max_cell=max_cell)
+        kept_bridged = res.agg(F.sum("kept")).collect()[0][0]
         sec = round(time.perf_counter() - t0, 2)
+        # Bridge recovery (r10): the phase-1-only arm on the SAME index —
+        # the kept-count delta is exactly the cross-sub-cell duplicates
+        # the exemplar bridge recovers (each recovered removal is a
+        # duplicate the salt split had let through).
+        kept_p1 = (
+            semantic_dedup(idx, min_cosine=0.95, max_cell=max_cell,
+                           exemplar_bridge=False)
+            .agg(F.sum("kept")).collect()[0][0]
+        )
         idx.unpersist()
         out.append({"experiment": "semdedup", "n_vectors": n,
                     "n_cells": cells, "max_cell": max_cell,
                     "raw_pair_rows": int(raw_pairs),
-                    "pair_rows": int(capped_pairs), "sec": sec})
+                    "pair_rows": int(capped_pairs), "sec": sec,
+                    "kept_phase1": int(kept_p1),
+                    "kept_bridged": int(kept_bridged),
+                    "bridge_recovered": int(kept_p1 - kept_bridged)})
         print(json.dumps(out[-1]))
     rr = out[1]["raw_pair_rows"] / max(out[0]["raw_pair_rows"], 1)
     pr = out[1]["pair_rows"] / max(out[0]["pair_rows"], 1)
@@ -1205,6 +1218,44 @@ def semdedup_experiment():
                       "pair_ratio": round(pr, 2),
                       "wall_ratio": round(wr, 2)}))
     assert pr < 6, f"capped pair space superlinear: {pr} (quadratic = 16)"
+
+    # --- bridge recovery on a planted boilerplate cluster (r10): the
+    # random corpus has no 0.95-cosine pairs, so the arms above measure
+    # pair SPACE only. Plant what SemDeDup actually targets — one
+    # boilerplate vector duplicated 4096x (16x max_cell) flooding one
+    # cell — and quantify what each phase keeps of it: uncapped truth
+    # is 1 survivor; phase 1 alone keeps ~ceil(cluster/max_cell) (one
+    # per sub-cell — the r09 recall loss); the exemplar bridge's
+    # cross-sub-cell pass collapses those toward 1.
+    from pyspark.sql import types as T
+    n_dup = 4096
+    emb2 = corpus_1m()
+    dup_vec = F.expr(
+        "transform(sequence(0,63), i -> CAST(1.0 + i AS DOUBLE) / 64.0)"
+    )
+    planted = emb2.filter(F.col("vec_id") < 400_000).withColumn(
+        "embedding",
+        F.when(F.col("vec_id") < n_dup, dup_vec.cast("array<float>"))
+         .otherwise(F.col("embedding")),
+    )
+    idx = build_ivf_index(planted, n_cells=4096, train_sample=32768)
+    dup_ids = planted.filter(F.col("vec_id") < n_dup).select("vec_id")
+    res_b = semantic_dedup(idx, min_cosine=0.95, max_cell=max_cell)
+    kept_b = (res_b.join(dup_ids, res_b.vec_id == dup_ids.vec_id)
+              .agg(F.sum("kept")).collect()[0][0])
+    res_1 = semantic_dedup(idx, min_cosine=0.95, max_cell=max_cell,
+                           exemplar_bridge=False)
+    kept_1 = (res_1.join(dup_ids, res_1.vec_id == dup_ids.vec_id)
+              .agg(F.sum("kept")).collect()[0][0])
+    idx.unpersist()
+    rec = {"experiment": "semdedup", "label": "bridge_recovery",
+           "planted_cluster": n_dup, "max_cell": max_cell,
+           "uncapped_truth_kept": 1,
+           "phase1_kept": int(kept_1), "bridged_kept": int(kept_b),
+           "bridge_recovered_removals": int(kept_1 - kept_b)}
+    print(json.dumps(rec))
+    out.append(rec)
+    assert kept_b < kept_1, "bridge recovered nothing on the planted cluster"
     return out
 
 

@@ -120,7 +120,11 @@ def test_rotation_cycles_whole_registry_within_four_rounds():
     names = list(QUERIES)
     green_rounds = dict(_driver_green_rounds())
     cycle = math.ceil(len(names) / 50)
-    assert cycle <= 4, f"registry outgrew the 4-round cycle: {len(names)}"
+    # 201 queries since r10 (the incremental flagship + frame-level video
+    # dedup) -> the steady-state staleness bound is ceil(N/50) = 5 rounds.
+    # Keep a hard ceiling so unbounded registry growth can't silently
+    # stretch verdict staleness past what a judge can re-check.
+    assert cycle <= 5, f"registry outgrew the 5-round cycle: {len(names)}"
     current = max(green_rounds.values(), default=0)
     # consumed by the first simulated round
     recheck = _active_recheck(_RECHECK, green_rounds)
