@@ -69,11 +69,13 @@ HEADLINERS = [
     ("pipeline_corpus_curation", "LLM-corpus flagship (r08): gate (0 exchanges, scan-projection) -> exact-dedup survivors (1 digest-keyed window exchange) -> keep-first substring clip (the detector's keyed shuffles) -> pack window (1 source-keyed exchange); one Catalyst DAG, no pair lists, no driver loops"),
     ("dedup_image_phash", "perceptual-hash image dedup (r08): two Arrow mapInPandas stages (synth+resize+aHash, vectorized numpy) -> the shared banded-Hamming pigeonhole join; shuffle keyed by (band, slice), pair space never materialized"),
     ("embedding_kmeans_lloyd", "Lloyd k-means (r08): the RETURNED final-assignment plan is a zero-shuffle literal-centroid argmin projection (no join/window on the corpus); per-round updates ran eagerly as k*d-bounded groupBy aggregates with driver-collected partial sums"),
-    ("dedup_semantic_clusters", "SemDeDup (r09 hot-cell guard): pair space equi-joined on (cell, salt) — cells above max_cell salt-split by md5(vec_id) so quantizer imbalance cannot make one task quadratic (7.2x->4.06x pair growth at 4x data, SCALING.md); centroids + per-cell sizes broadcast, centrality reuses the assignment pass; no cartesian anywhere"),
+    ("dedup_semantic_clusters", "SemDeDup (r09 hot-cell guard + r10 exemplar bridge): pair space equi-joined on (cell, salt) — cells above max_cell salt-split by md5(vec_id) so quantizer imbalance cannot make one task quadratic (7.2x->4.06x pair growth at 4x data, SCALING.md); the per-sub-cell exemplars then bridge across sub-cells under a second-level salt (planted 4096-clone cluster: 16 spurious survivors -> 1); centroids + per-cell sizes broadcast, centrality reuses the assignment pass; no cartesian anywhere"),
     ("text_bigram_backoff", "held-out bigram LM scoring (r08): bigrams built map-side via zip_with over array slices (no posexplode+window); held (doc,bigram) repeats collapse before the three word-keyed model joins; train total broadcast as a scalar"),
     ("dedup_audio_fingerprint", "audio fingerprint dedup (r08): two Arrow mapInPandas stages (WAV synth + decode/fingerprint, vectorized numpy) -> the same banded-Hamming pigeonhole join as SimHash/aHash; (band, slice)-keyed shuffle, no O(n^2) pair space"),
     ("dedup_video_framehash", "video frame-hash dedup (r09): y4m synth -> stride-2 frame decode -> per-frame aHash -> majority pooling, all in two Arrow mapInPandas stages behind the gated spread_for_decode fan-out -> the shared banded-Hamming join; the fourth modality on one engine"),
-    ("text_nb_train_apply", "NB train+apply (r09): train collapses to a <=classes*buckets weight table padded over spark.range(64), broadcast onto the hash-classifier apply plan; class constants attach as 1-row BroadcastNestedLoop builds (scalar-subquery shape); no shuffle join anywhere in the DAG"),
+    ("text_nb_train_apply", "NB train+apply (r10: real stopword-density tier labels, 1/64-bit integer-log weights): one persisted (doc, bucket) collapse feeds labels-via-window, the <=classes*buckets weight table padded over spark.range(1024), and the broadcast-lookup apply; class constants attach as 1-row BroadcastNestedLoop builds (scalar-subquery shape); no shuffle join anywhere in the DAG"),
+    ("pipeline_corpus_incremental", "daily-refresh flagship (r10): increment-only gates (scan projection) -> within-batch exact dedup (1 window exchange) -> ASYMMETRIC banded LSH vs the standing corpus (new x old only, __is_new-filtered) -> corpus-trained NB via broadcast lookup -> pack window; corpus touched only for reusable signature/model state"),
+    ("dedup_video_frameshift", "frame-level video near-dup (r10): per-frame aHash rows (composite doc*8+frame ids) through the shared banded-Hamming join, then one map-side-combinable frame-vote aggregate; catches trimmed/offset duplicates majority pooling provably misses"),
 ]
 
 spark = get_spark(app_name="gen-plans")
