@@ -808,8 +808,15 @@ def nb_bucketize(
         label_true = F.when(
             s_tot * tier_mults[i] >= n_tot, F.lit(i)
         ).otherwise(label_true)
+    # __fst marks exactly one row per doc (its min bucket — from the
+    # SAME window, no extra exchange): doc-level counts downstream become
+    # plain conditional sums instead of count_distinct expands.
     return tb.select(
-        "__id", "bucket", "k", label_true.cast("int").alias("label_true")
+        "__id",
+        "bucket",
+        "k",
+        label_true.cast("int").alias("label_true"),
+        (F.col("bucket") == F.min("bucket").over(wdoc)).alias("__fst"),
     ).persist()
 
 
@@ -831,29 +838,32 @@ def nb_weight_table(
             for c in range(n_classes)
         ]
     )
-    consts = (
-        cnt.groupBy()
-        .agg(
-            *[
-                F.coalesce(
-                    F.sum(F.when(F.col("label_true") == c, F.col("n"))),
-                    F.lit(0),
-                ).alias(f"N{c}")
-                for c in range(n_classes)
-            ],
-        )
-        .crossJoin(
-            train.groupBy()
-            .agg(
-                *[
-                    F.count_distinct(
-                        F.when(F.col("label_true") == c, F.col("__id"))
-                    ).alias(f"D{c}")
-                    for c in range(n_classes)
-                ],
-                F.count_distinct(F.col("__id")).alias("Dt"),
-            )
-        )
+    # ONE pass over the train relation for all class constants: token
+    # totals as conditional sums of k, doc counts via the __fst flag
+    # (one marked row per doc) — no count_distinct Expand, no second
+    # aggregate, no crossJoin of 1-row relations.
+    consts = train.groupBy().agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("label_true") == c, F.col("k"))),
+                F.lit(0),
+            ).alias(f"N{c}")
+            for c in range(n_classes)
+        ],
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("label_true") == c) & F.col("__fst"), F.lit(1)
+                    )
+                ),
+                F.lit(0),
+            ).alias(f"D{c}")
+            for c in range(n_classes)
+        ],
+        F.coalesce(
+            F.sum(F.when(F.col("__fst"), F.lit(1))), F.lit(0)
+        ).alias("Dt"),
     )
     wtab = (
         train.sparkSession.range(n_buckets)
