@@ -754,7 +754,7 @@ def test_nb_train_apply_planted_separable_accuracy(spark):
     additionally carries its own content words, so the hashed bucket
     distributions are well separated. NB trained on the id % 5 != 0
     slice must score >= 90% on the held-out fifth (it achieves 100%
-    here; the floor leaves slack for hash-collision noise if the
+    here; the floor leaves headroom for hash-collision noise if the
     fixture drifts)."""
     from fn_rq_report_etl_dev_spark.operators.curation import nb_train_apply
 
