@@ -767,14 +767,24 @@ def nb_bucketize(
     n_buckets: int = 1024,
     tier_mults: tuple[int, ...] = (20, 50),
     stop_words: tuple[str, ...] = None,
+    persist: bool = True,
 ) -> DataFrame:
     """The shared NB feature pass: collapse each document to its hashed
     (bucket, count) rows and attach the stopword-density tier label —
-    returns a PERSISTED ``(__id, bucket, k, label_true)`` relation
+    returns a ``(__id, bucket, k, label_true)`` relation
     (<= n_buckets rows per doc, map-side combinable, left hash-
     partitioned by __id so downstream per-doc aggregates reuse the
-    exchange). Multiple consumers (weight training + apply) read it;
-    persisting makes the corpus-sized tokenize+explode run once."""
+    exchange).
+
+    ``persist`` (default True) caches the relation for the multi-consumer
+    case (weight training + apply read the same pass in
+    ``nb_train_apply`` — persisting makes the corpus-sized
+    tokenize+explode run once; released by
+    ``session.release_intermediates``, the convention every fan-out
+    persist in this package follows). Single-consumer callers — a
+    pipeline training on one relation and applying on another, each read
+    exactly once — pass ``persist=False``: caching a one-reader relation
+    is pure store/evict overhead (ADVICE r10)."""
     from pyspark.sql import Window
 
     from ..functions.text import LANG_STOPWORDS, ascii_lower
@@ -811,13 +821,14 @@ def nb_bucketize(
     # __fst marks exactly one row per doc (its min bucket — from the
     # SAME window, no extra exchange): doc-level counts downstream become
     # plain conditional sums instead of count_distinct expands.
-    return tb.select(
+    out = tb.select(
         "__id",
         "bucket",
         "k",
         label_true.cast("int").alias("label_true"),
         (F.col("bucket") == F.min("bucket").over(wdoc)).alias("__fst"),
-    ).persist()
+    )
+    return out.persist() if persist else out
 
 
 def nb_weight_table(
@@ -976,7 +987,18 @@ def nb_train_apply(
     DuckDB — cross-engine equality holds by construction, not by float
     luck. A defensive pre-shift (den >> max(0, lb(den) − 32), num
     shifted alike) keeps x·2^30 in bigint for class totals beyond 2^32
-    tokens, so the operator is scale-unbounded.
+    tokens, so the ARITHMETIC is scale-unbounded (no overflow at any
+    corpus size). Score RESOLUTION saturates earlier (ADVICE r10): the
+    30-bit ratio quantization clamps any ratio below 2^-30 to r=1 →
+    W=0, so once a class's token total N_c exceeds ~2^30 (~10^9 tokens)
+    every unseen-bucket Laplace ratio (m+1)/(N_c+B) quantizes to the
+    same W=0 and differing N_c no longer separate classes on unseen
+    buckets (seen buckets, where m ≫ 0, keep full resolution).
+    Billion-token-per-class deployments should raise the quantization
+    scale (2^30 → 2^40 with a matching pre-shift widening) — a
+    constant change to ``_with_w64``; not done here because the
+    driver-checked corpora are far below the bound and the wider shift
+    costs one more renormalization stage per weight.
       s(doc, c) = W(q_c) + Σ_b k_b · W(r_cb)
       r_cb = (n_cb + 1) / (N_c + B)     (Laplace token weight)
       q_c  = (D_c + 1) / (D + C)        (doc prior)

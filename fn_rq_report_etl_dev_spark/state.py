@@ -1,0 +1,110 @@
+"""Standing corpus state: the warehouse tables a daily-refresh pipeline
+reads instead of recomputing (VERDICT r10 ask #1).
+
+``pipeline_corpus_incremental`` composes the verified incremental pieces,
+but its recompute form derives the corpus-side LSH band signatures and
+trains the NB quality model inside the daily query — at 100 TB that
+corpus pass IS the job. This module makes the amortization real:
+
+- ``CORPUS_SIGNATURES`` — ``(doc_id, band, band_hash)``, one row per
+  (document, LSH band), produced by ``operators.text_dedup.
+  band_signatures``. The daily near-dup screen becomes one
+  increment-side signature pass + a (band, band_hash) equi-join against
+  this table (``incremental_lsh_candidates_standing``).
+- ``CORPUS_NB_WEIGHTS`` — the ≤ n_buckets-row NB weight table
+  (``bucket, w0..w{{C-1}}, p0..p{{C-1}}``) from ``operators.curation.
+  nb_weight_table``; the daily classifier apply is a broadcast lookup
+  against it (``nb_apply``), zero corpus-side tokenize.
+
+Both tables are integer/string-typed (bigint weights, md5 band hashes),
+so the parquet round trip is bit-exact and the state-reading daily DAG
+produces BYTE-IDENTICAL results to the recompute form — pinned by
+tests/test_standing_state.py and shared-oracle-checked by the
+``pipeline_corpus_incremental_standing`` workload.
+
+Reference parity: the reference ETL (reference rqtradein_etl.py) persists
+only its output warehouse table between daily runs — standing DERIVED
+state is part of this repo's LLM-pipeline extension scope, reusing the
+same ``catalog.Warehouse`` machinery (atomic overwrite = the refresh
+job's idempotence guarantee, O5/O13 parity) and the O20 metrics-emission
+convention (the refresh returns its row counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import Warehouse
+from .operators.curation import nb_bucketize, nb_weight_table
+from .operators.text_dedup import DEFAULT_BANDS, DEFAULT_K, band_signatures
+
+CORPUS_SIGNATURES = "corpus_signatures"
+CORPUS_NB_WEIGHTS = "corpus_nb_weights"
+
+
+def refresh_corpus_state(
+    corpus: DataFrame,
+    warehouse: Warehouse,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    n_buckets: int = 1024,
+) -> dict[str, int]:
+    """The REFRESH JOB: (re)materialize the two standing tables from the
+    current corpus. Runs the corpus-scale passes exactly once — the
+    banded MinHash signature aggregate and the NB tokenize/train — and
+    writes each with ``overwrite_atomic`` (a crashed refresh leaves the
+    previous state readable; a re-run converges, the same idempotence
+    discipline as the merge sink). Scheduled like any other job
+    (``jobs.py`` O4 parity): production runs it once per refresh window,
+    daily queries only ever read.
+
+    Returns the row counts written ({table: rows}) — the O20
+    metrics-emission convention; both counts are plan-side aggregates of
+    the just-written parquet (no driver-side data movement)."""
+    sig = band_signatures(
+        corpus.select(F.col(id_col), F.col(text_col)),
+        id_col,
+        text_col,
+        k,
+        bands,
+    ).select(F.col("__id").alias("doc_id"), "band", "band_hash")
+    warehouse.overwrite_atomic(sig, CORPUS_SIGNATURES)
+
+    # One persisted tokenize pass feeds the weight table's two readers
+    # (per-bucket counts + the one-row class constants), released as soon
+    # as the write action completes — the refresh job owns its persists.
+    rel = nb_bucketize(corpus, id_col, text_col, n_buckets, persist=True)
+    try:
+        warehouse.overwrite_atomic(
+            nb_weight_table(rel, n_buckets), CORPUS_NB_WEIGHTS
+        )
+    finally:
+        rel.unpersist()
+
+    spark = corpus.sparkSession
+    return {
+        CORPUS_SIGNATURES: warehouse.read(spark, CORPUS_SIGNATURES).count(),
+        CORPUS_NB_WEIGHTS: warehouse.read(spark, CORPUS_NB_WEIGHTS).count(),
+    }
+
+
+def read_corpus_state(
+    spark: SparkSession, warehouse: Warehouse
+) -> tuple[DataFrame, DataFrame]:
+    """The daily side: (signatures, nb_weights) as plain parquet scans.
+    Raises a clear error when the refresh job has never run — a daily
+    query silently screening against an EMPTY signature table would
+    accept every near-dup."""
+    for table in (CORPUS_SIGNATURES, CORPUS_NB_WEIGHTS):
+        if not warehouse.exists(table):
+            raise FileNotFoundError(
+                f"standing state table '{table}' missing under "
+                f"{warehouse.root!r} — run refresh_corpus_state first"
+            )
+    return (
+        warehouse.read(spark, CORPUS_SIGNATURES),
+        warehouse.read(spark, CORPUS_NB_WEIGHTS),
+    )

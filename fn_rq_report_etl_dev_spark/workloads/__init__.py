@@ -76,6 +76,13 @@ EAGER_SCHEMAS: dict[str, str] = {
         "n_events bigint"
     ),
     "dedup_cluster_components": "doc_id bigint, component bigint",
+    # the standing-state flagship's FIRST invocation runs the refresh job
+    # (writes the two corpus-state parquet tables) before returning the
+    # daily DAG
+    "pipeline_corpus_incremental_standing": (
+        "source string, doc_id bigint, n_tokens bigint, label int, "
+        "pack_id bigint"
+    ),
     "streaming_cdc_apply": (
         "user_id bigint, last_op string, last_cents bigint, n_ops bigint"
     ),
@@ -208,28 +215,16 @@ from . import analytics  # noqa: E402,F401
 # quality-gate composition point) all carried round 7, got green r07
 # verdicts, and are gone: settled out, exactly as designed.
 _RECHECK: dict[str, int] = {
-    # Round-10 ADVICE fixes: the three modality synths (and their
-    # oracles) pin the non-negative doc_id domain explicitly — same
-    # results on the current fixture, but the builder bodies changed.
-    "dedup_image_phash": 10,
-    "dedup_audio_fingerprint": 10,
-    "dedup_video_framehash": 10,
-    # Round-10: bpe_pair_merges coalesces NULL freq to 0 so the
-    # driver-loop and distributed paths agree on dirty input (ADVICE
-    # r09); both BPE queries ride that operator.
-    "text_bpe_vocab_learn": 10,
-    "text_bpe_tokenize": 10,
-    # Round-10: NB classifier retrained on real stopword-density tier
-    # labels with the 1/64-bit shift-square log discipline (ask #3).
-    "text_nb_train_apply": 10,
-    # Round-10: SemDeDup exemplar bridge recovers cross-sub-cell recall
-    # (ask #4) — builder + oracle both grew the bridge phase.
-    "dedup_semantic_clusters": 10,
-    # Round-10 additions (never driver-reported).
-    "pipeline_corpus_incremental": 10,
-    "dedup_video_frameshift": 10,
+    # Round-11: nb_bucketize grew a caller-controlled persist flag
+    # (ADVICE r10 #1) — output identical, operator body changed, so the
+    # two queries riding it re-verify.
+    "text_nb_train_apply": 11,
+    # Round-11: body refactored into helpers shared with the new
+    # standing-state form (_increment_survivors/_pack_accepted) +
+    # apply-side persist dropped (ADVICE r10 #1); same plan, same rows.
+    "pipeline_corpus_incremental": 11,
 }
-# (All round-8/9 entries settled: green rows in CORRECTNESS_r08/r09.)
+# (All round-10 entries settled: green rows in CORRECTNESS_r10.)
 
 
 def _active_recheck(

@@ -1358,6 +1358,68 @@ _INCR_PIPELINE_SQL = rf"""
     """.replace("{nm}", "7")
 
 
+def _increment_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steps 1–2 of the incremental flagship — quality/blocklist gates on
+    the arriving batch, then exact dedup WITHIN it — shared verbatim by
+    the recompute and standing-state forms so their equivalence is a
+    statement about the corpus-state seam only. Returns the PERSISTED
+    survivor set (three consumers downstream: LSH new side, anti-join
+    stream, meta join)."""
+    from pyspark.sql import Window
+
+    from ..operators.curation import with_blocklist_metrics
+
+    docs = load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % _NEW_MOD == 0)
+
+    aug, _n_hits, _hit_terms, blocked = with_blocklist_metrics(
+        new, "text", _BLOCKLIST, hit_pct=2
+    )
+    gated = quality_gate(
+        aug,
+        "doc_id",
+        "text",
+        extra_rules=[(blocked, "blocklist")],
+        extra_cols=[F.col("text"), F.col("source")],
+    )
+    kept = gated.filter(F.col("keep")).select("doc_id", "source", "text")
+
+    w_dedup = Window.partitionBy(F.md5(F.col("text"))).orderBy(
+        F.asc("doc_id")
+    )
+    return (
+        kept.withColumn("__rn", F.row_number().over(w_dedup))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .persist()
+    )
+
+
+def _pack_accepted(scored: DataFrame, accepted: DataFrame) -> DataFrame:
+    """Step 5 of the incremental flagship (greedy per-source sequence
+    packing of the accepted, scored increment), shared by both forms."""
+    from pyspark.sql import Window
+
+    from .llmops import PACK_BUDGET_TOKENS
+
+    t = scored.join(accepted.select("doc_id", "source"), "doc_id")
+    w_pack = (
+        Window.partitionBy("source")
+        .orderBy(F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w_pack), F.lit(0))
+    return t.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "label",
+        F.floor(before / F.lit(float(PACK_BUDGET_TOKENS)))
+        .cast("bigint")
+        .alias("pack_id"),
+    )
+
+
 @workload("pipeline_corpus_incremental", oracle=_INCR_PIPELINE_SQL)
 def pipeline_corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DAILY-REFRESH corpus flagship (VERDICT r10 ask #1): the 100 TB
@@ -1394,42 +1456,14 @@ def pipeline_corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join against persisted corpus signatures — both linear in the
     increment; corpus-side work is the once-per-day model/signature
     refresh a production deployment amortizes."""
-    from pyspark.sql import Window
-
     from ..operators.curation import nb_apply, nb_bucketize, nb_weight_table
-    from ..operators.curation import with_blocklist_metrics
-    from .llmops import PACK_BUDGET_TOKENS
 
     docs = load(spark, sf_dir, "documents")
-    new = docs.filter(F.col("doc_id") % _NEW_MOD == 0)
     corpus = docs.filter(F.col("doc_id") % _NEW_MOD != 0)
 
-    # 1. gates on the increment only
-    aug, _n_hits, _hit_terms, blocked = with_blocklist_metrics(
-        new, "text", _BLOCKLIST, hit_pct=2
-    )
-    gated = quality_gate(
-        aug,
-        "doc_id",
-        "text",
-        extra_rules=[(blocked, "blocklist")],
-        extra_cols=[F.col("text"), F.col("source")],
-    )
-    kept = gated.filter(F.col("keep")).select("doc_id", "source", "text")
-
-    # 2. exact dedup within the increment
-    w_dedup = Window.partitionBy(F.md5(F.col("text"))).orderBy(
-        F.asc("doc_id")
-    )
-    # Three consumers (LSH new side, anti-join stream, meta join) —
-    # persist the increment-sized survivor set so the gate + dedup
-    # window run once, not once per consumer.
-    surv = (
-        kept.withColumn("__rn", F.row_number().over(w_dedup))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-        .persist()
-    )
+    # 1–2. gates + exact dedup on the increment only (shared helper —
+    # persists the increment-sized survivor set for its 3 consumers)
+    surv = _increment_survivors(spark, sf_dir)
 
     # 3. asymmetric near-dup screen vs the standing corpus
     union = corpus.select("doc_id", "text").withColumn(
@@ -1444,28 +1478,106 @@ def pipeline_corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two consumers (classifier tokenize + meta join) — persist
     accepted = surv.join(drops, "doc_id", "left_anti").persist()
 
-    # 4. NB classifier: model from the corpus, applied to the increment
+    # 4. NB classifier: model from the corpus, applied to the increment.
+    # train_rel stays persisted (nb_weight_table reads it twice: the
+    # per-bucket counts and the one-row class constants); apply_rel has
+    # exactly one reader (the scoring join), so caching it is pure
+    # overhead — persist=False (ADVICE r10). All persists in this DAG
+    # (surv, accepted, train_rel) live until the session releases them:
+    # long-lived sessions call session.release_intermediates after
+    # consuming the result — the same documented convention as
+    # incremental_lsh_candidates' banded table (bench.py isolates with
+    # exactly that call between queries).
     train_rel = nb_bucketize(corpus, "doc_id", "text")
-    apply_rel = nb_bucketize(accepted, "doc_id", "text")
+    apply_rel = nb_bucketize(accepted, "doc_id", "text", persist=False)
     wtab = nb_weight_table(train_rel)
     scored = nb_apply(apply_rel, wtab).select(
         F.col("__id").alias("doc_id"), "n_tokens", "label"
     )
 
-    # 5. pack the accepted docs per source shard
-    t = scored.join(accepted.select("doc_id", "source"), "doc_id")
-    w_pack = (
-        Window.partitionBy("source")
-        .orderBy(F.asc("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # 5. pack the accepted docs per source shard (shared helper)
+    return _pack_accepted(scored, accepted)
+
+
+# Standing-state warehouses, one per (session, corpus dir) — built by the
+# refresh job on first use, then REUSED by every later invocation in the
+# session (the amortization the standing form exists to demonstrate; the
+# IVF codebook cache at llmops._IVF_CODEBOOK_CACHE is the same pattern).
+# Keyed on the resolved sf_dir: the driver's test corpora are immutable
+# per path within a session, and test fixtures use unique tmp paths.
+_CORPUS_STATE_CACHE: dict = {}
+
+
+def _standing_state_warehouse(spark: SparkSession, sf_dir: str):
+    import os
+    import tempfile
+
+    from ..catalog import Warehouse
+    from ..state import refresh_corpus_state
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    if key not in _CORPUS_STATE_CACHE:
+        wh = Warehouse(tempfile.mkdtemp(prefix="corpus-state-"))
+        docs = load(spark, sf_dir, "documents")
+        refresh_corpus_state(
+            docs.filter(F.col("doc_id") % _NEW_MOD != 0), wh
+        )
+        _CORPUS_STATE_CACHE[key] = wh
+    return _CORPUS_STATE_CACHE[key]
+
+
+@workload("pipeline_corpus_incremental_standing", oracle=_INCR_PIPELINE_SQL)
+def pipeline_corpus_incremental_standing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The incremental flagship with its standing state made REAL
+    (VERDICT r10 ask #1): where ``pipeline_corpus_incremental`` recomputes
+    the corpus-side LSH band signatures and retrains the NB model inside
+    the daily query, this form reads them from warehouse tables
+    (``state.CORPUS_SIGNATURES`` + ``state.CORPUS_NB_WEIGHTS``) written
+    by a separate refresh job (``state.refresh_corpus_state`` — run here
+    once per (session, corpus) and cached, exactly like the IVF index
+    builds; bench.py times it as its own infrastructure metric).
+
+    The DAILY DAG — the DataFrame this returns — therefore touches the
+    corpus NOWHERE: its only inputs are the increment (gates → exact
+    dedup → one increment-side signature pass) and two parquet scans of
+    standing state; the near-dup screen is an equi-join of increment
+    signatures against the stored table
+    (``incremental_lsh_candidates_standing``) and the classifier apply
+    is a broadcast lookup of the stored ≤1024-row weight table. At
+    100 TB this is the difference between a job linear in |increment|
+    and one linear in |corpus| — quantified in SCALING.md §standing
+    state. Zero corpus-side tokenize/shingle/groupBy is plan-pinned
+    (tests/test_plans.py); bit-exact equivalence to the recompute form
+    is pinned by tests/test_standing_state.py, and this query shares the
+    recompute form's oracle verbatim (both tables round-trip integers
+    and md5 strings, so the parquet hop loses nothing).
+
+    Output: (source, doc_id, n_tokens, label, pack_id) — identical
+    contract to ``pipeline_corpus_incremental``."""
+    from ..operators.curation import nb_apply, nb_bucketize
+    from ..operators.text_dedup import incremental_lsh_candidates_standing
+    from ..state import read_corpus_state
+
+    wh = _standing_state_warehouse(spark, sf_dir)
+    sig_tbl, wtab = read_corpus_state(spark, wh)
+
+    surv = _increment_survivors(spark, sf_dir)
+
+    # 3. near-dup screen: increment signatures vs the STORED corpus table
+    pairs = incremental_lsh_candidates_standing(
+        surv, sig_tbl, "doc_id", "text"
     )
-    before = F.coalesce(F.sum("n_tokens").over(w_pack), F.lit(0))
-    return t.select(
-        "source",
-        "doc_id",
-        "n_tokens",
-        "label",
-        F.floor(before / F.lit(float(PACK_BUDGET_TOKENS)))
-        .cast("bigint")
-        .alias("pack_id"),
+    drops = pairs.select(F.col("id_new").alias("doc_id")).distinct()
+    accepted = surv.join(drops, "doc_id", "left_anti").persist()
+
+    # 4. classifier apply against the STORED weight table (broadcast
+    # lookup; single consumer → no persist, ADVICE r10)
+    apply_rel = nb_bucketize(accepted, "doc_id", "text", persist=False)
+    scored = nb_apply(apply_rel, wtab).select(
+        F.col("__id").alias("doc_id"), "n_tokens", "label"
     )
+
+    # 5. pack (shared helper)
+    return _pack_accepted(scored, accepted)

@@ -1227,7 +1227,6 @@ def semdedup_experiment():
     # is 1 survivor; phase 1 alone keeps ~ceil(cluster/max_cell) (one
     # per sub-cell — the r09 recall loss); the exemplar bridge's
     # cross-sub-cell pass collapses those toward 1.
-    from pyspark.sql import types as T
     n_dup = 4096
     emb2 = corpus_1m()
     dup_vec = F.expr(

@@ -660,7 +660,7 @@ def test_hash_classifier_planted_scores(spark):
 
 def test_nb_train_apply_integer_scores(spark):
     """nb_train_apply replayed against an independent pure-Python NB on a
-    planted corpus: md5 hash buckets, quarter-bit Laplace ratio weights,
+    planted corpus: md5 hash buckets, 1/64-bit (6-fractional-bit) Laplace ratio weights,
     doc priors, stopword-density tier labels, argmax-with-smallest-tie —
     and the holdout split (id % 5 == 0 scored, others trained; NULL ids
     in neither; token-less docs in neither)."""
@@ -688,7 +688,7 @@ def test_nb_train_apply_integer_scores(spark):
     B, C = 1024, 3
     bkt = lambda w: int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % B  # noqa: E731
 
-    def lb4(num, den):
+    def lb64(num, den):
         # the operator's 1/64-bit shift-and-square integer log (with the
         # defensive den pre-shift), replayed with Python bigints
         sh = max((den.bit_length() - 1) - 32, 0)
@@ -730,8 +730,8 @@ def test_nb_train_apply_integer_scores(spark):
         if not ws:
             continue
         s = [
-            lb4(D[c] + 1, Dt + C)
-            + sum(lb4(cnt.get((c, bkt(w)), 0) + 1, N[c] + B) for w in ws)
+            lb64(D[c] + 1, Dt + C)
+            + sum(lb64(cnt.get((c, bkt(w)), 0) + 1, N[c] + B) for w in ws)
             for c in range(C)
         ]
         lab = max(range(C), key=lambda c: (s[c], -c))

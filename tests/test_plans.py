@@ -658,6 +658,12 @@ def test_corpus_incremental_pipeline_plan(spark, sf_dir):
     nothing in the DAG may go cartesian. Shuffle joins are allowed only
     for the increment-keyed anti/meta joins (small side = the day's
     batch), so their count is pinned."""
+    # Pin the COLD plan: earlier tests in the session may have collected
+    # either flagship form, and CacheManager then substitutes persisted
+    # subtrees as InMemoryRelations whose printed children double-count
+    # join nodes in the plan text (r11: the standing-state twin made this
+    # ordering-dependent inflation real).
+    spark.catalog.clearCache()
     df = QUERIES["pipeline_corpus_incremental"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "__is_new" in plan
@@ -667,6 +673,27 @@ def test_corpus_incremental_pipeline_plan(spark, sf_dir):
     # join itself may be SMJ or SHJ but there must be no third corpus-
     # sized shuffle join sneaking in beyond these keyed stages
     assert plan.count("SortMergeJoin") <= 3
+
+
+def test_corpus_incremental_standing_daily_dag_reads_state_only(spark, sf_dir):
+    """The standing-state flagship's DAILY DAG (r11, VERDICT r10 ask #1)
+    must touch the corpus nowhere: its only parquet inputs are the
+    increment scan of documents and the two standing-state tables. No
+    union leg (__is_new gone), no corpus-side filter (the recompute
+    form's NOT(doc_id % 7 = 0) branch), no cartesian; the weight lookup
+    stays a broadcast hash join. This is the plan-level proof that the
+    corpus-scale tokenize/shingle/groupBy moved into the refresh job."""
+    import re
+
+    spark.catalog.clearCache()  # cold plan — see the recompute pin above
+    df = QUERIES["pipeline_corpus_incremental_standing"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "corpus_signatures" in plan and "corpus_nb_weights" in plan
+    assert "__is_new" not in plan
+    assert not re.search(r"NOT \(\(doc_id#\d+L? % 7\)", plan)
+    assert plan.count("documents.parquet") == 1  # the increment leg only
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_video_frameshift_banded_join_plan(spark, sf_dir):

@@ -99,7 +99,7 @@ def test_registry_rotation_prioritizes_unverified():
     )
 
 
-def test_rotation_cycles_whole_registry_within_four_rounds():
+def test_rotation_cycles_whole_registry_within_cycle_bound():
     """Staleness guarantee (VERDICT r06 ask #1): simulate the driver
     forward from the LIVE green-round state — each simulated round
     reports the first 50 registry entries green (the observed driver
