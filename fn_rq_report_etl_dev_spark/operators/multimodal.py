@@ -674,3 +674,81 @@ def wave_pcm_samples() -> Callable[[bytes], "list[float] | None"]:
         return [float(x) for x in samples]
 
     return decode
+
+
+def frame_vote_pairs(
+    frames: DataFrame,
+    video_col: str,
+    frame_col: str,
+    bits_col: str,
+    frames_per_video_bound: int = 8,
+    min_frame_votes: int = 3,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Frame-level video near-dup (the ``dedup_video_frameshift``
+    contract, lifted into a parameterized operator — VERDICT r10 ask #4):
+    per-frame 64-bit fingerprints ride the shared
+    :func:`~fn_rq_report_etl_dev_spark.operators.text_dedup.banded_hamming_pairs`
+    engine under a composite id ``video·bound + frame`` (collision-free
+    iff every frame index is in ``[0, bound)`` — enforced, see below),
+    then ONE map-side-combinable vote aggregates matched frame pairs per
+    video pair: ``>= min_frame_votes`` matching frames pairs the videos.
+
+    Parameters mirror the ``max_cell``/``max_hamming`` discipline
+    elsewhere: ``frames_per_video_bound`` is the sampling contract (a
+    stride-sampler emitting at most N frames per video sets bound=N);
+    ``min_frame_votes`` trades recall on trimmed/offset renditions
+    against template-frame false pairs (intros, black frames).
+
+    Guards: the args are validated eagerly (a wrong bound silently
+    aliasing two videos' frames into one id is the worst failure mode —
+    it MERGES unrelated videos), and frame indexes are range-checked
+    IN-PLAN: an out-of-range frame raises at execution instead of
+    corrupting the composite id space. Requires non-negative video ids
+    (same domain pin as the modality synths, ADVICE r09).
+
+    Scale shape: identical to the pooled-hash query plus one hash
+    aggregate — the banded equi-join carries ``bound×`` the signature
+    rows, the vote's partial counts combine map-side, and the frame-pair
+    space is never materialized beyond the banded candidates."""
+    from .text_dedup import banded_hamming_pairs
+
+    if frames_per_video_bound < 1:
+        raise ValueError(
+            f"frames_per_video_bound must be >= 1, got {frames_per_video_bound}"
+        )
+    if min_frame_votes < 1:
+        raise ValueError(
+            f"min_frame_votes must be >= 1, got {min_frame_votes}"
+        )
+    video = F.col(video_col).cast("long")
+    frame = F.col(frame_col).cast("long")
+    in_range = (frame >= 0) & (frame < frames_per_video_bound) & (video >= 0)
+    composite = F.when(
+        in_range, video * frames_per_video_bound + frame
+    ).otherwise(
+        # executes only on violating rows: fail loudly instead of
+        # aliasing frames across videos
+        F.assert_true(
+            F.lit(False),
+            F.lit(
+                f"frame index outside [0, {frames_per_video_bound}) or "
+                "negative video id"
+            ),
+        ).cast("long")
+    )
+    sig = frames.select(
+        composite.alias("__id"), F.col(bits_col).alias("bits")
+    )
+    fp = banded_hamming_pairs(sig, "bits", max_hamming=max_hamming, bands=bands)
+    return (
+        fp.select(
+            F.expr(f"CAST(id_a div {frames_per_video_bound} AS BIGINT)").alias("id_a"),
+            F.expr(f"CAST(id_b div {frames_per_video_bound} AS BIGINT)").alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_frame_matches"))
+        .filter(F.col("n_frame_matches") >= min_frame_votes)
+    )

@@ -88,6 +88,13 @@ EAGER_SCHEMAS: dict[str, str] = {
     ),
     "ann_ivf_topk": "query_id bigint, neighbor_id bigint, rank bigint, cos_r double",
     "ann_ivf_recall": "n_probe bigint, bf_pairs bigint, recall_ok bigint",
+    # first invocation runs the IVF state refresh job (codebook collect +
+    # assignment parquet write); the frozen-codebook assign collects the
+    # <=8 centroid rows
+    "ann_ivf_add_vectors": (
+        "vec_id bigint, cell int, dist_fp bigint, base_mean_fp bigint, "
+        "new_mean_fp bigint, stale boolean"
+    ),
     "schema_evolution_union": (
         "bucket bigint, n_rows bigint, n_priced bigint, n_prioritized bigint, "
         "total_price double, n_urgent bigint"
@@ -223,6 +230,10 @@ _RECHECK: dict[str, int] = {
     # standing-state form (_increment_survivors/_pack_accepted) +
     # apply-side persist dropped (ADVICE r10 #1); same plan, same rows.
     "pipeline_corpus_incremental": 11,
+    # Round-11: composite-id + frame vote lifted into the parameterized
+    # frame_vote_pairs operator (VERDICT r10 ask #4) — defaults reproduce
+    # the r10 contract, builder body changed.
+    "dedup_video_frameshift": 11,
 }
 # (All round-10 entries settled: green rows in CORRECTNESS_r10.)
 

@@ -914,6 +914,112 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Standing ANN index state, one warehouse per (session, embeddings dir) —
+# the refresh job (codebook pick + one base-corpus assignment pass with
+# stored distortion) runs once and every later invocation reads parquet;
+# same amortization pattern as _IVF_CODEBOOK_CACHE and the corpus-state
+# warehouse in workloads/curation.py. Base corpus = vec_id % 5 != 0; the
+# % 5 == 0 slice plays the arriving increment.
+_ANN_NEW_MOD = 5
+_IVF_STATE_CACHE: dict = {}
+
+
+def _ivf_state_warehouse(spark: SparkSession, sf_dir: str):
+    import os
+    import tempfile
+
+    from ..catalog import Warehouse
+    from ..state import refresh_ivf_state
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    if key not in _IVF_STATE_CACHE:
+        wh = Warehouse(tempfile.mkdtemp(prefix="ivf-state-"))
+        emb = load(spark, sf_dir, "embeddings")
+        refresh_ivf_state(
+            emb.filter(F.col("vec_id") % _ANN_NEW_MOD != 0), wh,
+            n_cells=8, seed=42,
+        )
+        _IVF_STATE_CACHE[key] = wh
+    return _IVF_STATE_CACHE[key]
+
+
+@workload(
+    "ann_ivf_add_vectors",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0 AND vec_id IS NOT NULL),
+    base AS (SELECT * FROM e WHERE vec_id % {_ANN_NEW_MOD} <> 0),
+    newv AS (SELECT * FROM e WHERE vec_id % {_ANN_NEW_MOD} = 0),
+    hb AS (SELECT vec_id, v, md5('42:' || vec_id) AS h FROM base),
+    cb AS (SELECT (row_number() OVER (ORDER BY h, vec_id) - 1)::INT AS cell,
+                  v AS c
+           FROM hb QUALIFY row_number() OVER (ORDER BY h, vec_id) <= 8),
+    bass AS (
+        SELECT CAST(floor(d * 1048576) AS BIGINT) AS dist_fp FROM (
+            SELECT b.vec_id, {_sqdist_chain_sql('b.v', 'cb.c')} AS d,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY {_sqdist_chain_sql('b.v', 'cb.c')}, cb.cell
+                   ) AS rk
+            FROM base b, cb)
+        WHERE rk = 1),
+    nass AS (
+        SELECT vec_id, cell,
+               CAST(floor(d * 1048576) AS BIGINT) AS dist_fp FROM (
+            SELECT n.vec_id, cb.cell, {_sqdist_chain_sql('n.v', 'cb.c')} AS d,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY {_sqdist_chain_sql('n.v', 'cb.c')}, cb.cell
+                   ) AS rk
+            FROM newv n, cb)
+        WHERE rk = 1),
+    bagg AS (SELECT CAST(sum(dist_fp) // count(*) AS BIGINT) AS base_mean_fp
+             FROM bass),
+    nagg AS (SELECT CAST(sum(dist_fp) // count(*) AS BIGINT) AS new_mean_fp
+             FROM nass)
+    SELECT n.vec_id, n.cell, n.dist_fp, bagg.base_mean_fp, nagg.new_mean_fp,
+           nagg.new_mean_fp > 2 * bagg.base_mean_fp AS stale
+    FROM nass n, bagg, nagg
+    """,
+)
+def ann_ivf_add_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ANN INDEX MAINTENANCE (VERDICT r10 ask #3),
+    hash-checked end to end: new vectors (vec_id % 5 == 0) arrive into a
+    STANDING IVF index — codebook + assignments + stored training
+    distortion persisted as warehouse tables by ``state.refresh_ivf_state``
+    (run once per session/corpus, like every index build here). The
+    query assigns ONLY the increment against the frozen codebook (a
+    scan-side literal-centroid argmin — zero shuffle, zero corpus work;
+    ``operators.similarity.ivf_assign_frozen``) and attaches the
+    codebook-staleness flag: the increment's integer mean assignment
+    distance vs the STORED base distortion (``state.ivf_staleness`` —
+    2^-20 fixed-point bigint means, so the flag is engine-exact). The
+    oracle re-derives the codebook (ORDER BY md5 LIMIT 8 over the base),
+    replays both assignment argmins through the bit-identical sqdist
+    chains, and reproduces the fixed-point means.
+
+    The query is READ-ONLY on the standing table (a timed/re-run query
+    must not mutate shared state); the append path
+    (``state.ivf_append_vectors``) and the add-then-query ≡
+    rebuild-then-query equivalence are pinned by
+    tests/test_standing_state.py. At 100 TB: the daily cost is linear in
+    the increment; the corpus pass lives in the refresh job."""
+    from ..operators.similarity import IvfIndex, ivf_assign_frozen
+    from ..state import ivf_staleness, read_ivf_state
+
+    wh = _ivf_state_warehouse(spark, sf_dir)
+    centroids, base_asg = read_ivf_state(spark, wh)
+    emb = load(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") % _ANN_NEW_MOD == 0)
+    added = ivf_assign_frozen(
+        IvfIndex(centroids, None), new, "vec_id", "embedding", with_dist=True
+    ).select(F.col("neighbor_id").alias("vec_id"), "cell", "dist_fp")
+    st = ivf_staleness(base_asg, added)
+    return added.crossJoin(F.broadcast(st)).select(
+        "vec_id", "cell", "dist_fp", "base_mean_fp", "new_mean_fp", "stale"
+    )
+
+
 @workload(
     "multimodal_image_resize",
     oracle="""
@@ -1641,9 +1747,9 @@ def dedup_video_frameshift(spark: SparkSession, sf_dir: str) -> DataFrame:
         average_hash64,
         encode_pgm,
         encode_y4m,
+        frame_vote_pairs,
         spread_for_decode,
     )
-    from ..operators.text_dedup import banded_hamming_pairs
 
     docs = (
         load(spark, sf_dir, "documents")
@@ -1675,29 +1781,35 @@ def dedup_video_frameshift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def hash_frames(batches):
         for pdf in batches:
-            ids, bits = [], []
+            vids, fidx, bits = [], [], []
             for doc_id, p in zip(pdf["asset_id"], pdf["payload"]):
                 for f, luma in _y4m_frames(bytes(p), 1):
-                    ids.append(int(doc_id) * 8 + f)
+                    vids.append(int(doc_id))
+                    fidx.append(f)
                     bits.append(
                         average_hash64(encode_pgm(luma.reshape(8, 8), 8, 8))
                     )
-            yield pd.DataFrame({"__id": ids, "bits": bits})
+            yield pd.DataFrame(
+                {"video_id": vids, "frame_idx": fidx, "bits": bits}
+            )
 
     assets = spread_for_decode(docs).mapInPandas(
         synth, "asset_id long, payload binary"
     )
-    sig = assets.mapInPandas(hash_frames, "__id long, bits string")
-    fp = banded_hamming_pairs(sig, "bits", max_hamming=3)
-    return (
-        fp.select(
-            F.expr("CAST(id_a div 8 AS BIGINT)").alias("id_a"),
-            F.expr("CAST(id_b div 8 AS BIGINT)").alias("id_b"),
-        )
-        .filter(F.col("id_a") != F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_frame_matches"))
-        .filter(F.col("n_frame_matches") >= 3)
+    sig = assets.mapInPandas(
+        hash_frames, "video_id long, frame_idx int, bits string"
+    )
+    # r11: composite-id encoding + frame vote lifted into the
+    # parameterized operator (defaults = this query's r10 contract:
+    # bound 8, >= 3 votes, hamming <= 3); oracle unchanged.
+    return frame_vote_pairs(
+        sig,
+        "video_id",
+        "frame_idx",
+        "bits",
+        frames_per_video_bound=8,
+        min_frame_votes=3,
+        max_hamming=3,
     )
 
 

@@ -696,6 +696,37 @@ def test_corpus_incremental_standing_daily_dag_reads_state_only(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_ivf_add_vectors_assign_side_is_shuffle_free(spark, sf_dir):
+    """ann_ivf_add_vectors (r11): the increment assignment must be the
+    zero-shuffle literal-centroid projection (same contract as the Lloyd
+    final assignment) — no exchange, no join, no window over the new
+    vectors. The full query adds only the 1-row staleness broadcast."""
+    from fn_rq_report_etl_dev_spark.operators.similarity import (
+        IvfIndex,
+        ivf_assign_frozen,
+    )
+    from fn_rq_report_etl_dev_spark.state import read_ivf_state
+    from fn_rq_report_etl_dev_spark.workloads import load
+    from fn_rq_report_etl_dev_spark.workloads.llmops import (
+        _ivf_state_warehouse,
+    )
+
+    centroids, _ = read_ivf_state(
+        spark, _ivf_state_warehouse(spark, sf_dir)
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    added = ivf_assign_frozen(
+        IvfIndex(centroids, None),
+        emb.filter(emb.vec_id % 5 == 0),
+        with_dist=True,
+    )
+    assert exchange_count(added) == 0
+    plan = formatted_plan(added)
+    assert "Window" not in plan and "Join" not in plan
+    full = formatted_plan(QUERIES["ann_ivf_add_vectors"](spark, sf_dir))
+    assert "CartesianProduct" not in full
+
+
 def test_video_frameshift_banded_join_plan(spark, sf_dir):
     """dedup_video_frameshift (r10): per-frame signatures must ride the
     same banded bucket join as the pooled query (never a frame-pair

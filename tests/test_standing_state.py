@@ -147,6 +147,125 @@ def test_standing_flagship_equals_recompute_sf(spark, sf_dir):
     assert standing == recompute and len(standing) > 0
 
 
+def _planted_embeddings(spark, n=60, dim=8, shift=0.0, start=0):
+    """Deterministic planted vectors: v[j] = ((i*7 + j*3) % 13) / 13 +
+    shift — varied directions, exactly representable arithmetic."""
+    rows = [
+        (i, [((i * 7 + j * 3) % 13) / 13.0 + shift for j in range(dim)])
+        for i in range(start, start + n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_add_then_query_equals_rebuild(spark):
+    """The add path's exactness contract: for a FROZEN codebook,
+    extending the index with ivf_add_vectors then querying returns
+    row-for-row what assigning everything from scratch against the same
+    codebook returns (per-vector argmin is independent of every other
+    vector)."""
+    from fn_rq_report_etl_dev_spark.operators.similarity import (
+        IvfIndex,
+        build_codebook_index,
+        ivf_add_vectors,
+        ivf_assign_frozen,
+        ivf_query,
+    )
+
+    base = _planted_embeddings(spark, n=48)
+    new = _planted_embeddings(spark, n=16, start=48)
+    idx = build_codebook_index(base, n_cells=4, seed=42)
+    added_idx = ivf_add_vectors(idx, new)
+    scratch_idx = IvfIndex(
+        idx.centroids, ivf_assign_frozen(idx, base.unionByName(new))
+    )
+    q = _planted_embeddings(spark, n=5)
+    a = sorted(map(tuple, ivf_query(added_idx, q, k=3, n_probe=2).collect()))
+    b = sorted(map(tuple, ivf_query(scratch_idx, q, k=3, n_probe=2).collect()))
+    assert a == b and len(a) == 15
+
+
+def test_ivf_warehouse_roundtrip_and_append(spark, tmp_path):
+    """Standing IVF state: refresh writes centroids + assignments with
+    stored distortion; ivf_append_vectors assigns the increment against
+    the STORED codebook and appends — after the append the table holds
+    exactly base ∪ increment assignments, and the appended rows equal
+    the in-memory frozen assignment."""
+    from fn_rq_report_etl_dev_spark.operators.similarity import (
+        IvfIndex,
+        ivf_assign_frozen,
+    )
+    from fn_rq_report_etl_dev_spark.state import (
+        IVF_ASSIGNMENTS,
+        IVF_CENTROIDS,
+        ivf_append_vectors,
+        read_ivf_state,
+        refresh_ivf_state,
+    )
+
+    base = _planted_embeddings(spark, n=40)
+    new = _planted_embeddings(spark, n=10, start=40)
+    wh = Warehouse(str(tmp_path / "ivf"))
+    counts = refresh_ivf_state(base, wh, n_cells=4)
+    assert counts == {IVF_CENTROIDS: 4, IVF_ASSIGNMENTS: 40}
+
+    appended = sorted(
+        map(tuple, ivf_append_vectors(spark, wh, new).collect())
+    )
+    centroids, asg = read_ivf_state(spark, wh)
+    assert asg.count() == 50
+    in_memory = sorted(
+        map(
+            tuple,
+            ivf_assign_frozen(
+                IvfIndex(centroids, None), new, with_dist=True
+            )
+            .select(F.col("neighbor_id").alias("vec_id"), "cell", "dist_fp")
+            .collect(),
+        )
+    )
+    assert appended == in_memory
+    stored_new = sorted(
+        map(tuple, asg.filter(F.col("vec_id") >= 40).collect())
+    )
+    assert stored_new == appended
+
+
+def test_ivf_staleness_flags_distribution_drift(spark, tmp_path):
+    """An increment drawn from the training distribution is NOT stale; an
+    increment shifted far off it is — the integer fixed-point flag a
+    refresh job keys rebuilds on."""
+    from fn_rq_report_etl_dev_spark.state import (
+        ivf_append_vectors,
+        ivf_staleness,
+        read_ivf_state,
+        refresh_ivf_state,
+    )
+
+    base = _planted_embeddings(spark, n=40)
+    wh = Warehouse(str(tmp_path / "ivf"))
+    refresh_ivf_state(base, wh, n_cells=4)
+
+    # 26 = two full cycles of the 13-pattern family -> the increment's
+    # distance multiset matches the training one (mean ratio ~1x).
+    same_dist = ivf_append_vectors(
+        spark, wh, _planted_embeddings(spark, n=26, start=100)
+    )
+    shifted = ivf_append_vectors(
+        spark, wh, _planted_embeddings(spark, n=10, start=200, shift=50.0)
+    )
+    # base rows by id range, re-read AFTER the appends: parquet file
+    # listing is snapshot-at-read, so a pre-append DataFrame must not be
+    # relied on to exclude appended files.
+    _, asg = read_ivf_state(spark, wh)
+    base_asg = asg.filter(F.col("vec_id") < 40)
+
+    row = ivf_staleness(base_asg, same_dist).collect()[0]
+    assert row.stale is False
+    row = ivf_staleness(base_asg, shifted).collect()[0]
+    assert row.stale is True
+    assert row.new_mean_fp > 2 * row.base_mean_fp
+
+
 def test_standing_state_built_once_per_corpus(spark, tmp_path):
     """The amortization is real: two invocations over the same corpus
     share ONE warehouse (the refresh job ran once); a different corpus
