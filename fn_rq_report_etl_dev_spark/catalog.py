@@ -96,6 +96,40 @@ class Warehouse:
             dirname = f"{partition_col}={'__HIVE_DEFAULT_PARTITION__' if value is None else value}"
             shutil.rmtree(os.path.join(self.path(table), dirname), ignore_errors=True)
 
+    def compact(
+        self, spark: SparkSession, table: str, n_files: int
+    ) -> dict[str, int]:
+        """Rewrite a table into ``n_files`` parquet files — the maintenance
+        job that pays down append creep. Append-only maintenance (the
+        streaming signature refresh, ``ivf_append_vectors``, staging
+        appends) adds a shuffle-width batch of small files per increment;
+        left alone, the daily readers' scan task count grows with the
+        number of increments ever landed, not with data size. Compaction
+        restores file count ∝ data: one round-robin repartition (no key —
+        pure size balancing, the cheapest shuffle there is) through the
+        same atomic swap the merge sink uses, so readers never observe a
+        half-compacted table and a crashed compaction leaves the previous
+        layout readable. Returns {files_before, files_after, rows} — the
+        O20 metrics convention. Row-preserving by construction
+        (repartition is a pure exchange); the caller-visible contract is
+        pinned in tests/test_standing_state.py."""
+        before = self.file_count(table)
+        df = self.read(spark, table)
+        self.overwrite_atomic(df.repartition(n_files), table)
+        return {
+            "files_before": before,
+            "files_after": self.file_count(table),
+            "rows": self.read(spark, table).count(),
+        }
+
+    def file_count(self, table: str) -> int:
+        """Data files currently backing a table (recursive — counts
+        partitioned layouts too; excludes _SUCCESS/checksum bookkeeping)."""
+        n = 0
+        for _, _, files in os.walk(self.path(table)):
+            n += sum(f.endswith(".parquet") for f in files)
+        return n
+
     def rename(self, old: str, new: str) -> None:
         os.rename(self.path(old), self.path(new))
 

@@ -91,6 +91,71 @@ def refresh_corpus_state(
     }
 
 
+def stream_refresh_corpus_signatures(
+    spark: SparkSession,
+    landing: str,
+    checkpoint: str,
+    warehouse: Warehouse,
+    schema,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+) -> None:
+    """STREAMING maintenance of the signature table: new documents land
+    as files, each checkpointed micro-batch computes its own band
+    signatures and APPENDS them to ``CORPUS_SIGNATURES`` — the standing
+    table stays current without ever re-running the corpus-scale pass
+    ``refresh_corpus_state`` pays.
+
+    Why append-only is EXACT here (unlike, say, a windowed aggregate): a
+    document's banded MinHash signature depends on that document's text
+    alone, so per-batch computation is algebraically identical to a
+    full-corpus pass — the streamed table equals the batch-refresh table
+    row-for-row as long as (a) the checkpointed source delivers each file
+    exactly once (a re-processed micro-batch would duplicate that
+    increment's rows) and (b) upstream admission guarantees ``id_col`` is
+    new (the daily flagship's within-batch exact dedup + LSH screen runs
+    BEFORE accepted docs reach this landing zone). Both are falsifiable:
+    the ``streaming_state_refresh`` oracle hash-matches the streamed
+    table against the one-shot full-corpus signature SQL across two
+    drains.
+
+    The NB half of the standing state is NOT maintained here by design:
+    its per-(bucket, class) token counts are additive and could stream
+    the same way, but the stored table is the DERIVED weight table
+    (log-ratio transform of the global counts), which is not
+    append-mergeable — a production deployment would stream the count
+    table and re-derive weights in the refresh job; at ≤ n_buckets rows
+    that derivation is driver-cheap and stays batch.
+
+    ``Trigger.AvailableNow``: drain everything currently landed, then
+    stop — the scheduled-batch semantics (O4 parity), same as the other
+    checkpointed drains in this repo."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        sig = band_signatures(
+            batch_df.select(F.col(id_col), F.col(text_col)),
+            id_col,
+            text_col,
+            k,
+            bands,
+        ).select(F.col("__id").alias("doc_id"), "band", "band_hash")
+        warehouse.append(sig, CORPUS_SIGNATURES)
+
+    query = (
+        spark.readStream.schema(schema)
+        .parquet(landing)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    if query.exception() is not None:
+        raise query.exception()
+
+
 # ---------------------------------------------------------------------------
 # Standing ANN index state (VERDICT r10 ask #3 — the similarity-search
 # analog of the corpus signature/model tables)

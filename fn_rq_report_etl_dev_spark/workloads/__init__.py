@@ -83,9 +83,18 @@ EAGER_SCHEMAS: dict[str, str] = {
         "source string, doc_id bigint, n_tokens bigint, label int, "
         "pack_id bigint"
     ),
+    # composes the standing flagship -> first invocation may run the
+    # same refresh job
+    "pipeline_corpus_mixture": (
+        "split string, source string, n_docs bigint, sum_tokens bigint, "
+        "group_size bigint, group_alloc bigint"
+    ),
     "streaming_cdc_apply": (
         "user_id bigint, last_op string, last_cents bigint, n_ops bigint"
     ),
+    # checkpointed drain appending per-increment LSH signatures to the
+    # standing corpus_signatures table (streaming form of the refresh job)
+    "streaming_state_refresh": "doc_id bigint, band int, band_hash string",
     "ann_ivf_topk": "query_id bigint, neighbor_id bigint, rank bigint, cos_r double",
     "ann_ivf_recall": "n_probe bigint, bf_pairs bigint, recall_ok bigint",
     # first invocation runs the IVF state refresh job (codebook collect +
@@ -234,6 +243,13 @@ _RECHECK: dict[str, int] = {
     # frame_vote_pairs operator (VERDICT r10 ask #4) — defaults reproduce
     # the r10 contract, builder body changed.
     "dedup_video_frameshift": 11,
+    # Round-11 additions (never driver-reported): the standing-state
+    # flagship, incremental ANN maintenance, and the mixture tail.
+    "pipeline_corpus_incremental_standing": 11,
+    "ann_ivf_add_vectors": 11,
+    "pipeline_corpus_mixture": 11,
+    # streaming form of the corpus-state refresh job (never driver-reported)
+    "streaming_state_refresh": 11,
 }
 # (All round-10 entries settled: green rows in CORRECTNESS_r10.)
 

@@ -1581,3 +1581,98 @@ def pipeline_corpus_incremental_standing(
 
     # 5. pack (shared helper)
     return _pack_accepted(scored, accepted)
+
+
+# Mixture budget for the incremental tail: smaller than the accepted
+# increment at sf >= 0.01 so the sqrt-temperature cut is actually
+# exercised there (at sf0.001 the tiny accept set fits the budget and the
+# cut degenerates to select-all — the planted test pins the cutting
+# case explicitly). Sized so uniform sources (w_i == w_j -> a_i ==
+# budget/n_sources) still get a nonzero integer allocation on the
+# 20-source driver corpus.
+_MIXTURE_BUDGET = 32
+
+_MIXTURE_SQL = rf"""
+    WITH incr AS ({_INCR_PIPELINE_SQL}),
+    counts AS (
+        SELECT source, count(*) AS c,
+               CAST(floor(sqrt(count(*)) * 1000) AS BIGINT) AS w
+        FROM incr GROUP BY source
+    ),
+    tot AS (SELECT sum(w) AS tw FROM counts),
+    alloc AS (
+        SELECT source, c, CAST((w * {_MIXTURE_BUDGET}) // tw AS BIGINT) AS a
+        FROM counts, tot
+    ),
+    ranked AS (
+        SELECT i.doc_id, i.source, i.n_tokens, a.c, a.a,
+               row_number() OVER (
+                   PARTITION BY i.source
+                   ORDER BY md5('42|' || CAST(i.doc_id AS VARCHAR)), i.doc_id
+               ) AS rk
+        FROM incr i JOIN alloc a USING (source)
+    ),
+    sp AS (
+        SELECT *,
+               CASE WHEN pct < 90 THEN 'train'
+                    WHEN pct < 95 THEN 'val' ELSE 'test' END AS split
+        FROM (
+            SELECT *,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER
+                       % 100 AS pct
+            FROM ranked WHERE rk <= a)
+    )
+    SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(min(c) AS BIGINT) AS group_size,
+           CAST(min(a) AS BIGINT) AS group_alloc
+    FROM sp GROUP BY split, source
+    """
+
+
+@workload("pipeline_corpus_mixture", oracle=_MIXTURE_SQL)
+def pipeline_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture-construction TAIL of the incremental flagship (VERDICT
+    r10 ask #8) — the step between curation and training that the r10
+    pipeline stopped short of: take the day's accepted, scored increment
+    (``pipeline_corpus_incremental``'s output), build the training MIX
+    from it with the existing operators, and report per-(split, source)
+    shares:
+
+    1. sqrt-TEMPERATURE allocation over sources
+       (``temperature_allocation`` — tail sources up-weighted vs
+       proportional, seeded md5-hash row selection, integer-exact);
+    2. deterministic 90/5/5 train/val/test assignment by content-stable
+       hash of the doc id (the same ``_split_col`` formula
+       ``dataset_split_assign`` and ``split_leakage_check`` share — one
+       definition, so the mixture's split can never drift from the
+       assignment the leakage gate validates);
+    3. one aggregate: (split, source) → docs, tokens, and the source's
+       group size/allocation (constant per source — min is exact).
+
+    Composes the STANDING-STATE flagship form (the production daily
+    shape — bit-exact-equivalent to the recompute form, so this query
+    shares the same oracle lineage), persisted for its two consumers
+    here (the allocation's group counts + the token join-back); released
+    by ``session.release_intermediates`` like every fan-out persist.
+    Scale shape: everything in this DAG is increment-sized — the
+    standing daily DAG, a tiny broadcast alloc table, one
+    WindowGroupLimit-style per-source cut, and a map-side-combinable
+    final aggregate."""
+    from ..operators.curation import temperature_allocation
+    from .llmops import _split_col
+
+    incr = pipeline_corpus_incremental_standing(spark, sf_dir).persist()
+    sel = temperature_allocation(
+        incr, "source", total_budget=_MIXTURE_BUDGET,
+        id_col="doc_id", seed="42",
+    )
+    j = sel.join(incr.select("doc_id", "n_tokens"), "doc_id").withColumn(
+        "split", _split_col()
+    )
+    return j.groupBy("split", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.min("group_size").cast("bigint").alias("group_size"),
+        F.min("group_alloc").cast("bigint").alias("group_alloc"),
+    )

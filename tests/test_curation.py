@@ -838,3 +838,30 @@ def test_corpus_incremental_pipeline_run_twice_identical(spark, sf_dir):
         map(tuple, QUERIES["pipeline_corpus_incremental"](spark, sf_dir).collect())
     )
     assert a == b and len(a) > 0
+
+
+def test_corpus_mixture_shares_consistent(spark, sf_dir):
+    """pipeline_corpus_mixture (r11): per-source doc shares must equal
+    min(group_size, group_alloc) — the temperature cut selects exactly
+    rk <= alloc of each source's accepted docs — and every selected
+    doc's split must be the SAME 90/5/5 hash split dataset_split_assign
+    hands out (one formula, no drift). Exactness vs the SQL replay is
+    the driver's hash check; this pins the composition invariants."""
+    from collections import defaultdict
+
+    from fn_rq_report_etl_dev_spark.workloads import QUERIES
+
+    rows = QUERIES["pipeline_corpus_mixture"](spark, sf_dir).collect()
+    assert rows and {r.split for r in rows} <= {"train", "val", "test"}
+    per_source = defaultdict(int)
+    meta = {}
+    for r in rows:
+        per_source[r.source] += r.n_docs
+        meta[r.source] = (r.group_size, r.group_alloc)
+        assert r.sum_tokens > 0 and r.n_docs > 0
+    for src, n in per_source.items():
+        size, alloc = meta[src]
+        assert n == min(size, alloc), (src, n, size, alloc)
+    # determinism: a rerun reproduces the mixture table exactly
+    again = QUERIES["pipeline_corpus_mixture"](spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))

@@ -280,3 +280,80 @@ def test_standing_state_built_once_per_corpus(spark, tmp_path):
     wh1 = _standing_state_warehouse(spark, d)
     pipeline_corpus_incremental_standing(spark, d).collect()
     assert _standing_state_warehouse(spark, d) is wh1
+
+
+def test_stream_refresh_equals_batch_refresh(spark, tmp_path):
+    """r11 streaming maintenance: two checkpointed micro-batches of new
+    documents appended through stream_refresh_corpus_signatures must
+    leave corpus_signatures EXACTLY equal to one batch refresh over the
+    union — per-doc signatures are independent, so append-only streaming
+    is algebraically exact. A third drain with nothing new landed must be
+    a no-op (exactly-once: no duplicate rows from re-processed files)."""
+    import os
+
+    from fn_rq_report_etl_dev_spark.state import (
+        stream_refresh_corpus_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha{i} bravo{i % 3} charlie delta echo common tail") for i in range(24)],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path)
+    landing = os.path.join(root, "landing")
+    checkpoint = os.path.join(root, "checkpoint")
+    wh_stream = Warehouse(os.path.join(root, "wh_stream"))
+
+    docs.filter(F.col("doc_id") < 12).write.mode("append").parquet(landing)
+    stream_refresh_corpus_signatures(
+        spark, landing, checkpoint, wh_stream, docs.schema
+    )
+    docs.filter(F.col("doc_id") >= 12).write.mode("append").parquet(landing)
+    stream_refresh_corpus_signatures(
+        spark, landing, checkpoint, wh_stream, docs.schema
+    )
+    # nothing new: the checkpoint must make this a zero-row no-op
+    stream_refresh_corpus_signatures(
+        spark, landing, checkpoint, wh_stream, docs.schema
+    )
+
+    wh_batch = Warehouse(os.path.join(root, "wh_batch"))
+    refresh_corpus_state(docs, wh_batch)
+
+    streamed = sorted(
+        map(tuple, wh_stream.read(spark, CORPUS_SIGNATURES).collect())
+    )
+    batch = sorted(
+        map(tuple, wh_batch.read(spark, CORPUS_SIGNATURES).collect())
+    )
+    assert streamed == batch and len(streamed) == 24 * 3
+
+
+def test_compaction_pays_down_append_creep(spark, tmp_path):
+    """Warehouse.compact (r11): after N streamed appends the signature
+    table is backed by ~N× shuffle-width files; one compaction rewrites
+    it to the requested file count with EXACTLY the same rows (round-robin
+    repartition + the merge sink's atomic swap — crash-safe, reader-safe)."""
+    wh = Warehouse(str(tmp_path / "wh"))
+    docs = spark.createDataFrame(
+        [(i, f"alpha{i} bravo{i % 5} charlie delta echo common tail") for i in range(40)],
+        "doc_id long, text string",
+    )
+    from fn_rq_report_etl_dev_spark.operators.text_dedup import band_signatures
+
+    for lo in range(0, 40, 10):  # 4 appended increments
+        sig = band_signatures(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 10)),
+            "doc_id",
+            "text",
+        ).select(F.col("__id").alias("doc_id"), "band", "band_hash")
+        wh.append(sig, CORPUS_SIGNATURES)
+
+    before_rows = sorted(map(tuple, wh.read(spark, CORPUS_SIGNATURES).collect()))
+    files_before = wh.file_count(CORPUS_SIGNATURES)
+    assert files_before >= 4  # at least one file per increment
+
+    metrics = wh.compact(spark, CORPUS_SIGNATURES, n_files=2)
+    assert metrics == {"files_before": files_before, "files_after": 2, "rows": 120}
+    after_rows = sorted(map(tuple, wh.read(spark, CORPUS_SIGNATURES).collect()))
+    assert after_rows == before_rows
