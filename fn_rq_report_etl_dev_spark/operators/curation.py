@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as TXT
@@ -876,8 +876,25 @@ def nb_weight_table(
             F.sum(F.when(F.col("__fst"), F.lit(1))), F.lit(0)
         ).alias("Dt"),
     )
+    return _nb_w64_tail(train.sparkSession, wm, consts, n_buckets, n_classes)
+
+
+def _nb_w64_tail(
+    spark: SparkSession,
+    wm: DataFrame,
+    consts: DataFrame,
+    n_buckets: int,
+    n_classes: int,
+) -> DataFrame:
+    """The shared weight-derivation tail: (per-bucket m{c} pivot, 1-row
+    class constants) → the padded ``(bucket, w0.., p0..)`` table in the
+    1/64-bit integer-log discipline. One definition feeds both training
+    forms — `nb_weight_table` (from a bucketize relation) and
+    `nb_weights_from_counts` (from stored additive counts) — so their
+    bit-exact equivalence holds by construction, not by parallel
+    maintenance."""
     wtab = (
-        train.sparkSession.range(n_buckets)
+        spark.range(n_buckets)
         .select(F.col("id").alias("bucket"))
         .join(wm, "bucket", "left")
         .crossJoin(F.broadcast(consts))
@@ -891,6 +908,62 @@ def nb_weight_table(
         "bucket",
         *[f"w{c}" for c in range(n_classes)],
         *[f"p{c}" for c in range(n_classes)],
+    )
+
+
+def nb_counts(rel: DataFrame, n_classes: int = 3) -> DataFrame:
+    """ADDITIVE NB training state from a `nb_bucketize` relation: one row
+    per (label_true, bucket) carrying that cell's token count ``n`` and
+    doc count ``d`` (sum of the one-per-doc ``__fst`` marks). Every
+    statistic `nb_weight_table` derives — per-bucket class counts m{c},
+    class token totals N{c}, class doc counts D{c}, total docs Dt — is a
+    plain SUM of these rows, so increments can APPEND their counts and
+    the union stays exact: this is the mergeable-state form that lets
+    the NB model be maintained incrementally (streamed per increment,
+    weights re-derived from ≤ classes×buckets rows) instead of
+    re-tokenizing the corpus per refresh. ``n_classes`` is accepted for
+    signature symmetry; the relation already carries label_true."""
+    return rel.groupBy("label_true", "bucket").agg(
+        F.sum("k").cast("bigint").alias("n"),
+        F.sum(F.col("__fst").cast("bigint")).alias("d"),
+    )
+
+
+def nb_weights_from_counts(
+    counts: DataFrame, n_buckets: int = 1024, n_classes: int = 3
+) -> DataFrame:
+    """Derive the NB weight table from stored ADDITIVE counts (the
+    `nb_counts` schema, possibly many appended increments per cell —
+    sums merge them). Input is ≤ increments×classes×buckets tiny rows,
+    so both aggregate passes here are metadata-cheap; the expensive
+    corpus tokenize happened once per increment at append time. The w64
+    tail is the SAME code path `nb_weight_table` runs — bit-exact
+    equivalence pinned in tests/test_standing_state.py."""
+    wm = counts.groupBy("bucket").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("label_true") == c, F.col("n"))), F.lit(0)
+            ).alias(f"m{c}")
+            for c in range(n_classes)
+        ]
+    )
+    consts = counts.groupBy().agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("label_true") == c, F.col("n"))), F.lit(0)
+            ).alias(f"N{c}")
+            for c in range(n_classes)
+        ],
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("label_true") == c, F.col("d"))), F.lit(0)
+            ).alias(f"D{c}")
+            for c in range(n_classes)
+        ],
+        F.coalesce(F.sum("d"), F.lit(0)).alias("Dt"),
+    )
+    return _nb_w64_tail(
+        counts.sparkSession, wm, consts, n_buckets, n_classes
     )
 
 

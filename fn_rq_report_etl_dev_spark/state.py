@@ -121,13 +121,12 @@ def stream_refresh_corpus_signatures(
     table against the one-shot full-corpus signature SQL across two
     drains.
 
-    The NB half of the standing state is NOT maintained here by design:
-    its per-(bucket, class) token counts are additive and could stream
-    the same way, but the stored table is the DERIVED weight table
-    (log-ratio transform of the global counts), which is not
-    append-mergeable — a production deployment would stream the count
-    table and re-derive weights in the refresh job; at ≤ n_buckets rows
-    that derivation is driver-cheap and stays batch.
+    The NB half of the standing state streams through its own channel:
+    the weight table is a log-ratio transform and NOT append-mergeable,
+    so :func:`stream_refresh_nb_counts` streams the additive count
+    monoid instead and :func:`refresh_nb_weights` re-derives the weight
+    table from the summed counts (two aggregates over a tiny table —
+    never a corpus re-tokenize).
 
     ``Trigger.AvailableNow``: drain everything currently landed, then
     stop — the scheduled-batch semantics (O4 parity), same as the other
@@ -154,6 +153,77 @@ def stream_refresh_corpus_signatures(
     query.awaitTermination()
     if query.exception() is not None:
         raise query.exception()
+
+
+CORPUS_NB_COUNTS = "corpus_nb_counts"
+
+
+def stream_refresh_nb_counts(
+    spark: SparkSession,
+    landing: str,
+    checkpoint: str,
+    warehouse: Warehouse,
+    schema,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> None:
+    """STREAMING maintenance of the NB model's training state: each
+    checkpointed micro-batch tokenizes ITS OWN documents once
+    (``nb_bucketize``), collapses them to the additive
+    ``(label_true, bucket, n, d)`` count rows (``nb_counts`` — ≤
+    classes×buckets rows per increment), and APPENDS them to
+    ``CORPUS_NB_COUNTS``. Exact because every statistic the weight table
+    needs is a plain sum over these rows — appended increments merge by
+    addition, so streamed counts ≡ one full-corpus training pass.
+
+    Unlike the signature table, the SERVED artifact (the weight table)
+    is a log-ratio transform that is NOT append-mergeable — so the
+    stream maintains the counts and :func:`refresh_nb_weights` re-derives
+    weights from them: two aggregate passes over the tiny count table,
+    never a corpus re-tokenize. This is the standard mergeable-state /
+    derived-view split (stream the monoid, derive the report)."""
+    from .operators.curation import nb_bucketize, nb_counts
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        rel = nb_bucketize(
+            batch_df.select(F.col(id_col), F.col(text_col)),
+            id_col,
+            text_col,
+            n_buckets,
+            persist=False,
+        )
+        warehouse.append(nb_counts(rel), CORPUS_NB_COUNTS)
+
+    query = (
+        spark.readStream.schema(schema)
+        .parquet(landing)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    if query.exception() is not None:
+        raise query.exception()
+
+
+def refresh_nb_weights(
+    spark: SparkSession, warehouse: Warehouse, n_buckets: int = 1024
+) -> int:
+    """The re-derivation job: stored additive counts →
+    ``CORPUS_NB_WEIGHTS`` via the SAME w64 tail batch training runs
+    (``nb_weights_from_counts``), written atomically. Cost is two
+    aggregates over ≤ increments×classes×buckets count rows — the corpus
+    was tokenized exactly once per increment, at append time. Returns the
+    weight-table row count (O20 metrics convention)."""
+    from .operators.curation import nb_weights_from_counts
+
+    counts = warehouse.read(spark, CORPUS_NB_COUNTS)
+    warehouse.overwrite_atomic(
+        nb_weights_from_counts(counts, n_buckets), CORPUS_NB_WEIGHTS
+    )
+    return warehouse.read(spark, CORPUS_NB_WEIGHTS).count()
 
 
 # ---------------------------------------------------------------------------

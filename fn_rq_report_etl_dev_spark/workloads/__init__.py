@@ -95,6 +95,12 @@ EAGER_SCHEMAS: dict[str, str] = {
     # checkpointed drain appending per-increment LSH signatures to the
     # standing corpus_signatures table (streaming form of the refresh job)
     "streaming_state_refresh": "doc_id bigint, band int, band_hash string",
+    # checkpointed drain appending additive NB count rows; the builder
+    # then re-derives the weight table from the summed counts
+    "streaming_nb_state": (
+        "bucket bigint, w0 bigint, w1 bigint, w2 bigint, "
+        "p0 bigint, p1 bigint, p2 bigint"
+    ),
     "ann_ivf_topk": "query_id bigint, neighbor_id bigint, rank bigint, cos_r double",
     "ann_ivf_recall": "n_probe bigint, bf_pairs bigint, recall_ok bigint",
     # first invocation runs the IVF state refresh job (codebook collect +
@@ -248,8 +254,9 @@ _RECHECK: dict[str, int] = {
     "pipeline_corpus_incremental_standing": 11,
     "ann_ivf_add_vectors": 11,
     "pipeline_corpus_mixture": 11,
-    # streaming form of the corpus-state refresh job (never driver-reported)
+    # streaming forms of the corpus-state refresh jobs (never driver-reported)
     "streaming_state_refresh": 11,
+    "streaming_nb_state": 11,
 }
 # (All round-10 entries settled: green rows in CORRECTNESS_r10.)
 

@@ -853,3 +853,104 @@ def streaming_state_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(landing)
     drain()
     return wh.read(spark, CORPUS_SIGNATURES)
+
+
+def _nb_state_oracle() -> str:
+    """Full-corpus one-shot NB TRAINING SQL (the weight table itself, no
+    train/apply split — standing state trains on everything): the same
+    tokenize/bucket/label CTEs and the same `_nb_w64_ctes` integer-log
+    replay `text_nb_train_apply`'s oracle is built from."""
+    from .curation import _NB_LOWER, _nb_w64_ctes
+
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim({_NB_LOWER}), '\s+')) AS w
+        FROM documents
+    ),
+    tb AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS bucket,
+               count(*) AS k,
+               sum(CASE WHEN w IN ('the','and','of','to','in','is','for',
+                                   'with','on','that')
+                        THEN 1 ELSE 0 END) AS s
+        FROM toks WHERE w <> ''
+        GROUP BY doc_id, bucket
+    ),
+    lbl AS (
+        SELECT doc_id,
+               CASE WHEN sum(s) * 20 >= sum(k) THEN 0
+                    WHEN sum(s) * 50 >= sum(k) THEN 1 ELSE 2 END AS label_true
+        FROM tb GROUP BY doc_id
+    ),
+    tl AS (
+        SELECT tb.doc_id, tb.bucket, tb.k, lbl.label_true
+        FROM tb JOIN lbl USING (doc_id)
+    ),
+    cnt AS (
+        SELECT label_true AS label, bucket, sum(k) AS n
+        FROM tl GROUP BY label, bucket
+    ),
+    wm AS (
+        SELECT bucket,
+               COALESCE(sum(CASE WHEN label = 0 THEN n END), 0) AS m0,
+               COALESCE(sum(CASE WHEN label = 1 THEN n END), 0) AS m1,
+               COALESCE(sum(CASE WHEN label = 2 THEN n END), 0) AS m2
+        FROM cnt GROUP BY bucket
+    ),
+    ncls AS (
+        SELECT COALESCE(sum(CASE WHEN label = 0 THEN n END), 0) AS n0,
+               COALESCE(sum(CASE WHEN label = 1 THEN n END), 0) AS n1,
+               COALESCE(sum(CASE WHEN label = 2 THEN n END), 0) AS n2
+        FROM cnt
+    ),
+    dcls AS (
+        SELECT COALESCE(sum(CASE WHEN label_true = 0 THEN 1 END), 0) AS d0,
+               COALESCE(sum(CASE WHEN label_true = 1 THEN 1 END), 0) AS d1,
+               COALESCE(sum(CASE WHEN label_true = 2 THEN 1 END), 0) AS d2,
+               count(*) AS dt
+        FROM lbl
+    ),
+    {_nb_w64_ctes()}
+    SELECT bucket, w0, w1, w2, p0, p1, p2 FROM wt
+    """
+
+
+@workload("streaming_nb_state", oracle=_nb_state_oracle(), checkpointed_drain=True)
+def streaming_nb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the NB model state ≡ one-shot training:
+    documents land as two files (doc_id parity), each drains through
+    ``state.stream_refresh_nb_counts`` (checkpointed ``foreachBatch`` →
+    per-increment tokenize → ADDITIVE (label_true, bucket, n, d) count
+    rows appended to ``corpus_nb_counts``), then ``refresh_nb_weights``
+    re-derives the weight table from the summed counts — and that table
+    must hash-match the full-corpus training SQL bucket-for-bucket in
+    the 1/64-bit integer-log discipline. Green certifies the mergeable-
+    state split end-to-end: counts are a monoid (appends merge by
+    addition; a re-processed file would inflate them), the derived
+    weights are exact, and NO step after landing ever re-tokenizes the
+    corpus — the weight-model analog of the signature-table maintenance
+    ``streaming_state_refresh`` proves."""
+    from ..state import CORPUS_NB_WEIGHTS, refresh_nb_weights, stream_refresh_nb_counts
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="rq_stream_nb_")
+    landing = os.path.join(root, "landing")
+    checkpoint = os.path.join(root, "checkpoint")
+    wh = Warehouse(os.path.join(root, "wh"))
+
+    def drain() -> None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        try:
+            stream_refresh_nb_counts(spark, landing, checkpoint, wh, docs.schema)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(landing)
+    drain()
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(landing)
+    drain()
+    refresh_nb_weights(spark, wh)
+    return wh.read(spark, CORPUS_NB_WEIGHTS)

@@ -72,6 +72,7 @@ def test_checkpointed_drain_attribute_pins_the_streaming_class():
         "streaming_static_enrich",
         "streaming_cdc_apply",  # r06: incremental CDC ≡ batch replay
         "streaming_state_refresh",  # r11: streamed signature maintenance
+        "streaming_nb_state",  # r11: streamed additive NB count state
     }
     assert CHECKPOINTED_DRAINS <= set(QUERIES)
     # Every workload defined in a module that drains checkpoints carries

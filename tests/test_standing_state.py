@@ -357,3 +357,59 @@ def test_compaction_pays_down_append_creep(spark, tmp_path):
     assert metrics == {"files_before": files_before, "files_after": 2, "rows": 120}
     after_rows = sorted(map(tuple, wh.read(spark, CORPUS_SIGNATURES).collect()))
     assert after_rows == before_rows
+
+
+def test_streamed_nb_counts_derive_batch_weights(spark, tmp_path):
+    """r11 NB mergeable-state split: three streamed count increments
+    summed and re-derived (`refresh_nb_weights`) must produce EXACTLY
+    the weight table one batch training pass computes over the union —
+    the shared `_nb_w64_tail` makes the derivation identical; this pins
+    that the additive (label_true, bucket, n, d) rows really carry every
+    statistic training needs. Also: the count table holds one appended
+    row-set per increment (merge happens at derive time, not append
+    time), and a no-op drain adds nothing."""
+    import os
+
+    from fn_rq_report_etl_dev_spark.operators.curation import (
+        nb_bucketize,
+        nb_weight_table,
+    )
+    from fn_rq_report_etl_dev_spark.state import (
+        CORPUS_NB_COUNTS,
+        CORPUS_NB_WEIGHTS,
+        refresh_nb_weights,
+        stream_refresh_nb_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, "the and of to common words " * (i % 3 + 1) + f"rare{i} tail{i % 7}")
+            for i in range(30)
+        ],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path)
+    landing = os.path.join(root, "landing")
+    checkpoint = os.path.join(root, "checkpoint")
+    wh = Warehouse(os.path.join(root, "wh"))
+
+    for lo in (0, 10, 20):
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 10)
+        ).write.mode("append").parquet(landing)
+        stream_refresh_nb_counts(spark, landing, checkpoint, wh, docs.schema)
+    stream_refresh_nb_counts(spark, landing, checkpoint, wh, docs.schema)  # no-op
+
+    n_rows = refresh_nb_weights(spark, wh)
+    assert n_rows == 1024
+    streamed = sorted(
+        map(tuple, wh.read(spark, CORPUS_NB_WEIGHTS).collect())
+    )
+    rel = nb_bucketize(docs, "doc_id", "text", persist=False)
+    batch = sorted(map(tuple, nb_weight_table(rel).collect()))
+    assert streamed == batch
+
+    # increments stayed separate rows in the count monoid: summing the
+    # per-class doc counts across ALL appended rows must equal 30 docs
+    counts = wh.read(spark, CORPUS_NB_COUNTS)
+    assert counts.agg(F.sum("d")).collect()[0][0] == 30
