@@ -1287,6 +1287,100 @@ if EXPERIMENT == "substr":
     substr_experiment()
     sys.exit(0)
 
+def standing_state_experiment():
+    """The r11 standing-state amortization, measured: with the corpus
+    LSH signatures persisted as a warehouse table, the daily near-dup
+    screen costs O(increment) tokenize + one equi-join against the
+    stored signatures, while the recompute form re-tokenizes the corpus
+    every run — so as the corpus grows 4x with a FIXED daily increment,
+    the recompute screen should scale ~linearly and the standing screen
+    should stay near-flat (its only corpus-side work is the signature
+    scan). The candidate pair sets are asserted identical (the two forms
+    derive both join sides from the same band_signatures definition).
+    Also measured: the batch refresh job (linear — it IS the corpus
+    pass, paid once per refresh window) vs the streamed per-increment
+    maintenance append (flat — each micro-batch tokenizes only itself),
+    which is the cost a production deployment actually pays daily."""
+    from fn_rq_report_etl_dev_spark.operators.text_dedup import (
+        incremental_lsh_candidates, incremental_lsh_candidates_standing)
+    from fn_rq_report_etl_dev_spark.state import (
+        CORPUS_SIGNATURES, refresh_corpus_state,
+        stream_refresh_corpus_signatures)
+
+    INCREMENT = 2_000
+    DUP = 500  # increment docs that duplicate corpus texts (planted hits)
+
+    def doc_text(idcol):
+        # 18 id-derived words (unique per doc — no cross-doc shingle
+        # sharing, so ground truth is EXACTLY the planted dups) + 2
+        # anchor words so every doc shingles
+        parts = [F.concat(F.lit("w"), idcol.cast("string"),
+                          F.lit(f"_{i}"))
+                 for i in range(18)]
+        return F.concat_ws(" ", F.lit("alpha"), F.lit("beta"), *parts)
+
+    results = []
+    for n_corpus in (100_000, 400_000, 1_600_000):
+        corpus = (spark.range(n_corpus)
+                  .select(F.col("id").alias("doc_id"),
+                          doc_text(F.col("id")).alias("text")))
+        # increment: DUP exact-text dups of corpus docs (text derived from
+        # the SAME id formula) + fresh docs beyond the corpus keyspace
+        inc = (spark.range(INCREMENT)
+               .select((F.col("id") + 10_000_000).alias("doc_id"),
+                       F.when(F.col("id") < DUP, doc_text(F.col("id")))
+                        .otherwise(doc_text(F.col("id") + 20_000_000))
+                        .alias("text")))
+        _force(corpus); _force(inc)
+
+        wh = Warehouse(tempfile.mkdtemp(prefix="scale-standing-"))
+        t0 = time.perf_counter()
+        refresh_corpus_state(corpus, wh)
+        refresh_s = round(time.perf_counter() - t0, 2)
+
+        # streamed per-increment maintenance: land the increment, drain
+        land = tempfile.mkdtemp(prefix="scale-standing-land-")
+        ckpt = tempfile.mkdtemp(prefix="scale-standing-ckpt-")
+        inc.write.mode("append").parquet(land)
+        t0 = time.perf_counter()
+        stream_refresh_corpus_signatures(
+            spark, land, ckpt, wh, inc.schema)
+        stream_append_s = round(time.perf_counter() - t0, 2)
+
+        sigs = wh.read(spark, CORPUS_SIGNATURES).filter(
+            F.col("doc_id") < 10_000_000)  # corpus side only, as stored
+        t0 = time.perf_counter()
+        standing = incremental_lsh_candidates_standing(
+            inc, sigs, "doc_id", "text").collect()
+        standing_s = round(time.perf_counter() - t0, 2)
+
+        both = corpus.withColumn("__new", F.lit(False)).unionByName(
+            inc.withColumn("__new", F.lit(True)))
+        t0 = time.perf_counter()
+        recompute = incremental_lsh_candidates(
+            both, "doc_id", "text", F.col("__new")).collect()
+        recompute_s = round(time.perf_counter() - t0, 2)
+
+        assert set(map(tuple, standing)) == set(map(tuple, recompute)), (
+            len(standing), len(recompute))
+        assert len(standing) == DUP  # exactly the planted dups
+        row = {"experiment": "standing_state", "corpus_docs": n_corpus,
+               "increment_docs": INCREMENT, "planted_dups": DUP,
+               "candidate_pairs": len(standing),
+               "batch_refresh_s": refresh_s,
+               "streamed_increment_append_s": stream_append_s,
+               "daily_screen_standing_s": standing_s,
+               "daily_screen_recompute_s": recompute_s}
+        results.append(row)
+        print(json.dumps(row))
+    return results
+
+
+if EXPERIMENT == "standing":
+    standing_state_experiment()
+    sys.exit(0)
+
+
 if EXPERIMENT not in ("merge", "all"):
     sys.exit(0)
 
