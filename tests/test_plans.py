@@ -740,3 +740,37 @@ def test_video_frameshift_banded_join_plan(spark, sf_dir):
 
     assert len(set(re.findall(r"MapInPandas \((\d+)\)", plan))) == 2
     assert "HashAggregate" in plan
+
+
+def test_nb_weight_derivation_reads_counts_only(spark, tmp_path):
+    """refresh_nb_weights (r11): the weight re-derivation DAG must never
+    touch documents — its only table input is the tiny additive count
+    parquet (the corpus was tokenized at append time). Two aggregates,
+    the 1-row constants attached as a broadcast build, no Expand (the
+    count_distinct trap), no window, no UDF."""
+    from fn_rq_report_etl_dev_spark.catalog import Warehouse
+    from fn_rq_report_etl_dev_spark.operators.curation import (
+        nb_bucketize,
+        nb_counts,
+        nb_weights_from_counts,
+    )
+    from fn_rq_report_etl_dev_spark.state import CORPUS_NB_COUNTS
+
+    spark.catalog.clearCache()
+    docs = spark.createDataFrame(
+        [(i, f"the and of alpha{i} beta{i % 3}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    wh = Warehouse(str(tmp_path / "wh"))
+    wh.append(
+        nb_counts(nb_bucketize(docs, "doc_id", "text", persist=False)),
+        CORPUS_NB_COUNTS,
+    )
+    plan = formatted_plan(
+        nb_weights_from_counts(wh.read(spark, CORPUS_NB_COUNTS))
+    )
+    assert "corpus_nb_counts" in plan
+    assert "documents" not in plan
+    assert "Expand" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
