@@ -76,6 +76,8 @@ HEADLINERS = [
     ("text_nb_train_apply", "NB train+apply (r10: real stopword-density tier labels, 1/64-bit integer-log weights): one persisted (doc, bucket) collapse feeds labels-via-window, the <=classes*buckets weight table padded over spark.range(1024), and the broadcast-lookup apply; class constants attach as 1-row BroadcastNestedLoop builds (scalar-subquery shape); no shuffle join anywhere in the DAG"),
     ("pipeline_corpus_incremental", "daily-refresh flagship (r10): increment-only gates (scan projection) -> within-batch exact dedup (1 window exchange) -> ASYMMETRIC banded LSH vs the standing corpus (new x old only, __is_new-filtered) -> corpus-trained NB via broadcast lookup -> pack window; corpus touched only for reusable signature/model state"),
     ("dedup_video_frameshift", "frame-level video near-dup (r10): per-frame aHash rows (composite doc*8+frame ids) through the shared banded-Hamming join, then one map-side-combinable frame-vote aggregate; catches trimmed/offset duplicates majority pooling provably misses"),
+    ("pipeline_corpus_incremental_standing", "standing-state daily flagship (r11): ONE documents scan (the increment) — gates/dedup/signatures increment-only, (band, band_hash) equi-join against the STORED corpus_signatures parquet, NB apply as a broadcast lookup on the STORED weight table; the corpus-scale tokenize lives in the refresh job, not this plan"),
+    ("pipeline_corpus_mixture", "curation->training tail (r11): the standing daily DAG feeds sqrt-temperature allocation (broadcast alloc table, WindowGroupLimit-style per-source cut) and the shared 90/5/5 hash split; final (split, source) aggregate is map-side combinable"),
 ]
 
 spark = get_spark(app_name="gen-plans")
