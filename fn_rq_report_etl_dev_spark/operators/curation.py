@@ -498,12 +498,21 @@ def boilerplate_segments(
             ),
         ),
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    segs = (
-        df.select(
-            F.col(id_col).alias("__id"),
-            n_words.alias("__n_words"),
-            F.posexplode(seg_hashes).alias("seg_idx", "seg_hash"),
-        )
+    # ONE tokenize+hash pass (r11, guide §1.2/§2.3): the hashed projection
+    # is persisted and fans out to all three consumers — the boiler
+    # aggregate, the per-doc join side, and the zero-segment restore
+    # (``base``). Unpersisted, the split+md5 pipeline executed THREE
+    # times (segs twice + a third tokenize for base's word count); the
+    # cached relation is (id, n_words, hashes) — hashes are ~3.2 bytes
+    # per word vs the raw text's full payload, so the cache is strictly
+    # smaller than the input at any scale.
+    proj = df.select(
+        F.col(id_col).alias("__id"),
+        n_words.alias("__n_words"),
+        seg_hashes.alias("__hashes"),
+    ).persist()
+    segs = proj.select(
+        "__id", F.posexplode("__hashes").alias("seg_idx", "seg_hash")
     )
     boiler = (
         segs.groupBy("seg_hash")
@@ -513,7 +522,7 @@ def boilerplate_segments(
     )
     per_doc = (
         segs.join(boiler, "seg_hash", "left")
-        .groupBy("__id", "__n_words")
+        .groupBy("__id")
         .agg(
             F.count(F.lit(1)).alias("n_segments"),
             F.sum(F.coalesce(F.col("__is_boiler"), F.lit(0))).alias("n_boiler"),
@@ -521,8 +530,8 @@ def boilerplate_segments(
     )
     # documents with fewer than seg_words words have zero segments and
     # never reach per_doc via the explode — restore them with zeros.
-    base = df.select(F.col(id_col).alias("__id"), n_words.alias("__n_words"))
-    out = base.join(per_doc.drop("__n_words"), "__id", "left").select(
+    base = proj.select("__id", "__n_words")
+    out = base.join(per_doc, "__id", "left").select(
         F.col("__id").alias(id_col),
         F.coalesce(F.col("n_segments"), F.lit(0)).cast("bigint").alias("n_segments"),
         F.coalesce(F.col("n_boiler"), F.lit(0)).cast("bigint").alias("n_boiler"),
