@@ -177,34 +177,41 @@ def quality_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("k").isNotNull())
             .distinct()
         )
-        pk_join = F.broadcast(pkeys) if small else pkeys
-        base = ckeys.agg(
+        # ONE pass over the child per relationship (r11, guide §2.4): a
+        # single left join against the distinct parent keys classifies
+        # every child row at once — NULL FK (no match possible), orphan
+        # (non-NULL, no parent), covered (match) — and one aggregate
+        # derives all four child-side stats. The previous shape ran three
+        # separate child scans (base agg + left_anti orphan count +
+        # distinct/semi coverage), i.e. 3 fact-table passes and up to 3
+        # shuffles per relationship; this is 1 scan + 1 shuffle join (or
+        # a broadcast for dimension parents).
+        flagged = pkeys.select("k", F.lit(1).alias("__p"))
+        j = ckeys.join(
+            F.broadcast(flagged) if small else flagged, "k", "left"
+        )
+        stats = j.agg(
             F.count(F.lit(1)).alias("n_child"),
             F.sum(F.col("k").isNull().cast("long")).alias("n_null_fk"),
-        )
-        orphan = (
-            ckeys.filter(F.col("k").isNotNull())
-            .join(pk_join, "k", "left_anti")
-            .agg(F.count(F.lit(1)).alias("n_orphan"))
-        )
-        covered = (
-            ckeys.filter(F.col("k").isNotNull())
-            .distinct()
-            .join(pk_join, "k", "left_semi")
-            .agg(F.count(F.lit(1)).alias("n_parent_covered"))
+            F.sum(
+                (F.col("k").isNotNull() & F.col("__p").isNull()).cast("long")
+            ).alias("n_orphan"),
+            F.countDistinct(
+                F.when(F.col("__p").isNotNull(), F.col("k"))
+            ).alias("n_parent_covered"),
         )
         n_parent = pkeys.agg(F.count(F.lit(1)).alias("n_parent"))
         row = (
-            base.crossJoin(F.broadcast(orphan))
-            .crossJoin(F.broadcast(n_parent))
-            .crossJoin(F.broadcast(covered))
+            stats.crossJoin(F.broadcast(n_parent))
             .select(
                 F.lit(name).alias("relationship"),
                 F.col("n_child").cast("bigint").alias("n_child"),
                 F.coalesce(F.col("n_null_fk"), F.lit(0))
                 .cast("bigint")
                 .alias("n_null_fk"),
-                F.col("n_orphan").cast("bigint").alias("n_orphan"),
+                F.coalesce(F.col("n_orphan"), F.lit(0))
+                .cast("bigint")
+                .alias("n_orphan"),
                 F.col("n_parent").cast("bigint").alias("n_parent"),
                 F.col("n_parent_covered").cast("bigint").alias("n_parent_covered"),
                 F.when(
