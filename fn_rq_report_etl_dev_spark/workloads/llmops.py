@@ -1609,10 +1609,13 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     whether the perturbation flips bits — not just row counts. The
     oracle's brute-force O(n²) hash self-join is the standard
     quadratic-oracle pattern (cf. the ANN baselines); the Spark side
-    never materializes the pair space. At 100 TB: two Arrow
-    ``mapInPandas`` stages (synthesize is the stand-in for real decode;
-    hash is vectorized numpy) and one banded equi-join — embarrassingly
-    parallel, shuffle keyed by (band, slice)."""
+    never materializes the pair space. At 100 TB: ONE Arrow
+    ``mapInPandas`` stage (synthesize — the stand-in for real decode —
+    encodes the PGM and the hash path decodes it back, a genuine codec
+    round-trip inside the same task; r11 merged the former two stages:
+    the payload bytes used to cross the JVM↔Python boundary twice for
+    no plan benefit, guide §4.1) and one banded equi-join —
+    embarrassingly parallel, shuffle keyed by (band, slice)."""
     import numpy as np
     import pandas as pd
 
@@ -1633,10 +1636,17 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
 
-    def synth(batches):
+    resize = pnm_resize(4)
+
+    def synth_and_hash(batches):
+        # one task-lifetime setup, then per doc: PGM encode (the decode
+        # stand-in) -> exact box resize -> aHash. The codec round-trip
+        # is unchanged; only the JVM hop between encode and decode is
+        # gone (r11 — the payload crossed Python->JVM->Python purely to
+        # be re-serialized).
         ks = np.arange(64, dtype=np.int64)
         for pdf in batches:
-            payloads = []
+            bits = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 v = ((1 + d % 37) * (ks + 3) * 2654435761) % 251
@@ -1648,31 +1658,15 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     4,
                     axis=1,
                 )
-                payloads.append(encode_pgm(img, 32, 32))
-            yield pd.DataFrame(
-                {"asset_id": pdf["doc_id"], "payload": payloads}
-            )
-
-    resize = pnm_resize(4)
-
-    def hash_batch(batches):
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "__id": pdf["asset_id"],
-                    "bits": [
-                        average_hash64(resize(p)) for p in pdf["payload"]
-                    ],
-                }
-            )
+                bits.append(average_hash64(resize(encode_pgm(img, 32, 32))))
+            yield pd.DataFrame({"__id": pdf["doc_id"], "bits": bits})
 
     # Same single-file parallelism fix as dedup_audio_fingerprint: fan
     # the per-doc synth+resize+hash loop across the cores — gated on the
     # scan's own split count (r09: no-op for well-split inputs).
-    assets = spread_for_decode(docs).mapInPandas(
-        synth, "asset_id long, payload binary"
+    sig = spread_for_decode(docs).mapInPandas(
+        synth_and_hash, "__id long, bits string"
     )
-    sig = assets.mapInPandas(hash_batch, "__id long, bits string")
     return banded_hamming_pairs(sig, "bits", max_hamming=3).select(
         "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
     )
@@ -1733,8 +1727,10 @@ def dedup_video_frameshift(spark: SparkSession, sf_dir: str) -> DataFrame:
     on this fixture and asserts it exceeds the banded engine's recall
     bound) while the frame vote catches it at 4 matches.
 
-    Scale shape: identical to the pooled query plus one groupBy — two
-    Arrow ``mapInPandas`` stages behind the gated `spread_for_decode`
+    Scale shape: identical to the pooled query plus one groupBy — ONE
+    Arrow ``mapInPandas`` stage (y4m encode → per-frame decode → aHash,
+    the codec round-trip in one task; r11 merged the former synth/hash
+    stage pair, guide §4.1) behind the gated `spread_for_decode`
     fan-out, one banded equi-join keyed by (band, slice) over ~7x the
     signature rows, then a map-side-combinable count per video pair.
     The oracle replays the per-frame hashes closed-form and brute-forces
@@ -1760,10 +1756,13 @@ def dedup_video_frameshift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
 
-    def synth(batches):
+    def synth_and_hash(batches):
+        # y4m encode -> full-stride frame decode -> per-frame aHash in
+        # one task (r11 stage merge — codec round-trip intact, the
+        # intermediate JVM hop of the 7-frame payload gone).
         ks = np.arange(64, dtype=np.int64)
         for pdf in batches:
-            payloads = []
+            vids, fidx, bits = [], [], []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 shift = 3 if d % 9 == 0 else 0
@@ -1774,17 +1773,9 @@ def dedup_video_frameshift(spark: SparkSession, sf_dir: str) -> DataFrame:
                         + (f + shift) * 17
                     ) * 2654435761 % 251
                     frames.append(v.astype(np.uint8).tobytes())
-                payloads.append(encode_y4m(frames, w=8, h=8))
-            yield pd.DataFrame(
-                {"asset_id": pdf["doc_id"], "payload": payloads}
-            )
-
-    def hash_frames(batches):
-        for pdf in batches:
-            vids, fidx, bits = [], [], []
-            for doc_id, p in zip(pdf["asset_id"], pdf["payload"]):
+                p = encode_y4m(frames, w=8, h=8)
                 for f, luma in _y4m_frames(bytes(p), 1):
-                    vids.append(int(doc_id))
+                    vids.append(d)
                     fidx.append(f)
                     bits.append(
                         average_hash64(encode_pgm(luma.reshape(8, 8), 8, 8))
@@ -1793,11 +1784,8 @@ def dedup_video_frameshift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"video_id": vids, "frame_idx": fidx, "bits": bits}
             )
 
-    assets = spread_for_decode(docs).mapInPandas(
-        synth, "asset_id long, payload binary"
-    )
-    sig = assets.mapInPandas(
-        hash_frames, "video_id long, frame_idx int, bits string"
+    sig = spread_for_decode(docs).mapInPandas(
+        synth_and_hash, "video_id long, frame_idx int, bits string"
     )
     # r11: composite-id encoding + frame vote lifted into the
     # parameterized operator (defaults = this query's r10 contract:
@@ -1875,9 +1863,12 @@ def dedup_video_framehash(spark: SparkSession, sf_dir: str) -> DataFrame:
     single pixels: bit = 64·v > Σv; pooling compares integer bit counts),
     so the oracle replays the pooled hash closed-form and brute-forces
     the pair space — the Spark side never materializes it. At 100 TB:
-    two Arrow ``mapInPandas`` stages (synth stands in for real decode)
-    behind the gated `spread_for_decode` fan-out, one banded equi-join
-    keyed by (band, slice)."""
+    ONE Arrow ``mapInPandas`` stage (y4m encode → frame decode → hash,
+    the full codec round-trip in one task; r11 merged the former
+    synth/hash stage pair — the y4m payload crossed the JVM↔Python
+    boundary twice for no plan benefit, guide §4.1) behind the gated
+    `spread_for_decode` fan-out, one banded equi-join keyed by
+    (band, slice)."""
     import numpy as np
     import pandas as pd
 
@@ -1899,10 +1890,13 @@ def dedup_video_framehash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
 
-    def synth(batches):
+    def synth_and_hash(batches):
+        # y4m encode -> stride-2 frame decode -> per-frame aHash ->
+        # majority pool, all in one task (r11 stage merge — the real
+        # codec round-trip is intact, the intermediate JVM hop is gone).
         ks = np.arange(64, dtype=np.int64)
         for pdf in batches:
-            payloads = []
+            out = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 frames = []
@@ -1914,15 +1908,7 @@ def dedup_video_framehash(spark: SparkSession, sf_dir: str) -> DataFrame:
                         v = v.copy()
                         v[d % 64] += 1
                     frames.append(v.astype(np.uint8).tobytes())
-                payloads.append(encode_y4m(frames, w=8, h=8))
-            yield pd.DataFrame(
-                {"asset_id": pdf["doc_id"], "payload": payloads}
-            )
-
-    def hash_batch(batches):
-        for pdf in batches:
-            out = []
-            for p in pdf["payload"]:
+                p = encode_y4m(frames, w=8, h=8)
                 fb = [
                     average_hash64(encode_pgm(luma.reshape(8, 8), 8, 8))
                     for _, luma in _y4m_frames(bytes(p), 2)
@@ -1934,12 +1920,11 @@ def dedup_video_framehash(spark: SparkSession, sf_dir: str) -> DataFrame:
                         for i in range(64)
                     )
                 )
-            yield pd.DataFrame({"__id": pdf["asset_id"], "bits": out})
+            yield pd.DataFrame({"__id": pdf["doc_id"], "bits": out})
 
-    assets = spread_for_decode(docs).mapInPandas(
-        synth, "asset_id long, payload binary"
+    sig = spread_for_decode(docs).mapInPandas(
+        synth_and_hash, "__id long, bits string"
     )
-    sig = assets.mapInPandas(hash_batch, "__id long, bits string")
     return banded_hamming_pairs(sig, "bits", max_hamming=3).select(
         "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
     )
@@ -3156,9 +3141,12 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated wraparound positions, so distinct amplitude groups can
     land within a few bits — an honest property of the Haitsma–Kalker
     bit scheme on periodic signals, replayed identically by the oracle
-    (real audio is far less self-similar). At 100 TB: two Arrow
-    ``mapInPandas`` stages (decode + fingerprint are vectorized numpy)
-    and one banded equi-join keyed by (band, slice)."""
+    (real audio is far less self-similar). At 100 TB: ONE Arrow
+    ``mapInPandas`` stage (WAV encode → real stdlib decode →
+    vectorized-numpy fingerprint, the codec round-trip in one task; r11
+    merged the former synth/fingerprint stage pair — the PCM payload
+    crossed the JVM↔Python boundary twice for no plan benefit, guide
+    §4.1) and one banded equi-join keyed by (band, slice)."""
     import numpy as np
     import pandas as pd
 
@@ -3174,13 +3162,18 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
 
-    def synth(batches):
+    dec = wave_pcm_samples()
+
+    def synth_and_fp(batches):
+        # WAV encode -> real stdlib WAV decode -> vectorized fingerprint
+        # per doc, one task (r11 stage merge — codec round-trip intact,
+        # the intermediate JVM hop of the PCM payload gone).
         import io
         import wave
 
         ks = np.arange(64, dtype=np.int64)
         for pdf in batches:
-            payloads = []
+            out = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 amps = ((1 + d % 29) * (ks + 7) * 2654435761) % 4093
@@ -3194,19 +3187,16 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                     wf.setsampwidth(2)
                     wf.setframerate(8000)
                     wf.writeframes(mono.tobytes())
-                payloads.append(buf.getvalue())
-            yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
-
-    dec = wave_pcm_samples()
-
-    def fp_batch(batches):
-        for pdf in batches:
-            out = []
-            for p in pdf["payload"]:
-                m = np.asarray(dec(p), dtype=np.float64).reshape(64, 16).mean(axis=1)
+                m = (
+                    np.asarray(dec(buf.getvalue()), dtype=np.float64)
+                    .reshape(64, 16)
+                    .mean(axis=1)
+                )
                 nxt = np.roll(m, -1)
-                out.append("".join("1" if x > y else "0" for x, y in zip(m, nxt)))
-            yield pd.DataFrame({"__id": pdf["asset_id"], "bits": out})
+                out.append(
+                    "".join("1" if x > y else "0" for x, y in zip(m, nxt))
+                )
+            yield pd.DataFrame({"__id": pdf["doc_id"], "bits": out})
 
     # documents.parquet is a single file => a bare mapInPandas would run
     # the whole synth+decode loop as ONE task; spread the id list across
@@ -3214,10 +3204,9 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the expensive part — and the 100 TB story wants decode parallelism
     # to match the cluster, not the input file count). Gated: a
     # well-split input skips the shuffle (r09).
-    assets = spread_for_decode(docs).mapInPandas(
-        synth, "asset_id long, payload binary"
+    sig = spread_for_decode(docs).mapInPandas(
+        synth_and_fp, "__id long, bits string"
     )
-    sig = assets.mapInPandas(fp_batch, "__id long, bits string")
     return banded_hamming_pairs(sig, "bits", max_hamming=3).select(
         "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
     )

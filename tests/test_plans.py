@@ -590,12 +590,13 @@ def test_image_phash_banded_join_plan(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
-    # two Arrow stages (synth, hash): the formatted tree repeats the
-    # persisted signature subtree under each join branch, so count
+    # ONE Arrow stage (r11: synth+hash merged — the payload no longer
+    # crosses the JVM↔Python boundary twice): the formatted tree repeats
+    # the persisted signature subtree under each join branch, so count
     # DISTINCT MapInPandas node ids, not occurrences
     import re
 
-    assert len(set(re.findall(r"MapInPandas \((\d+)\)", plan))) == 2
+    assert len(set(re.findall(r"MapInPandas \((\d+)\)", plan))) == 1
 
 
 def test_kmeans_final_assignment_is_shuffle_free(spark, sf_dir):
@@ -738,7 +739,8 @@ def test_video_frameshift_banded_join_plan(spark, sf_dir):
     assert "BroadcastNestedLoop" not in plan
     import re
 
-    assert len(set(re.findall(r"MapInPandas \((\d+)\)", plan))) == 2
+    # ONE Arrow stage (r11: synth+hash merged, guide §4.1)
+    assert len(set(re.findall(r"MapInPandas \((\d+)\)", plan))) == 1
     assert "HashAggregate" in plan
 
 
