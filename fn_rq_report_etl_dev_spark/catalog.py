@@ -182,6 +182,10 @@ def ensure_tables(spark: SparkSession, wh: Warehouse) -> None:
     dataset with the declared schema."""
     migrate_legacy_staging(wh)
     upgrade_staging_layout(spark, wh)
+    # Deliberately NOT coalesce(1): wrapping the empty LocalRelation in a
+    # coalesce defeats Spark's empty-plan fast path and was measured ~8x
+    # SLOWER per bootstrap write (r11: 0.5 s bare vs 4.4 s coalesced on
+    # local[32]) — the bare empty write is already metadata-cheap.
     if not wh.exists(STAGING_TABLE):
         empty = spark.createDataFrame([], STAGING_PARTITIONED_SCHEMA)
         empty.write.mode("overwrite").partitionBy(STAGING_PARTITION_COL).parquet(
