@@ -733,40 +733,103 @@ def bigram_backoff_scores(
     )
 
 
-def _with_w64(tbl: DataFrame, out: str, num_sql: str, den_sql: str) -> DataFrame:
-    """1/64-bit integer log of a ratio <= 1 (see `nb_train_apply`):
-    staged as chained columns on the (tiny, <= n_buckets-row) weight
-    table so each intermediate evaluates once. SQL fragments because
-    exact integer DIV has no DataFrame-API form ((num·2^30) exceeds
-    2^53, so double-rounding float division is not an option)."""
-    s, r, t, u = (f"__{x}_{out}" for x in ("s", "r", "t", "u"))
-    tbl = tbl.withColumn(
-        s,
-        F.expr(f"greatest(CAST(length(bin({den_sql})) - 1 AS INT) - 32, 0)"),
+def _with_w64_batch(
+    tbl: DataFrame, specs: list[tuple[str, str, str]]
+) -> DataFrame:
+    """1/64-bit integer logs of ratios <= 1 (see `nb_train_apply`) for
+    ALL ``(out, num_sql, den_sql)`` specs at once: staged as chained
+    columns on the (tiny, <= n_buckets-row) weight table so each
+    intermediate evaluates once. SQL fragments because exact integer DIV
+    has no DataFrame-API form ((num·2^30) exceeds 2^53, so
+    double-rounding float division is not an option).
+
+    LEVEL-SYNCHRONOUS batching (r11, guide §7.3 — planning time as the
+    bottleneck): every PySpark ``withColumn`` call re-analyzes the whole
+    growing plan on the driver, so the former per-output chain (17 calls
+    × 6 outputs = 102 analysis rounds on an ever-deeper plan) spent
+    seconds of pure driver time per weight table — more than the
+    distributed work itself at bench scale. One ``withColumns`` per
+    DEPENDENCY LEVEL with all six outputs' columns in it preserves the
+    exact same expressions and names (bit-identical results, same
+    executed plan) in 16 analysis rounds total."""
+    s = {out: f"__s_{out}" for out, _, _ in specs}
+    r = {out: f"__r_{out}" for out, _, _ in specs}
+    t = {out: f"__t_{out}" for out, _, _ in specs}
+    u = {out: f"__u_{out}" for out, _, _ in specs}
+    tbl = tbl.withColumns(
+        {
+            s[out]: F.expr(
+                f"greatest(CAST(length(bin({den})) - 1 AS INT) - 32, 0)"
+            )
+            for out, _, den in specs
+        }
     )
-    tbl = tbl.withColumn(
-        r,
-        F.expr(
-            f"greatest(CAST((shiftright(CAST({num_sql} AS BIGINT), {s})"
-            f" * 1073741824) div"
-            f" greatest(shiftright(CAST({den_sql} AS BIGINT), {s}), 1)"
-            f" AS BIGINT), 1)"
-        ),
+    tbl = tbl.withColumns(
+        {
+            r[out]: F.expr(
+                f"greatest(CAST((shiftright(CAST({num} AS BIGINT), {s[out]})"
+                f" * 1073741824) div"
+                f" greatest(shiftright(CAST({den} AS BIGINT), {s[out]}), 1)"
+                f" AS BIGINT), 1)"
+            )
+            for out, num, den in specs
+        }
     )
-    tbl = tbl.withColumn(t, F.expr(f"CAST(length(bin({r})) - 1 AS INT)"))
-    tbl = tbl.withColumn(u, F.expr(f"shiftleft({r}, 30 - {t})"))
-    bs = []
+    tbl = tbl.withColumns(
+        {
+            t[out]: F.expr(f"CAST(length(bin({r[out]})) - 1 AS INT)")
+            for out, _, _ in specs
+        }
+    )
+    tbl = tbl.withColumns(
+        {
+            u[out]: F.expr(f"shiftleft({r[out]}, 30 - {t[out]})")
+            for out, _, _ in specs
+        }
+    )
+    bs: dict[str, list[str]] = {out: [] for out, _, _ in specs}
     for i in range(6):
-        b = f"__b{i}_{out}"
         # u ∈ [2^30, 2^31) ⇒ u² ∈ [2^60, 2^62): b = lb(u²) − 60 ∈ {0,1}
-        tbl = tbl.withColumn(
-            b, F.expr(f"CAST(length(bin({u} * {u})) - 1 AS INT) - 60")
+        tbl = tbl.withColumns(
+            {
+                f"__b{i}_{out}": F.expr(
+                    f"CAST(length(bin({u[out]} * {u[out]})) - 1 AS INT) - 60"
+                )
+                for out, _, _ in specs
+            }
         )
-        tbl = tbl.withColumn(u, F.expr(f"shiftright({u} * {u}, 30 + {b})"))
-        bs.append(b)
-    frac = " + ".join(f"{b} * {1 << (5 - i)}" for i, b in enumerate(bs))
-    tbl = tbl.withColumn(out, F.expr(f"CAST({t} * 64 + {frac} AS BIGINT)"))
-    return tbl.drop(s, r, t, u, *bs)
+        tbl = tbl.withColumns(
+            {
+                u[out]: F.expr(
+                    f"shiftright({u[out]} * {u[out]}, 30 + __b{i}_{out})"
+                )
+                for out, _, _ in specs
+            }
+        )
+        for out, _, _ in specs:
+            bs[out].append(f"__b{i}_{out}")
+    tbl = tbl.withColumns(
+        {
+            out: F.expr(
+                f"CAST({t[out]} * 64 + "
+                + " + ".join(
+                    f"{b} * {1 << (5 - i)}" for i, b in enumerate(bs[out])
+                )
+                + " AS BIGINT)"
+            )
+            for out, _, _ in specs
+        }
+    )
+    drop = []
+    for out, _, _ in specs:
+        drop += [s[out], r[out], t[out], u[out], *bs[out]]
+    return tbl.drop(*drop)
+
+
+def _with_w64(tbl: DataFrame, out: str, num_sql: str, den_sql: str) -> DataFrame:
+    """Single-spec form of :func:`_with_w64_batch` (kept for callers
+    deriving one ratio column at a time)."""
+    return _with_w64_batch(tbl, [(out, num_sql, den_sql)])
 
 
 def nb_bucketize(
@@ -908,11 +971,13 @@ def _nb_w64_tail(
         .join(wm, "bucket", "left")
         .crossJoin(F.broadcast(consts))
     )
+    # all 2·n_classes ratio columns derived level-synchronously in ONE
+    # batched pass — see _with_w64_batch (r11 driver-planning fix)
+    specs = []
     for c in range(n_classes):
-        wtab = _with_w64(
-            wtab, f"w{c}", f"coalesce(m{c}, 0) + 1", f"N{c} + {n_buckets}"
-        )
-        wtab = _with_w64(wtab, f"p{c}", f"D{c} + 1", f"Dt + {n_classes}")
+        specs.append((f"w{c}", f"coalesce(m{c}, 0) + 1", f"N{c} + {n_buckets}"))
+        specs.append((f"p{c}", f"D{c} + 1", f"Dt + {n_classes}"))
+    wtab = _with_w64_batch(wtab, specs)
     return wtab.select(
         "bucket",
         *[f"w{c}" for c in range(n_classes)],
