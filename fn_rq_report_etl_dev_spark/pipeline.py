@@ -50,14 +50,27 @@ def normalize_batch(df: DataFrame, now: Column | None = None) -> DataFrame:
       (:325-337);
     - render everything back to strings (staging stays uniformly VARCHAR).
     """
-    out = df
-    for c in RAW_TIMESTAMP_COLUMNS:
-        parsed = with_fallback_now(parse_timestamp_multi(F.col(c)), F.col(c), now)
-        out = out.withColumn(c, F.date_format(parsed, "yyyy-MM-dd HH:mm:ss.SSSSSS"))
-    for est_col, src_col in EST_DERIVED_PAIRS:
-        est = utc_to_est(F.to_timestamp(F.col(src_col)))
-        out = out.withColumn(est_col, F.date_format(est, "yyyy-MM-dd HH:mm:ss"))
-    return out.select(*TRADEIN_COLUMNS)
+    # Two batched withColumns calls, not six chained withColumn calls:
+    # each withColumn re-analyzes the whole 44-column plan on the driver
+    # (r11, guide §7.3). Level 1 rewrites the three raw timestamp
+    # columns; level 2 derives the EST shadows FROM the level-1 output
+    # (the reference derives EST from the already-normalized strings, so
+    # the dependency is real and the two levels cannot fuse).
+    parsed = {
+        c: F.date_format(
+            with_fallback_now(parse_timestamp_multi(F.col(c)), F.col(c), now),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS",
+        )
+        for c in RAW_TIMESTAMP_COLUMNS
+    }
+    out = df.withColumns(parsed)
+    est = {
+        est_col: F.date_format(
+            utc_to_est(F.to_timestamp(F.col(src_col))), "yyyy-MM-dd HH:mm:ss"
+        )
+        for est_col, src_col in EST_DERIVED_PAIRS
+    }
+    return out.withColumns(est).select(*TRADEIN_COLUMNS)
 
 
 def _today_value(spark: SparkSession, now: Column | None) -> str:
