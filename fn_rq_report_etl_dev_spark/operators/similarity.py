@@ -1198,9 +1198,16 @@ def semantic_dedup(
     sizes = index.assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("__csz")
     )
+    # Persisted (r11): ms feeds BOTH pair-join sides and the exemplar
+    # bridge (plus the verdict join-back) — unpersisted, each consumer
+    # re-ran the sizes aggregate, the centroid broadcast join and the
+    # norm/sqdist projections over the whole assignment. Cached rows are
+    # (id, cell, vector, 3 scalars) — the same order as the assignment
+    # itself. Released by session.release_intermediates like every
+    # fan-out persist in this package.
     ms = m.join(F.broadcast(sizes), "cell").withColumn(
         "salt", hot_cell_salt("vec_id", "__csz", max_cell)
-    )
+    ).persist()
     x = ms.select(
         F.col("cell"),
         F.col("salt"),
