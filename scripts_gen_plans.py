@@ -67,7 +67,7 @@ HEADLINERS = [
     ("agg_event_type_salted", "salted two-phase aggregate (r07): __salt in the wide aggregate's grouping spreads 5 hot keys over 80 partials; second tiny exchange re-aggregates by key - the skew insurance is 2 exchanges vs 1"),
     ("docs_blocklist_gate", "blocklist + quality gate composed (r07): six rules, term list as plan literals, staged __bl_* projections (each metric evaluated once - the pure-column form was 25x slower), ZERO exchanges - runs at scan speed"),
     ("pipeline_corpus_curation", "LLM-corpus flagship (r08): gate (0 exchanges, scan-projection) -> exact-dedup survivors (1 digest-keyed window exchange) -> keep-first substring clip (the detector's keyed shuffles) -> pack window (1 source-keyed exchange); one Catalyst DAG, no pair lists, no driver loops"),
-    ("dedup_image_phash", "perceptual-hash image dedup (r08): two Arrow mapInPandas stages (synth+resize+aHash, vectorized numpy) -> the shared banded-Hamming pigeonhole join; shuffle keyed by (band, slice), pair space never materialized"),
+    ("dedup_image_phash", "perceptual-hash image dedup (r08; r11: synth+hash merged to ONE Arrow mapInPandas stage — payload no longer crosses the JVM/Python boundary twice) -> the shared banded-Hamming pigeonhole join; shuffle keyed by (band, slice), pair space never materialized"),
     ("embedding_kmeans_lloyd", "Lloyd k-means (r08): the RETURNED final-assignment plan is a zero-shuffle literal-centroid argmin projection (no join/window on the corpus); per-round updates ran eagerly as k*d-bounded groupBy aggregates with driver-collected partial sums"),
     ("dedup_semantic_clusters", "SemDeDup (r09 hot-cell guard + r10 exemplar bridge): pair space equi-joined on (cell, salt) — cells above max_cell salt-split by md5(vec_id) so quantizer imbalance cannot make one task quadratic (7.2x->4.06x pair growth at 4x data, SCALING.md); the per-sub-cell exemplars then bridge across sub-cells under a second-level salt (planted 4096-clone cluster: 16 spurious survivors -> 1); centroids + per-cell sizes broadcast, centrality reuses the assignment pass; no cartesian anywhere"),
     ("text_bigram_backoff", "held-out bigram LM scoring (r08): bigrams built map-side via zip_with over array slices (no posexplode+window); held (doc,bigram) repeats collapse before the three word-keyed model joins; train total broadcast as a scalar"),
