@@ -257,6 +257,17 @@ _RECHECK: dict[str, int] = {
     # streaming forms of the corpus-state refresh jobs (never driver-reported)
     "streaming_state_refresh": 11,
     "streaming_nb_state": 11,
+    # Round-11 OPTIMIZATION-phase body changes (results bit-identical by
+    # builder-side oracle check, but the driver verdict re-earns it):
+    # one-pass segment hashing; one-child-pass FK audit; the four
+    # modality dedups' merged synth+hash Arrow stage; the persisted
+    # salted cell-member relation in semantic dedup.
+    "curation_boilerplate_segments": 11,
+    "quality_fk_orphans": 11,
+    "dedup_audio_fingerprint": 11,
+    "dedup_image_phash": 11,
+    "dedup_video_framehash": 11,
+    "dedup_semantic_clusters": 11,
 }
 # (All round-10 entries settled: green rows in CORRECTNESS_r10.)
 
