@@ -114,12 +114,13 @@ EAGER_SCHEMAS: dict[str, str] = {
         "bucket bigint, n_rows bigint, n_priced bigint, n_prioritized bigint, "
         "total_price double, n_urgent bigint"
     ),
-    # distributed_ntile materializes per-partition counts (driver scalars)
+    # distributed_ntile persists the range-partitioned frame (offsets are
+    # a lazy broadcast branch since r12 — no driver collect)
     "rfm_customer_segments": (
         "o_custkey bigint, recency_days int, frequency bigint, monetary double, "
         "r_score int, f_score int, m_score int, segment string"
     ),
-    # distributed_ntile materializes per-partition counts (driver scalars)
+    # distributed_ntile persists the range-partitioned frame (see above)
     "histogram_equidepth_price": "bucket int, n_rows bigint, lo_cents bigint, hi_cents bigint",
     # two-phase selection collects the bucket histogram (bounded by the
     # value RANGE, not the data) during build
@@ -128,7 +129,8 @@ EAGER_SCHEMAS: dict[str, str] = {
     "graph_sssp_weighted": "partkey bigint, dist bigint",
     # delta-frontier Bellman-Ford checks frontier emptiness per round
     "graph_sssp_delta": "partkey bigint, dist bigint",
-    # global_row_number collects per-partition counts (driver scalars)
+    # global_row_number persists the range-partitioned frame (offsets are
+    # a lazy broadcast branch since r12 — no driver collect)
     "skew_key_gini": (
         "n_keys bigint, total_rows bigint, gini_num bigint, gini double"
     ),
@@ -182,8 +184,33 @@ def workload(
 # (floor division — matching DuckDB/Arrow's ns→us truncation).
 _NANO_TS_COLUMNS: dict[str, list[str]] = {"events": ["ts"]}
 
+# (applicationId, abspath(sf_dir), table) -> the loaded DataFrame (r12,
+# guide §6 "file listing … cached per session" / §7.3 driver time).
+# DataFrames are immutable, so handing every builder the same object is
+# semantically identical to re-reading — what it saves is the per-call
+# driver work `spark.read.parquet` repeats: file listing, footer/schema
+# read, plan construction (~0.1 s per table per call, and the bench
+# re-invokes builders 1-3× per query → tens of seconds across the 206-
+# query suite). NO DATA is cached: every action still scans the parquet.
+# Safety rests on the same contract as _CORPUS_STATE_CACHE /
+# _IVF_CODEBOOK_CACHE (workloads/curation.py, llmops.py): corpora are
+# immutable per path within a session, and test fixtures use unique tmp
+# paths. Keyed by applicationId (unique per SparkContext, unlike id())
+# so a stopped-and-recreated session can never see stale plans.
+_LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    import os
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        table,
+    )
+    cached = _LOAD_CACHE.get(key)
+    if cached is not None:
+        return cached
     if table in _NANO_TS_COLUMNS:
         # Runtime-settable; required for any session the caller hands us —
         # the driver builds its own SparkSession without our factory.
@@ -198,6 +225,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
             # Session tz is UTC, so the cast is a pure reinterpretation
             # (and wall-clock values round-trip under any session tz).
             df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
+    _LOAD_CACHE[key] = df
     return df
 
 

@@ -2610,12 +2610,27 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     a<b<c triple self-join the DuckDB oracle runs is fine at oracle scale
     and counts the identical set). Output is one row of graph-level
     scalars; wedges = Σ C(deg,2) over the undirected degrees.
+
+    r12 (§3.3 plan truncation): the edge list is localCheckpoint()ed
+    before the triangle operator. The operator references its input from
+    SIX plan branches (degrees twice per oriented side, the wedge join's
+    two sides, the closing side, the edge count), so the full LSH
+    pipeline's logical subtree was replicated ~11× — a 1603-node plan
+    that Catalyst and AQE re-optimized at every query stage (measured
+    ~1 s driver build + AQE replanning in the runtime). The checkpoint
+    cuts the lineage to a leaf (plan 1603 → ~60 nodes); the LSH pass
+    itself still executes from the parquet inputs inside this builder —
+    nothing is precomputed across runs. (At 100 TB a cluster job would
+    use localCheckpoint the same way — guide §3.3 "materialising an
+    intermediate truncates the plan".)
     """
     from ..operators.graph import oriented_triangle_stats
 
     docs = load(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(docs, "doc_id", "text").select(
-        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    pairs = (
+        lsh_candidate_pairs(docs, "doc_id", "text")
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .localCheckpoint()
     )
     return oriented_triangle_stats(pairs)
 

@@ -587,6 +587,17 @@ def range_join_ship_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe checks its own and the next bucket), then apply the exact range
     filter. The cross product shrinks from |O|×|L| to per-bucket work —
     at 100 TB the equi-join shuffles by bucket like any other key.
+
+    r12 (§2.3 aggregate-before-shuffle): the probe side only ever
+    compares SHIPDATES, and both aggregates (count, exact decimal
+    quantity sum) are associative — so lineitem is pre-aggregated to one
+    (l_bucket, l_shipdate, cnt, qty) row per distinct date BEFORE the
+    range join. The join then multiplies probes by the ~7 date summaries
+    per bucket instead of by every item row (measured 4.8 M → ~40 k
+    intermediate rows at sf0.1), and at scale the exchange carries
+    |distinct dates| rows instead of |lineitem|. Decimal sums re-sum
+    exactly (no float seam); count(l_orderkey)'s non-NULL semantics ride
+    along as a conditional count inside the pre-aggregate.
     """
     bucket_secs = 7 * 86400
     orders = (
@@ -598,11 +609,19 @@ def range_join_ship_week(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_timestamp("o_orderdate") / bucket_secs).cast("long").alias("o_bucket"),
         )
     )
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_quantity",
-        "l_shipdate",
-        (F.unix_timestamp("l_shipdate") / bucket_secs).cast("long").alias("l_bucket"),
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_quantity",
+            "l_shipdate",
+            (F.unix_timestamp("l_shipdate") / bucket_secs).cast("long").alias("l_bucket"),
+        )
+        .groupBy("l_bucket", "l_shipdate")
+        .agg(
+            F.count("l_orderkey").alias("__cnt"),
+            F.sum(_dec2("l_quantity")).alias("__qty"),
+        )
     )
     # A 7-day window starting anywhere inside bucket b ends in b or b+1.
     probes = orders.withColumn(
@@ -613,8 +632,8 @@ def range_join_ship_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 7 DAY"))
     )
     per_order = matched.groupBy("o_orderkey").agg(
-        F.count(F.lit(1)).alias("n_shipped"),
-        F.sum(_dec2("l_quantity")).cast("double").alias("qty_shipped"),
+        F.sum("__cnt").alias("n_shipped"),
+        F.sum("__qty").cast("double").alias("qty_shipped"),
     )
     # LEFT semantics: orders with zero shipments keep a 0-count row.
     return (
@@ -2152,45 +2171,55 @@ def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket frequent-pair mining (apriori-pruned co-occurrence):
     brand pairs appearing together in >= 1% of order baskets. The scale
-    shape: (1) the item->brand dimension broadcasts; (2) apriori prune —
-    a pair can only be frequent if BOTH items are, so infrequent brands
-    are dropped via a broadcast semi-join BEFORE any pair is generated;
-    (3) pairs are generated MAP-SIDE per basket from a sorted distinct-
-    brand array (slice/transform/flatten HOFs — C(k,2) per basket, k
-    bounded by basket size), never via a row-level self-join shuffle;
-    (4) the only shuffles are the basket groupBy and the tiny pair-count
-    agg. Support thresholds compare as exact integers (support*100 >=
-    n_baskets) so both engines cut identically; the oracle replays the
-    semantics with the classic self-join formulation. NULL order keys are
-    filtered explicitly (Spark's groupBy would pool them into one giant
-    pseudo-basket; SQL's equi-join drops them) — documented 3VL seam."""
+    shape: (1) the item->brand dimension broadcasts; (2) ONE orderkey
+    aggregate turns items into sorted distinct-brand basket arrays
+    (collect_set dedupes in the same pass — no separate item-level
+    distinct shuffle); basket count and brand support derive from the
+    persisted basket relation; (3) apriori prune — a pair can only be
+    frequent if BOTH items are — applies MAP-SIDE as an array_intersect
+    with the 1-row frequent-brand array (brand domain is dimension-
+    bounded) BEFORE any pair is generated; (4) pairs are generated
+    MAP-SIDE per basket (slice/transform/flatten HOFs — C(k,2) per
+    basket, k bounded by basket size), never via a row-level self-join
+    shuffle; the only shuffles are the basket groupBy, the tiny exploded
+    brand-support agg, and the pair-count agg. Support thresholds compare
+    as exact integers (support*100 >= n_baskets) so both engines cut
+    identically; the oracle replays the semantics with the classic
+    self-join formulation. NULL order keys are filtered explicitly
+    (Spark's groupBy would pool them into one giant pseudo-basket; SQL's
+    equi-join drops them) — documented 3VL seam."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    # items feeds four consumers (basket count, brand support, the prune
-    # join, and basket assembly) — persist so the scan+distinct runs once;
-    # lifetime is the consumption of the returned DataFrame (bench.py
-    # clears per-query persists).
-    items = (
+    # r12 (§2.3/§2.4): ONE basket shuffle instead of three item-level
+    # passes. collect_set dedupes brands within a basket by itself, so
+    # the former distinct-(order, brand) shuffle + brand-support pass +
+    # prune-join + SECOND orderkey groupBy collapse into one orderkey
+    # aggregate; basket count and brand support then derive from the
+    # persisted basket-sized relation (one row per order, not one per
+    # item), and the apriori prune applies MAP-SIDE as an array_intersect
+    # with the 1-row frequent-brand array (brand domain is dimension-
+    # bounded, so the array broadcast is safe at any fact-table scale).
+    baskets = (
         li.filter(F.col("l_orderkey").isNotNull())
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
+        .select("brands")
         .persist()
     )
-    n_baskets = items.select(F.countDistinct("l_orderkey").alias("n_baskets"))
+    n_baskets = baskets.select(F.count(F.lit(1)).alias("n_baskets"))
     frequent = (
-        items.groupBy("p_brand")
+        baskets.select(F.explode("brands").alias("p_brand"))
+        .groupBy("p_brand")
         .agg(F.count(F.lit(1)).alias("brand_support"))
         .crossJoin(F.broadcast(n_baskets))
         .filter(F.col("brand_support") * 100 >= F.col("n_baskets"))
-        .select("p_brand")
+        .agg(F.array_sort(F.collect_list("p_brand")).alias("freq_brands"))
     )
-    baskets = (
-        items.join(F.broadcast(frequent), "p_brand")
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
+    pruned = baskets.crossJoin(F.broadcast(frequent)).select(
+        F.array_intersect(F.col("brands"), F.col("freq_brands")).alias("brands")
     )
-    pairs = baskets.select(
+    pairs = pruned.select(
         F.explode(
             F.expr(
                 "flatten(transform(brands, (x, i) -> "

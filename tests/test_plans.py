@@ -330,10 +330,20 @@ def test_basket_pairs_generate_map_side(spark, sf_dir):
 def test_rfm_has_no_single_partition_global_window(spark, sf_dir):
     """The RFM quintiles use distributed_ntile: range exchanges + windows
     partitioned by spark_partition_id — NEVER the one-task
-    `Exchange SinglePartition` a bare global ntile() would plan."""
-    plan = formatted_plan(QUERIES["rfm_customer_segments"](spark, sf_dir))
-    assert "SinglePartition" not in plan
-    assert plan.count("rangepartitioning") >= 3  # one per score
+    `Exchange SinglePartition` global sort a bare ntile() would plan for
+    the DATA path. r12: the per-partition-count offsets are a lazy
+    broadcast branch (no driver collect), so each of the three scores
+    carries exactly one ≤#partitions-row SinglePartition cumsum — the
+    same two-level shape test_running_total_scan_two_level pins."""
+    try:
+        df = QUERIES["rfm_customer_segments"](spark, sf_dir)
+        plan = formatted_plan(df)
+        assert plan.count("rangepartitioning") >= 3  # one per score
+        # offsets summaries only — one tiny branch per score, nothing else
+        assert plan.count("SinglePartition") == 3
+        assert uses_broadcast_join(df)  # offsets come back via broadcast
+    finally:
+        spark.catalog.clearCache()
 
 
 def test_attribution_single_exchange_window(spark, sf_dir):
@@ -456,11 +466,17 @@ def test_regression_sufficient_stats_map_side(spark, sf_dir):
 def test_global_ids_no_single_partition(spark, sf_dir):
     """Global sequential IDs must come from the zipWithIndex shape —
     range exchange + per-partition windows — never a one-task
-    `Exchange SinglePartition` global sort."""
-    df = QUERIES["export_global_ids"](spark, sf_dir)
-    plan = formatted_plan(df)
-    assert "SinglePartition" not in plan
-    assert "rangepartitioning" in plan
+    `Exchange SinglePartition` global sort of the DATA path. r12: the
+    offsets are a lazy ≤#partitions-row broadcast branch (no driver
+    collect), whose cumsum is the plan's only SinglePartition."""
+    try:
+        df = QUERIES["export_global_ids"](spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "rangepartitioning" in plan
+        assert plan.count("SinglePartition") == 1  # the counts summary only
+        assert uses_broadcast_join(df)
+    finally:
+        spark.catalog.clearCache()
 
 
 def test_embedding_centroid_partial_agg_no_udf(spark, sf_dir):
