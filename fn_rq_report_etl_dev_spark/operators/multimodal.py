@@ -52,7 +52,7 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
-def spread_for_decode(df: DataFrame) -> DataFrame:
+def spread_for_decode(df: DataFrame, barrier: bool = False) -> DataFrame:
     """Fan rows across the cluster before a CPU-bound Arrow codec stage,
     but ONLY when the scan's own split count is below the cluster
     parallelism (a single small parquet file reads as one task — the
@@ -70,10 +70,28 @@ def spread_for_decode(df: DataFrame) -> DataFrame:
     blind to row skew — an input that is ≥ par partitions but mostly
     empty (e.g. after a highly selective filter) passes through
     untouched; such callers should `repartition` explicitly after the
-    filter, since no cheap probe can see emptiness without a job."""
+    filter, since no cheap probe can see emptiness without a job.
+
+    ``barrier`` (r12): when the CPU-dense stage downstream ends in a
+    FILTER on a derived column (the quality-gate shape), Catalyst pushes
+    that predicate through the repartition to the map side — every gate
+    expression re-inlines into the pushed filter and evaluates on the
+    original starved split, silently undoing the spread (measured: the
+    repartition alone left the 1.4 s gate predicate on ONE task; a
+    dropped marker column is no barrier either — column pruning deletes
+    it and the pushdown proceeds). ``barrier=True`` persists the spread
+    result: filters push INTO an InMemoryTableScan but evaluate on the
+    cached (spread) partitions, and the cache stays lazy — it
+    materializes inside the first consuming action, so builder-time
+    work is unchanged. Only taken when the spread itself fires, so a
+    well-split production input pays neither the shuffle nor the cache;
+    the entry is increment-sized and follows the package-wide
+    ``session.release_intermediates`` lifetime (bench.py isolates with
+    exactly that call)."""
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
+        out = df.repartition(par)
+        return out.persist() if barrier else out
     return df
 
 

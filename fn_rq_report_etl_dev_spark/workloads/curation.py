@@ -526,8 +526,16 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator proven green on its own oracle; this entry proves the
     COMPOSITION: one Catalyst plan end to end, no materialization
     boundaries, the shape a production training-data pipeline submits."""
+    from ..operators.multimodal import spread_for_decode
+
     docs = load(spark, sf_dir, "documents")
-    norm = normalize_text(docs, "doc_id", "text").select("doc_id", "text_clean")
+    # r12 (§2.6/§2.5): normalize + gate are exchange-free regexp work and
+    # the broadcast lang join preserves the streamed side's partitioning —
+    # spread + barrier the starved scan first (no-op on well-split
+    # production inputs; barrier per the spread_for_decode docstring).
+    norm = normalize_text(
+        spread_for_decode(docs, barrier=True), "doc_id", "text"
+    ).select("doc_id", "text_clean")
     norm = norm.join(docs.select("doc_id", "lang"), "doc_id")
     gate = quality_gate(norm, "doc_id", "text_clean").select("doc_id", "keep")
     kept = norm.join(gate, "doc_id").filter(F.col("keep"))
@@ -786,10 +794,15 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..operators.curation import with_blocklist_metrics
+    from ..operators.multimodal import spread_for_decode
     from ..operators.text_dedup import substring_clip
     from .llmops import PACK_BUDGET_TOKENS
 
     docs = load(spark, sf_dir, "documents")
+    # r12 (§2.6/§2.5): spread + barrier ahead of the exchange-free gate
+    # chain — same starved-scan fix as _increment_survivors (the
+    # keep-filter would push below a bare repartition).
+    docs = spread_for_decode(docs, barrier=True)
     aug, _n_hits, _hit_terms, blocked = with_blocklist_metrics(
         docs, "text", _BLOCKLIST, hit_pct=2
     )
@@ -1368,9 +1381,19 @@ def _increment_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..operators.curation import with_blocklist_metrics
+    from ..operators.multimodal import spread_for_decode
 
     docs = load(spark, sf_dir, "documents")
-    new = docs.filter(F.col("doc_id") % _NEW_MOD == 0)
+    # r12 (§2.6/§2.5): the gate + blocklist metrics are regexp-dense
+    # per-row work with no exchange above the scan, and a small
+    # single-row-group documents file reads as ONE task — measured 1.9 s
+    # serial, 0.7 s spread (the whole increment gated on one core
+    # otherwise). barrier=True because the keep-filter would push below
+    # a bare repartition and re-serialize the gate (see the operator
+    # docstring); no-op on well-split production inputs.
+    new = spread_for_decode(
+        docs.filter(F.col("doc_id") % _NEW_MOD == 0), barrier=True
+    )
 
     aug, _n_hits, _hit_terms, blocked = with_blocklist_metrics(
         new, "text", _BLOCKLIST, hit_pct=2
